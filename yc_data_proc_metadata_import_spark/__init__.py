@@ -1,0 +1,74 @@
+"""PySpark-native analytics engine with the capability surface of
+yandex-cloud-examples/yc-data-proc-metadata-import.
+
+The reference (read-only at /root/reference) is an infrastructure-as-code
+example that provisions two Spark/Hive clusters sharing one object-storage
+bucket and demonstrates Hive Metastore metadata migration between them
+(reference: README_en.md:3, metastore-import.tf:181-278).  This package
+re-expresses that capability surface — catalog/metadata operations plus the
+full relational/streaming operator set of the provisioned Spark service
+(metastore-import.tf:196) — as an idiomatic PySpark library: every operator
+is a small function returning a DataFrame so Catalyst/Tungsten handle
+optimization and execution (SURVEY.md SS3-4).
+
+Layout:
+    session.py    SparkSession builder (the one engine config the reference
+                  sets — spark.sql.hive.metastore.sharedPrefixes,
+                  metastore-import.tf:198-201 — is a passthrough here)
+    registry.py   queries()/oracle_sql() registration
+    sources/      scans + sinks (Parquet/CSV/JSON/table, partitioned writes)
+    operators/    relational operators (SS2.4-2.9)
+    functions/    scalar function families + UDF surface (SS2.10, SS2.12)
+    plans/        catalog DDL + metadata export/import/roundtrip (SS2.2)
+    streaming/    Structured Streaming operators (SS2.11)
+    llm/          LLM-data-pipeline extensions (SS2.13)
+"""
+
+from __future__ import annotations
+
+from . import registry
+
+
+_OPERATOR_MODULES = (
+    "sources.io",
+    "sources.sinks",
+    "operators.projection",
+    "operators.joins",
+    "operators.aggregates",
+    "operators.windows",
+    "operators.sort",
+    "operators.setops",
+    "functions.scalar",
+    "functions.udf",
+    "plans.catalog",
+    "plans.metadata",
+    "streaming.stream_queries",
+    "llm.dedup",
+    "llm.similarity",
+    "llm.text",
+    "llm.multimodal",
+)
+
+
+def load_all() -> None:
+    """Import every operator module so its queries register."""
+    import importlib
+
+    for mod in _OPERATOR_MODULES:
+        try:
+            importlib.import_module(f".{mod}", __name__)
+        except ModuleNotFoundError as e:
+            # Tolerate not-yet-built modules during incremental development,
+            # but never mask a typo inside an existing module.
+            if not e.name.startswith(__name__):
+                raise
+
+
+def queries():
+    load_all()
+    return dict(registry.QUERIES)
+
+
+def oracle_sql():
+    load_all()
+    return dict(registry.ORACLES)

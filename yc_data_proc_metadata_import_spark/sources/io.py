@@ -1,0 +1,189 @@
+"""Scans: Parquet / CSV / JSON / catalog-table sources (SURVEY.md SS2.3).
+
+The reference's data plane is Parquet in a shared object-storage bucket
+(metastore-import.tf:165-179); its clusters' Spark/Hive services
+(metastore-import.tf:196) read Parquet/CSV/JSON/ORC.  Locally the "bucket"
+is the sf_dir; on a cluster the same code takes ``s3a://`` paths — only the
+path scheme changes (Hadoop S3A handles the rest, which is exactly why the
+reference shares the ``com.amazonaws`` classloader prefix,
+metastore-import.tf:200).
+
+Scale notes: ``spark.read.parquet`` is the vectorized columnar reader with
+predicate pushdown + column pruning; never collect-and-redistribute.  CSV
+and JSON scans always pass an explicit schema — schema inference is a full
+extra pass over 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Scratch dir for derived-format fixtures (CSV/JSON round-trips).  Kept
+# inside the repo (the only writable area) and gitignored.
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar Parquet scan — the engine's universal source."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+@query(
+    "scan_parquet",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain vectorized Parquet scan with explicit projection."""
+    return load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "scan_table",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def scan_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read via catalog table name, not path (the tutorial's verification
+    step, README_en.md:3): register an external-table view over the bucket
+    path, then ``spark.table`` it."""
+    name = "engine_scan_region"
+    load(spark, sf_dir, "region").createOrReplaceTempView(name)
+    return spark.table(name).select("r_regionkey", "r_name")
+
+
+def _csv_fixture(spark: SparkSession, sf_dir: str) -> str:
+    out = os.path.join(SCRATCH, f"csv_nation_{os.path.basename(os.path.normpath(sf_dir))}")
+    if not os.path.exists(out):
+        load(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").option(
+            "header", True
+        ).csv(out)
+    return out
+
+
+@query(
+    "scan_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest with header + explicit schema (no inference pass)."""
+    path = _csv_fixture(spark, sf_dir)
+    return spark.read.csv(
+        path,
+        header=True,
+        schema="n_nationkey INT, n_name STRING, n_regionkey INT",
+    )
+
+
+def _json_fixture(spark: SparkSession, sf_dir: str) -> str:
+    out = os.path.join(SCRATCH, f"json_region_{os.path.basename(os.path.normpath(sf_dir))}")
+    if not os.path.exists(out):
+        load(spark, sf_dir, "region").coalesce(1).write.mode("overwrite").json(out)
+    return out
+
+
+@query(
+    "scan_json",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingest with explicit schema."""
+    path = _json_fixture(spark, sf_dir)
+    df = spark.read.json(path, schema="r_regionkey INT, r_name STRING")
+    return df.select("r_regionkey", "r_name")
+
+
+def _orc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    out = os.path.join(SCRATCH, f"orc_region_{os.path.basename(os.path.normpath(sf_dir))}")
+    if not os.path.exists(out):
+        load(spark, sf_dir, "region").coalesce(1).write.mode("overwrite").orc(out)
+    return out
+
+
+@query(
+    "scan_orc",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan — Hive's other columnar format (Hive service,
+    metastore-import.tf:196)."""
+    path = _orc_fixture(spark, sf_dir)
+    return spark.read.orc(path).select("r_regionkey", "r_name")
+
+
+@query(
+    "flagship_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_quantity)) AS avg_qty,
+           (CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_extendedprice)) AS avg_price,
+           (CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_discount)) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped pricing summary (SURVEY.md SS7 Phase 0).
+
+    Exercises in one plan: Parquet scan with predicate pushdown (shipdate
+    filter reaches the row-group level), column pruning (7 of 11 columns
+    read), partial+final hash aggregation (map-side combine before the
+    single shuffle on a 6-value grouping key), and sort.  At 100 TB this is
+    scan-bound — exactly what you want; the shuffle carries only
+    |groups| x partial-state rows.
+    """
+    from ..utils import davg, dsum
+
+    li = load(spark, sf_dir, "lineitem")
+    # Narrow decimal casts keep every product within precision 38 so both
+    # engines compute the EXACT same decimal (utils.py rationale).
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = price * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    charge = disc_price * (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

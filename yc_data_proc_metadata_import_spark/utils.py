@@ -1,0 +1,48 @@
+"""Cross-engine determinism helpers.
+
+The driver hash-compares Spark results against DuckDB (SURVEY.md SS5).
+Floating-point SUM/AVG are accumulation-order dependent — a 600k-row double
+sum differs between engines in the last few ulps, which a value-hash sees.
+The fix used across the operator suite: aggregate EXACTLY in decimal, then
+cast the exact result to double.  Decimal sums are associative, so Spark
+and DuckDB produce bit-identical doubles regardless of partitioning; AVG is
+expressed as exact-sum / count (IEEE division of identical operands is
+identical).  Variance/stddev/corr are likewise derived from exact moment
+sums instead of the engines' (order-sensitive) streaming implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Wide enough for sf0.1 money sums (~1e11) with plenty of headroom; scale 4
+# preserves cents and tax/discount precision exactly.
+DEC = "decimal(28,4)"
+
+
+def dec(c: str | Column) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DEC)
+
+
+def dsum(c: str | Column, alias: str | None = None) -> Column:
+    """Exact decimal sum surfaced as double (order-independent bits)."""
+    out = F.sum(dec(c)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(c: str | Column, alias: str | None = None) -> Column:
+    """avg = exact-decimal sum / count, evaluated in double."""
+    col = F.col(c) if isinstance(c, str) else c
+    out = F.sum(dec(col)).cast("double") / F.count(col)
+    return out.alias(alias) if alias else out
+
+
+# SQL-side twins for oracle strings.
+def sql_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    return f"(CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE) / COUNT({expr}))"
