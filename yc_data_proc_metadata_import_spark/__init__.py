@@ -58,9 +58,10 @@ def load_all() -> None:
         try:
             importlib.import_module(f".{mod}", __name__)
         except ModuleNotFoundError as e:
-            # Tolerate not-yet-built modules during incremental development,
-            # but never mask a typo inside an existing module.
-            if not e.name.startswith(__name__):
+            # Tolerate only the module itself being absent (not yet built);
+            # a typo'd import *inside* an existing module raises a different
+            # e.name and must propagate (ADVICE.md round 1).
+            if e.name != f"{__name__}.{mod}":
                 raise
 
 

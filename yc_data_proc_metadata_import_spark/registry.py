@@ -27,9 +27,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` under ``name``; optionally attach a DuckDB oracle."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        def wrapped(spark: SparkSession, sf_dir: str, _fn: QueryFn = fn) -> DataFrame:
+        def wrapped(spark: SparkSession, sf_dir: str, *args: Any, **kwargs: Any) -> DataFrame:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-            return _fn(spark, sf_dir)
+            return fn(spark, sf_dir, *args, **kwargs)
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

@@ -70,6 +70,9 @@ def get_spark(
     )
     conf = dict(DEFAULT_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    # NOTE: driver memory only takes effect when THIS call creates the JVM;
+    # getOrCreate() against an already-running session silently ignores it
+    # (set it via spark-submit/env in that case — ADVICE.md round 1).
     conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     if warehouse_dir:
         conf["spark.sql.warehouse.dir"] = warehouse_dir

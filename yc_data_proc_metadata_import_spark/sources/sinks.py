@@ -44,18 +44,23 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hive-style partitioned layout: dt-partition dirs under the sink.
+    """Hive-style partitioned layout: status-partition dirs under the sink.
 
-    ``repartition(partition_col)`` before ``partitionBy`` so each output
-    directory is written by a single task (file-count control at scale);
-    reading back with a filter prunes to the matching directories only.
+    The partition column has ~3 distinct values, so repartitioning on it
+    alone would funnel the whole table through ≤3 write tasks (the round-1
+    scale-killer).  Instead repartition on (partition_col, high-cardinality
+    key): every task holds a slice of each status, writes go wide in
+    parallel, and ``maxRecordsPerFile`` bounds file size; AQE coalescing
+    keeps the task count sane.  Reading back with a partition-column filter
+    still prunes to matching directories only.
     """
     out = os.path.join(SCRATCH, f"sink_orders_part_{os.path.basename(os.path.normpath(sf_dir))}")
     orders = load(spark, sf_dir, "orders")
     (
         orders.withColumn("o_status_part", F.col("o_orderstatus"))
-        .repartition("o_status_part")
+        .repartition(F.col("o_status_part"), F.col("o_orderkey"))
         .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
         .partitionBy("o_status_part")
         .parquet(out)
     )
