@@ -1,0 +1,315 @@
+"""Aggregation operators (SURVEY.md SS2.6).
+
+Every group-by here compiles to Spark's partial+final HashAggregate pair:
+map-side combine shrinks the shuffle to |groups| x state rows, so at 100 TB
+these stay scan-bound.  Float SUM/AVG use the exact-decimal trick from
+utils.py (order-independent bits => hash-stable vs DuckDB); stats are
+derived from exact moment sums with IDENTICAL scalar expression trees on
+both engines, so even stddev/corr match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load
+from ..utils import davg, dsum, sql_davg, sql_dsum
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {sql_dsum('l_quantity')} AS total_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           {sql_davg('l_discount')} AS avg_discount,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (keyless) aggregate: single-row result, partial aggregation
+    on every partition then one tiny final reduce."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "total_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_discount", "avg_discount"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@query(
+    "agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash group-by with the five classic aggregates."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_quantity", "sum_qty"),
+        davg("l_extendedprice", "avg_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts: Catalyst plans these as expand + two-phase
+    aggregation; at scale prefer agg_approx_distinct when a few % error is
+    acceptable (no expand blow-up)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL sketches differ per engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB path for distinct
+    counts (constant memory, no expand).  Rows-only check: DuckDB's
+    approx_count_distinct uses a different sketch, so values can't
+    hash-match; the test suite instead bounds the relative error vs the
+    exact count."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 5
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = filter over the aggregated frame (Catalyst folds it into
+    the aggregate's output filter)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_spent"))
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (status, priority) -> (status) -> (); grouping()
+    flags disambiguate subtotal rows from genuine NULL groups."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one pass (Expand operator)."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via spark.sql (the DataFrame API has no
+    grouping-sets verb; SQL is the idiomatic spelling in both engines)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice')} AS total_price
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           COUNT(DISTINCT n_name) AS n_distinct
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set: list aggregation is order-unstable
+    across partitions, so the list is sorted then joined to a canonical
+    string (hash-stable on both engines)."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations_csv"),
+        F.size(F.collect_set("n_name")).cast("bigint").alias("n_distinct"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority, AVG(o_totalprice) AS median_price
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median via the dual-rank trick (deterministic on both engines,
+    unlike interpolated percentile implementations which differ in ulps).
+    At 100 TB swap in approx_percentile — single pass, mergeable sketch —
+    when exactness isn't required; the exact version costs one sort-shuffle
+    per group which is still viable because rows are partitioned by group.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return mid.groupBy("o_orderpriority").agg(F.avg("o_totalprice").alias("median_price"))
+
+
+# Stats determinism: moments are accumulated over INTEGER-scaled values
+# (x * 1e4 floored), summed as scale-0 decimals.  A scale-0 decimal ->
+# double cast is a single correctly-rounded conversion on both engines;
+# decimals WITH scale diverge (DuckDB converts int128 then divides by
+# 10^scale — two roundings vs Spark's exactly-rounded BigDecimal cast).
+# The final stats rescale in identical double arithmetic.
+_SCALE = "10000.0"
+_IX = f"CAST(FLOOR(l_quantity * {_SCALE} + 0.5) AS DECIMAL(19,0))"
+_IY = f"CAST(FLOOR(l_extendedprice * {_SCALE} + 0.5) AS DECIMAL(19,0))"
+_N = "CAST(COUNT(l_quantity) AS DOUBLE)"
+_SX = f"CAST(SUM({_IX}) AS DOUBLE)"
+_SY = f"CAST(SUM({_IY}) AS DOUBLE)"
+_SXX = f"CAST(SUM({_IX} * {_IX}) AS DOUBLE)"
+_SYY = f"CAST(SUM({_IY} * {_IY}) AS DOUBLE)"
+_SXY = f"CAST(SUM({_IX} * {_IY}) AS DOUBLE)"
+_VARQ = f"(({_SXX} - {_SX} * {_SX} / {_N}) / ({_N} - 1.0) / 100000000.0)"
+
+
+@query(
+    "agg_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_VARQ} AS var_qty,
+           SQRT({_VARQ}) AS stddev_qty,
+           ({_SXY} - {_SX} * {_SY} / {_N})
+             / (SQRT({_SXX} - {_SX} * {_SX} / {_N})
+                * SQRT({_SYY} - {_SY} * {_SY} / {_N})) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev / correlation from exact integer-scaled
+    moment sums: both engines compute the identical scalar expression over
+    identical doubles, so results are bit-equal (the engines' native
+    streaming stddev/corr are accumulation-order-dependent and would
+    hash-mismatch).  One shuffle, six tiny aggregate states per group."""
+    li = load(spark, sf_dir, "lineitem")
+    ix = F.floor(F.col("l_quantity") * 10000.0 + 0.5).cast("decimal(19,0)")
+    iy = F.floor(F.col("l_extendedprice") * 10000.0 + 0.5).cast("decimal(19,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("l_quantity").cast("double").alias("n"),
+        F.sum(ix).cast("double").alias("sx"),
+        F.sum(iy).cast("double").alias("sy"),
+        F.sum(ix * ix).cast("double").alias("sxx"),
+        F.sum(iy * iy).cast("double").alias("syy"),
+        F.sum(ix * iy).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    var_qty = (sxx - sx * sx / n) / (n - F.lit(1.0)) / F.lit(100000000.0)
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    return m.select(
+        "l_returnflag",
+        var_qty.alias("var_qty"),
+        F.sqrt(var_qty).alias("stddev_qty"),
+        corr.alias("corr_qty_price"),
+    )

@@ -1,0 +1,61 @@
+"""Sort / limit / top-k operators (SURVEY.md SS2.8).
+
+Spark executes a global orderBy as a range-partitioned sort (sampling pass
+picks balanced boundaries — skew-safe at 100 TB); orderBy+limit compiles to
+TakeOrderedAndProject, which keeps only k rows per partition then merges —
+no full sort, no full shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load
+
+
+@query(
+    "sort_multi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN c_acctbal < 500.0 THEN NULL ELSE c_acctbal END AS bal
+    FROM customer
+    ORDER BY c_mktsegment ASC, bal DESC NULLS LAST, c_custkey ASC
+    """,
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit direction + null placement (Spark's
+    default NULL ordering differs from DuckDB's, so it is always spelled
+    out).  NULLs are introduced to actually exercise the placement."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.withColumn("bal", F.when(F.col("c_acctbal") < 500.0, None).otherwise(F.col("c_acctbal")))
+        .select("c_custkey", "c_mktsegment", "bal")
+        .orderBy(
+            F.col("c_mktsegment").asc(),
+            F.col("bal").desc_nulls_last(),
+            F.col("c_custkey").asc(),
+        )
+    )
+
+
+@query(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit => TakeOrderedAndProject (per-partition
+    heap of k, then single merge — the only sane global-sort at 100 TB).
+    o_orderkey tiebreaker makes the row set deterministic."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )

@@ -169,6 +169,16 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path).select("r_regionkey", "r_name")
 
 
+# Integer-unit expressions for the discounted-price / charge sums: price in
+# hundredths, (1-disc)/(1+tax) in ten-thousandths — per-row products stay
+# in int64, sums are exact scale-0 decimals, and a scale-0 decimal->double
+# cast is a single correctly-rounded conversion on BOTH engines (scaled
+# decimals diverge: DuckDB converts then divides by 10^scale).
+_PRICE_E2 = "FLOOR(l_extendedprice * 100.0 + 0.5)"
+_DISC_FACTOR_E4 = "(10000 - FLOOR(l_discount * 10000.0 + 0.5))"
+_TAX_FACTOR_E4 = "(10000 + FLOOR(l_tax * 10000.0 + 0.5))"
+
+
 @query(
     "flagship_pricing_summary",
     oracle=f"""
@@ -176,8 +186,8 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST({_PRICE_E2} AS HUGEINT) * CAST({_DISC_FACTOR_E4} AS HUGEINT)) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+           CAST(SUM(CAST({_PRICE_E2} AS HUGEINT) * CAST({_DISC_FACTOR_E4} AS HUGEINT) * CAST({_TAX_FACTOR_E4} AS HUGEINT)) AS DOUBLE) / 10000000000.0 AS sum_charge,
            (CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_quantity)) AS avg_qty,
            (CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_extendedprice)) AS avg_price,
            (CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE) / COUNT(l_discount)) AS avg_disc,
@@ -201,19 +211,19 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..utils import davg, dsum
 
     li = load(spark, sf_dir, "lineitem")
-    # Narrow decimal casts keep every product within precision 38 so both
-    # engines compute the EXACT same decimal (utils.py rationale).
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc_price = price * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
-    charge = disc_price * (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
+    price_e2 = F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+    disc_factor = F.lit(10000) - F.floor(F.col("l_discount") * 10000.0 + 0.5)
+    tax_factor = F.lit(10000) + F.floor(F.col("l_tax") * 10000.0 + 0.5)
+    disc_price_int = (price_e2 * disc_factor).cast("decimal(38,0)")
+    charge_int = (price_e2 * disc_factor * tax_factor).cast("decimal(38,0)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(disc_price_int).cast("double") / 1000000.0).alias("sum_disc_price"),
+            (F.sum(charge_int).cast("double") / 10000000000.0).alias("sum_charge"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc"),

@@ -39,6 +39,24 @@ def davg(c: str | Column, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+# Narrower decimal for products: decimal(19,4) x decimal(19,4) ->
+# precision 38 exactly, so sums of squares / cross products are still exact
+# (used by the stats operators).  19, not 18: DuckDB stores p<=18 decimals
+# in int64 and overflows on multiply; p=19 forces its int128 path.
+DEC_N = "decimal(19,4)"
+
+
+def dec_n(c: str | Column) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DEC_N)
+
+
+def dsum_prod(a: str | Column, b: str | Column, alias: str | None = None) -> Column:
+    """Exact decimal sum of a*b surfaced as double."""
+    out = F.sum(dec_n(a) * dec_n(b)).cast("double")
+    return out.alias(alias) if alias else out
+
+
 # SQL-side twins for oracle strings.
 def sql_dsum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE)"
@@ -46,3 +64,9 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"(CAST(SUM(CAST({expr} AS DECIMAL(28,4))) AS DOUBLE) / COUNT({expr}))"
+
+
+def sql_dsum_prod(a: str, b: str) -> str:
+    return (
+        f"CAST(SUM(CAST({a} AS DECIMAL(19,4)) * CAST({b} AS DECIMAL(19,4))) AS DOUBLE)"
+    )
