@@ -1,0 +1,347 @@
+"""Join operators (SURVEY.md SS2.5).
+
+The reference's workflow is "query shared tables from two clusters"
+(README_en.md:3) — every real query over its star-schema data joins.  All
+joins here are declared via the DataFrame API so Catalyst picks the
+physical strategy (broadcast-hash for dims under the threshold, sort-merge
+for fact-fact, AQE re-plans at runtime); ``F.broadcast`` is used where the
+small side is known, which is the 100 TB-safe hint.
+
+Determinism: join outputs are row sets (hash compare is order-insensitive);
+only top-k variants need explicit total ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources.io import load
+from ..utils import dsum, sql_dsum
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+           o.o_custkey, o.o_orderstatus
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact inner equi join on the FK.  Catalyst plans sort-merge (or
+    shuffled-hash under AQE) with the priority filter pushed below the
+    join — only urgent orders shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "o_custkey", "o_orderstatus"
+    )
+
+
+@query(
+    "join_outer",
+    oracle="""
+    WITH urgent AS (
+        SELECT o_custkey, COUNT(*) AS n_urgent FROM orders
+        WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    ),
+    finished AS (
+        SELECT o_custkey, COUNT(*) AS n_finished FROM orders
+        WHERE o_orderstatus = 'F' GROUP BY o_custkey
+    )
+    SELECT COALESCE(u.o_custkey, f.o_custkey) AS custkey,
+           u.n_urgent, f.n_finished
+    FROM urgent u FULL OUTER JOIN finished f ON u.o_custkey = f.o_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null-extension on BOTH sides (customers with
+    only-urgent vs only-finished orders)."""
+    o = load(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+        .withColumnRenamed("o_custkey", "u_custkey")
+    )
+    finished = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_finished"))
+        .withColumnRenamed("o_custkey", "f_custkey")
+    )
+    j = urgent.join(finished, urgent.u_custkey == finished.f_custkey, "full")
+    return j.select(
+        F.coalesce("u_custkey", "f_custkey").alias("custkey"),
+        "n_urgent",
+        "n_finished",
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+    SELECT p.p_brand, COUNT(*) AS n_items, {sql_dsum('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 20
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-hash join: the dimension is explicitly hinted small, so
+    the fact table never shuffles — map-side join then partial agg.  The
+    canonical 100 TB fact-dim pattern."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_extendedprice", "revenue"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join = EXISTS filter: emits each customer at most once,
+    ships only the join key of the right side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join = NOT EXISTS: customers with no urgent order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "join_cross_topk",
+    oracle="""
+    SELECT n.n_name, r.r_name, n.n_nationkey + r.r_regionkey AS key_sum
+    FROM nation n CROSS JOIN region r
+    ORDER BY key_sum DESC, n.n_name ASC, r.r_name ASC
+    LIMIT 30
+    """,
+)
+def join_cross_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (BroadcastNestedLoopJoin — only ever sane when one
+    side is tiny) + global top-k with a full tiebreaker ordering."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.crossJoin(r)
+        .select(
+            "n_name",
+            "r_name",
+            (F.col("n_nationkey") + F.col("r_regionkey")).alias("key_sum"),
+        )
+        .orderBy(F.col("key_sum").desc(), F.col("n_name").asc(), F.col("r_name").asc())
+        .limit(30)
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal
+    FROM customer c JOIN supplier s
+      ON c.c_acctbal BETWEEN s.s_acctbal - 50.0 AND s.s_acctbal + 50.0
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (band) join: no equality conjunct, so Spark uses a
+    nested-loop with the smaller side broadcast.  At 100 TB the scale path
+    is bucketizing both sides on floor(acctbal/width) and equi-joining
+    neighbor buckets + refining — same trick as join_range."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    s = load(spark, sf_dir, "supplier")
+    cond = (F.col("c_acctbal") >= F.col("s_acctbal") - 50.0) & (
+        F.col("c_acctbal") <= F.col("s_acctbal") + 50.0
+    )
+    return c.join(F.broadcast(s), cond).select(
+        "c_custkey", "s_suppkey", "c_acctbal", "s_acctbal"
+    )
+
+
+@query(
+    "join_range",
+    oracle=f"""
+    WITH weeks AS (
+        SELECT ws AS week_start, ws + INTERVAL 7 DAY AS week_end
+        FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-29', INTERVAL 7 DAY) t(ws)
+    )
+    SELECT w.week_start, COUNT(*) AS n_events, {sql_dsum('e.value')} AS total_value
+    FROM events e JOIN weeks w
+      ON CAST(e.ts AS TIMESTAMP) >= w.week_start AND CAST(e.ts AS TIMESTAMP) < w.week_end
+    GROUP BY w.week_start
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: events land in generated weekly buckets.
+    The interval side is a tiny generated dim => broadcast nested-loop is
+    the RIGHT plan; with a large interval table the scale path is
+    equi-join on a computed bucket key + refine."""
+    e = load(spark, sf_dir, "events")
+    weeks = spark.sql(
+        """
+        SELECT ws AS week_start, ws + INTERVAL 7 DAY AS week_end
+        FROM (SELECT explode(sequence(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-01-29',
+                                      INTERVAL 7 DAY)) AS ws)
+        """
+    )
+    j = e.join(
+        F.broadcast(weeks),
+        (e.ts >= weeks.week_start) & (e.ts < weeks.week_end),
+    )
+    return j.groupBy("week_start").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value")
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts, value AS c_value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ),
+    clicks_dedup AS (SELECT user_id, c_ts, c_value FROM clicks WHERE rn = 1),
+    purchases AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts, value AS p_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.p_value, c.c_ts AS last_click_ts, c.c_value AS last_click_value
+    FROM purchases p ASOF LEFT JOIN clicks_dedup c
+      ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at-or-before it per
+    user.  Implemented with the union+window trick — ONE shuffle on
+    (user_id), no non-equi join, no per-key nested loop — which is the
+    scalable spelling at 100 TB (DuckDB's native ASOF JOIN is the oracle).
+    Clicks are deduped per (user, ts) keeping the max event_id so both
+    engines resolve equal-timestamp ties identically."""
+    e = load(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value"), "event_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "c_ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "c_ts", "c_value")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    tagged = clicks.select(
+        "user_id",
+        F.col("c_ts").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("p_value"),
+        F.col("c_ts"),
+        F.col("c_value"),
+        F.lit(0).alias("is_purchase"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            F.col("p_ts").alias("ts"),
+            "event_id",
+            "p_value",
+            F.lit(None).cast("timestamp").alias("c_ts"),
+            F.lit(None).cast("double").alias("c_value"),
+            F.lit(1).alias("is_purchase"),
+        )
+    )
+    # Clicks sort before purchases at equal ts (is_purchase ASC) so an
+    # equal-timestamp click is visible to the purchase — ASOF's >= bound.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_purchase").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = tagged.withColumn(
+        "last_click_ts", F.last("c_ts", ignorenulls=True).over(w)
+    ).withColumn("last_click_value", F.last("c_value", ignorenulls=True).over(w))
+    return enriched.filter(F.col("is_purchase") == 1).select(
+        "event_id", "user_id", "p_value", "last_click_ts", "last_click_value"
+    )
+
+
+@query(
+    "join_star",
+    oracle=f"""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+                 AND s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (TPC-H Q5 shape): fact x fact on the FK, then
+    broadcast dims (customer/supplier/nation/region all broadcast under
+    the threshold); local-supplier condition c_nationkey = s_nationkey.
+    Dims-first ordering keeps intermediate rows minimal."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(
+            F.broadcast(n),
+            (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_extendedprice", "revenue"))
+    )

@@ -46,7 +46,17 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar Parquet scan — the engine's universal source."""
+    """Columnar Parquet scan — the engine's universal source.
+
+    ``events.ts`` is nanosecond-precision parquet, which Spark 4 refuses
+    to map to TimestampType; it is read as raw nanos (nanosAsLong) and
+    floor-converted to microseconds — the same truncation DuckDB applies
+    when casting TIMESTAMP_NS to TIMESTAMP, so oracles stay hash-equal.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))
 
 
