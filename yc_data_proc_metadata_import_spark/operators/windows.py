@@ -1,0 +1,193 @@
+"""Window-function operators (SURVEY.md SS2.7).
+
+Windows shuffle once on the partition key then sort within partitions —
+at 100 TB the partition key's cardinality must exceed the cluster's
+parallelism (user_id / custkey do; a single global window would funnel
+everything through one task, so global windows are avoided or bounded).
+
+Every orderBy carries a unique tiebreaker column: without one,
+row_number/lag/lead are nondeterministic across engines AND across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load
+
+
+@query(
+    "win_ranking",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank over one shared window spec."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank, partitioned by status (never a bare global
+    window — that is a one-task sort at scale).  percent_rank =
+    (rank-1)/(n-1) — pure integer-derived division, bit-equal across
+    engines."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value, 1) OVER w AS prev_value,
+           LEAD(value, 1) OVER w AS next_value,
+           FIRST_VALUE(value) OVER w AS first_value,
+           LAG(CAST(ts AS TIMESTAMP), 1) OVER w AS prev_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first_value over per-user event timelines (the
+    sessionization primitive)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value"),
+        F.lag("ts", 1).over(w).alias("prev_ts"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS running_value,
+           COUNT(*) OVER w AS running_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (prefix) aggregate.  The summand is cast to decimal INSIDE
+    the window: engines disagree on float accumulation order (DuckDB uses
+    a segment tree, Spark a running state) but decimal addition is
+    associative so every prefix is exact on both."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(F.col("value").cast("decimal(28,4)")).over(w).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_epoch,
+           CAST(SUM(CAST(value AS DECIMAL(28,4)))
+                OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                      RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS DOUBLE) AS day_value,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                          RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS day_n
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over epoch seconds: trailing 24-hour window per user
+    (value-based, not row-based — rows at equal timestamps share a frame,
+    so no tiebreaker is needed or allowed)."""
+    e = load(spark, sf_dir, "events").withColumn("ts_epoch", F.unix_timestamp("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_epoch").asc())
+        .rangeBetween(-86400, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
+        F.sum(F.col("value").cast("decimal(28,4)")).over(w).cast("double").alias("day_value"),
+        F.count(F.lit(1)).over(w).alias("day_n"),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn AS rank_in_segment
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        FROM customer
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: rank window + filter.  Spark rewrites this to a
+    per-partition top-k (WindowGroupLimit) — no full sort per group at
+    scale.  row_number (not rank) + unique tiebreaker => exactly k
+    deterministic rows per group."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("rank_in_segment", F.row_number().over(w))
+        .filter(F.col("rank_in_segment") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rank_in_segment")
+    )
