@@ -1,0 +1,254 @@
+"""Scalar function families (SURVEY.md SS2.10) — one composite query per
+family, every expression a JVM-side built-in (pyspark.sql.functions), so
+the whole projection stays inside whole-stage codegen: zero Python in the
+hot path, scan-bound at any scale.
+
+Cross-engine notes: transcendentals (ln/log10) are rounded to 6 decimals —
+Java and libm disagree in the last ulp; everything else is exact (IEEE
+scalar ops on identical inputs, or integer/string semantics shared by both
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           concat_ws(' ', p_brand, p_type) AS brand_type,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           substring(p_name, 1, 5) AS name_head,
+           length(p_name) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           split_part(p_name, ' ', 1) AS first_word,
+           regexp_extract(p_type, '([A-Z]+)', 1) AS type_first_token,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+           strpos(p_name, 'a') AS first_a,
+           ascii(substring(p_brand, 1, 1)) AS brand_initial_code
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: concat/case/substring/length/pad/split/regexp/instr.
+    Spark regexp_replace is global by default; DuckDB needs the 'g' flag —
+    the one semantic asymmetry worth remembering."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws(" ", "p_brand", "p_type").alias("brand_type"),
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("type_first_token"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        F.instr("p_name", "a").cast("bigint").alias("first_a"),
+        F.ascii(F.substring("p_brand", 1, 1)).cast("int").alias("brand_initial_code"),
+    )
+
+
+@query(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           day(o_orderdate) AS order_day,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS days_to_cutoff,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+           CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+           CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS reparsed
+    FROM orders
+    """,
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract/add/diff/trunc/epoch/format/parse
+    round-trip.  All calendar arithmetic — deterministic on both engines
+    (session TZ pinned to UTC by the registry)."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(F.lit("1998-12-01").cast("date"), d).alias("days_to_cutoff"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month_start"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        F.last_day(d).alias("month_end"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+        F.to_date(F.date_format("o_orderdate", "yyyy-MM-dd"), "yyyy-MM-dd").alias("reparsed"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT p_partkey,
+           round(p_retailprice, 1) AS price_rounded,
+           abs(p_size - 25) AS size_dev,
+           sqrt(p_retailprice) AS price_sqrt,
+           pow(CAST(p_size AS DOUBLE), 2.0) AS size_sq,
+           round(ln(p_retailprice), 6) AS price_ln,
+           round(log10(p_retailprice), 6) AS price_log10,
+           CAST(floor(p_retailprice / 100.0) AS BIGINT) AS price_hundreds,
+           CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS price_hundreds_up,
+           CAST(sign(p_size - 25) AS DOUBLE) AS size_sign,
+           mod(p_partkey, 7) AS key_mod
+    FROM part
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family.  sqrt/pow-of-integer are IEEE-exact cross-engine;
+    ln/log10 are libm-dependent so both sides round to 6 decimals; pmod ==
+    mod for the positive operands used here."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_rounded"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.sqrt("p_retailprice").alias("price_sqrt"),
+        F.pow(F.col("p_size").cast("double"), 2.0).alias("size_sq"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.round(F.log10("p_retailprice"), 6).alias("price_log10"),
+        F.floor(F.col("p_retailprice") / 100.0).alias("price_hundreds"),
+        F.ceil(F.col("p_retailprice") / 100.0).alias("price_hundreds_up"),
+        F.signum(F.col("p_size") - 25).alias("size_sign"),
+        F.pmod("p_partkey", F.lit(7)).alias("key_mod"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
+           greatest(c_acctbal, 0.0) AS bal_floor0,
+           least(c_acctbal, 5000.0) AS bal_cap5k,
+           nullif(c_nationkey, 0) AS nationkey_nz,
+           coalesce(nullif(c_nationkey, 0), -1) AS nationkey_filled
+    FROM customer
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: coalesce / nullif / greatest / least."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor0"),
+        F.least("c_acctbal", F.lit(5000.0)).alias("bal_cap5k"),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nationkey_nz"),
+        F.coalesce(F.nullif(F.col("c_nationkey"), F.lit(0)), F.lit(-1)).alias(
+            "nationkey_filled"
+        ),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 3), ',') AS first3_sorted,
+           CAST(list_sum(list_transform(string_split(text, ' '), s -> length(s))) AS BIGINT) AS total_token_chars,
+           len(list_filter(string_split(text, ' '), s -> length(s) > 4)) AS n_long_tokens
+    FROM documents
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order functions (transform/filter/
+    aggregate) — these run as Catalyst expressions, NOT Python lambdas, so
+    they vectorize like any built-in."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.array_join(F.slice(F.sort_array(F.array_distinct(toks)), 1, 3), ",").alias(
+            "first3_sorted"
+        ),
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)).alias(
+            "total_token_chars"
+        ),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).cast("bigint").alias(
+            "n_long_tokens"
+        ),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           event_type AS type_from_map,
+           CASE WHEN value >= 100.0 THEN 'high' ELSE 'low' END AS bucket_from_map,
+           'bucket,type' AS keys_csv,
+           2 AS n_keys
+    FROM events
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: build a map column, extract by key, enumerate keys.
+    Output is reduced to scalars because DuckDB's MAP rendering differs;
+    the oracle computes the same values directly — the check is on the
+    map ops' RESULTS, not the container."""
+    e = load(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("bucket")),
+        F.array(
+            F.col("event_type"),
+            F.when(F.col("value") >= 100.0, "high").otherwise("low"),
+        ),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_from_map"),
+        F.element_at(m, "bucket").alias("bucket_from_map"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
+        F.size(m).alias("n_keys"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_get,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct,
+           json_extract_string(props, '$.missing') AS missing_key,
+           length(props) AS props_len
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over events.props: path extraction (get_json_object)
+    and schema-full parsing (from_json -> struct) — the latter is the
+    scale path: parse once, read many fields."""
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_get"),
+        parsed.getField("k").alias("k_struct"),
+        F.get_json_object("props", "$.missing").alias("missing_key"),
+        F.length("props").cast("bigint").alias("props_len"),
+    )

@@ -1,0 +1,139 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md SS2.12).
+
+The escape hatches, in preference order for 100 TB:
+1. built-ins / higher-order functions (functions/scalar.py) — always first;
+2. pandas UDF (udf_pandas) — Arrow-batched, vectorized, ~10-100x the
+   row-at-a-time UDF;
+3. applyInPandas (udaf_grouped) — whole-group custom aggregation;
+4. Python UDTF (udtf_explode) — one-to-many row expansion;
+5. row-at-a-time Python UDF (udf_scalar) — kept ONLY as the API demo; its
+   per-row serialization is the canonical hot-path anti-pattern.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from ..registry import query
+from ..sources.io import load
+
+
+@query(
+    "udf_scalar",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_mktsegment) || ':' || CAST(length(c_name) AS VARCHAR) AS segment_tag
+    FROM customer
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (the slow path — every row crosses the
+    JVM<->Python boundary individually).  Exists to cover the API; the
+    same logic belongs in built-ins everywhere else."""
+
+    @F.udf(returnType=StringType())
+    def segment_tag(seg: str, name: str) -> str:
+        return f"{seg.lower()}:{len(name)}"
+
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", segment_tag("c_mktsegment", "c_name").alias("segment_tag")
+    )
+
+
+@query(
+    "udf_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1.0 - l_discount) AS gross
+    FROM lineitem
+    """,
+)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF: whole Arrow batches cross the boundary, the
+    arithmetic runs on numpy arrays — element-wise IEEE ops, so results
+    are bit-identical to the SQL expression."""
+
+    @F.pandas_udf("double")
+    def gross(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        gross("l_extendedprice", "l_discount").alias("gross"),
+    )
+
+
+@query(
+    "udaf_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS HUGEINT)) AS BIGINT) AS sum_price_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom whole-group aggregation via applyInPandas.  The group's rows
+    arrive as ONE pandas frame (requires a shuffle on the key and the
+    group fitting in executor memory — at 100 TB keep keys high-cardinality
+    or pre-aggregate).  Sums use integer cents so Python and SQL agree
+    exactly."""
+    import numpy as np
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        price = pdf["l_extendedprice"]
+        cents = np.floor(price.to_numpy() * 100.0 + 0.5).astype("int64")
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "n_rows": [len(pdf)],
+                "min_price": [price.min()],
+                "max_price": [price.max()],
+                "sum_price_cents": [cents.sum()],
+            }
+        )
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return li.groupBy("l_returnflag").applyInPandas(
+        stats,
+        schema="l_returnflag string, n_rows long, min_price double, max_price double, sum_price_cents long",
+    )
+
+
+@query(
+    "udtf_explode",
+    oracle="""
+    SELECT t.doc_id, u.i AS pos, u.x AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id < 50) t,
+         LATERAL (SELECT unnest(l) AS x, generate_subscripts(l, 1) AS i) u
+    """,
+)
+def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): one input row -> many output rows, lateral
+    joined.  Tokenizes documents into (pos, token) rows; positions are
+    1-based to match SQL generate_subscripts."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield i, tok
+
+    spark.udtf.register("engine_tokenize", Tokenize)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token FROM udtf_docs d, LATERAL engine_tokenize(d.text) t"
+    )
