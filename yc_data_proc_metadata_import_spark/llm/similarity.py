@@ -1,0 +1,381 @@
+"""Similarity search over the ``embeddings`` fixture (SURVEY.md SS2.13).
+
+Exact brute-force top-k, threshold similarity join (blocked matmul),
+embedding near-dup audit, hyperplane-LSH candidate join, and IVF ANN —
+the vector half of an LLM training-data pipeline.
+
+100 TB design map:
+- llm_topk_cosine: few queries x huge corpus — BROADCAST the queries,
+  scan the corpus once, per-query top-k window. Scan-bound.
+- llm_sim_join: all-pairs threshold join — bucketed BLOCK MATMUL: bucket
+  vectors (vec_id % B), join bucket pairs (upper triangle), one Arrow
+  batch per block pair runs a numpy float64 GEMM. Work is O(n^2 d) no
+  matter what; the matmul form runs it at BLAS speed with O(n d / B)
+  memory per task, and B scales with the cluster.
+- llm_dedup_embedding: near-dup-rate AUDIT on a deterministic 2% sample
+  (exact NN per sampled vector) — the estimate-before-you-spend pattern;
+  running the full join is llm_sim_join's job.
+- llm_sim_join_lsh: sign-random-projection LSH — linear-shuffle candidate
+  generation when even blocked matmul is too much; verify stage is exact.
+- llm_ann_ivf: IVF — assign every vector to its nearest centroid
+  (broadcast centroids), probe the 3 nearest lists per query. The
+  classic recall/cost dial at billion-vector scale.
+
+Determinism: expression-path dot products fold left-to-right in double —
+bit-identical to the DuckDB oracle's list_reduce (verified). The matmul
+path rounds cosine to 6 decimals before comparison/output: numpy's
+pairwise-summed GEMM differs from sequential folding by ~1 ulp, far below
+the rounding quantum and the 0.4 threshold margin (nearest pair is ~1e-3
+from the threshold at every sf).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources.io import load
+
+# Queries for top-k keys; bucket count for the block join; thresholds.
+_N_QUERIES = 10
+_TOP_K = 5
+_BUCKETS = 32
+_SIM_T = 0.4
+_NEAR_DUP_T = 0.95
+_SAMPLE_MOD = 50  # llm_dedup_embedding audits vec_id % 50 == 0 (2%)
+_IVF_MOD = 47  # centroid seed set: vec_id % 47 == 0 (~2% of corpus)
+_IVF_NPROBE = 3
+
+
+def _dot(a, b) -> F.Column:
+    """Sequential left-to-right double dot product (oracle-bit-identical)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb array<double>, norm) — cast + norm computed ONCE per
+    row before any join so per-pair work is a single dot product."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return e.withColumn("norm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+
+
+# SQL twins (DuckDB): list_reduce with a prepended implicit first element
+# folds in the same order as Spark's aggregate-with-0.0-init because
+# 0.0 + x == x exactly.
+_DOT_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "(acc, x) -> acc + x))"
+)
+_VECS_SQL = (
+    "SELECT vec_id, embedding AS emb, "
+    + _NORM_SQL.format(a="embedding")
+    + " AS norm FROM embeddings"
+)
+
+
+@query(
+    "llm_topk_cosine",
+    oracle=f"""
+    WITH v AS ({_VECS_SQL}),
+         pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_DOT_SQL.format(a="q.emb", b="c.emb")} / (q.norm * c.norm) AS cosine
+            FROM v q JOIN v c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id),
+         ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM pairs)
+    SELECT query_id, neighbor_id, rnk, cosine FROM ranked WHERE rnk <= {_TOP_K}
+    """,
+)
+def llm_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k for the first 10 vectors.
+
+    The query side is {_N_QUERIES} rows — broadcast — so the corpus is
+    scanned exactly once with no shuffle before the per-query top-k
+    window (whose input is already partitioned by query). BASELINE.md T3.
+    """
+    v = _vecs(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), F.col("norm").alias("qnorm")
+    )
+    cos = _dot(F.col("qemb"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))
+    pairs = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )
+
+
+def _block_pairs_iter(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One numpy GEMM per (bucket_a, bucket_b) row; emits qualifying pairs.
+
+    Arrow hands each block pair as ~1-row batches with the two buckets'
+    id/vector lists inline; float64 matmul + threshold mask replaces
+    per-pair expression evaluation (~100x fewer JVM<->Python crossings
+    than a scalar UDF, BLAS throughput on the inner loop).
+    """
+    import numpy as np
+
+    for pdf in it:
+        out_a, out_b, out_c = [], [], []
+        for row in pdf.itertuples(index=False):
+            ida = np.asarray(row.ids_a, dtype=np.int64)
+            idb = np.asarray(row.ids_b, dtype=np.int64)
+            va = np.asarray([np.asarray(x, dtype=np.float64) for x in row.vecs_a])
+            vb = np.asarray([np.asarray(x, dtype=np.float64) for x in row.vecs_b])
+            cos = (va @ vb.T) / np.outer(
+                np.linalg.norm(va, axis=1), np.linalg.norm(vb, axis=1)
+            )
+            ia, ib = np.nonzero(cos >= _SIM_T)
+            lo, hi = np.minimum(ida[ia], idb[ib]), np.maximum(ida[ia], idb[ib])
+            # Diagonal block: both orderings of each pair appear — keep the
+            # a<b one.  Off-diagonal: each pair appears once, in arbitrary
+            # id order — keep all, normalized to (min, max).
+            keep = (ida[ia] < idb[ib]) if row.bkt_a == row.bkt_b else (lo < hi)
+            out_a.append(lo[keep])
+            out_b.append(hi[keep])
+            out_c.append(cos[ia, ib][keep])
+        yield pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "doc_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "cosine_raw": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+            }
+        )
+
+
+@query(
+    "llm_sim_join",
+    oracle=f"""
+    WITH v AS ({_VECS_SQL})
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round({_DOT_SQL.format(a="a.emb", b="b.emb")} / (a.norm * b.norm), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a="a.emb", b="b.emb")} / (a.norm * b.norm) >= {_SIM_T}
+    """,
+)
+def llm_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine threshold join as a bucketed block matmul.
+
+    Vectors are hashed into {_BUCKETS} buckets (vec_id % B); the upper
+    triangle of bucket pairs fans out as independent tasks, each running
+    one float64 GEMM over two in-memory blocks. At 100 TB, B grows so a
+    block stays ~executor-memory-sized; the shuffle moves each vector B/2
+    times — linear in corpus size, vs the quadratic row-generation of a
+    naive nested-loop join. Cosine is rounded to 6 dp (see module doc).
+    """
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        (F.col("vec_id") % _BUCKETS).alias("bkt"),
+    )
+    bucketed = v.groupBy("bkt").agg(
+        F.collect_list("vec_id").alias("ids"), F.collect_list("emb").alias("vecs")
+    )
+    a = bucketed.select(
+        F.col("bkt").alias("bkt_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
+    )
+    b = bucketed.select(
+        F.col("bkt").alias("bkt_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b")
+    )
+    blocks = a.join(b, F.col("bkt_a") <= F.col("bkt_b")).repartition(
+        _BUCKETS, "bkt_a", "bkt_b"
+    )
+    pairs = blocks.mapInPandas(
+        _block_pairs_iter, "doc_a long, doc_b long, cosine_raw double"
+    )
+    return pairs.select("doc_a", "doc_b", F.round("cosine_raw", 6).alias("cosine"))
+
+
+@query(
+    "llm_dedup_embedding",
+    oracle=f"""
+    WITH v AS ({_VECS_SQL}),
+         pairs AS (
+            SELECT s.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                   {_DOT_SQL.format(a="s.emb", b="c.emb")} / (s.norm * c.norm) AS cosine
+            FROM v s JOIN v c ON s.vec_id % {_SAMPLE_MOD} = 0 AND c.vec_id <> s.vec_id),
+         ranked AS (
+            SELECT probe_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM pairs)
+    SELECT probe_id, neighbor_id, cosine, cosine >= {_NEAR_DUP_T} AS is_near_dup
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup AUDIT: exact nearest neighbor for a
+    deterministic 2% sample, flagged against the 0.95 near-dup bar.
+
+    The estimate-before-you-spend pattern: the sampled NN distribution
+    bounds the corpus duplicate rate before committing to the full
+    llm_sim_join. Probe side is 2% of rows — broadcast; corpus scanned
+    once; exact within the sample.
+    """
+    v = _vecs(spark, sf_dir)
+    s = v.filter(F.col("vec_id") % _SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("semb"), F.col("norm").alias("snorm")
+    )
+    cos = _dot(F.col("semb"), F.col("emb")) / (F.col("snorm") * F.col("norm"))
+    pairs = v.join(F.broadcast(s), F.col("vec_id") != F.col("probe_id")).select(
+        "probe_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "cosine",
+            (F.col("cosine") >= _NEAR_DUP_T).alias("is_near_dup"),
+        )
+    )
+
+
+# Sign-random-projection signature: T tables x B bits; hyperplane (t, j)
+# has +-1 components chosen by xxhash64(d, j, t) parity. Nested HOFs keep
+# it in codegen — no UDF, fully deterministic.  B=6/T=12 is tuned for the
+# fixture's hard regime (threshold 0.4 ~ 66 degrees): ~54% candidate
+# recall per true pair vs ~1/64-per-table collision for random pairs; at a
+# realistic near-dup bar (cos>=0.9) the same config recalls >99.9%.
+_SRP_BITS = 6
+_SRP_TABLES = 12
+
+
+def _srp_sig(t: int, dim_expr: str = "size(emb)") -> str:
+    return (
+        f"aggregate(sequence(0, {_SRP_BITS - 1}), cast(0 as bigint), (acc, j) -> acc * 2 + "
+        f"if(aggregate(sequence(1, {dim_expr}), cast(0.0 as double), (s, d) -> "
+        f"s + if((xxhash64(d, j, {t}) & 1) = 1, element_at(emb, d), -element_at(emb, d))"
+        f") > cast(0.0 as double), cast(1 as bigint), cast(0 as bigint)))"
+    )
+
+
+@query("llm_sim_join_lsh")  # rows-only: LSH signatures have no SQL twin
+def llm_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH similarity join (candidates then exact
+    verify at cos >= 0.4).
+
+    The linear-shuffle alternative to llm_sim_join when even blocked
+    matmul is too expensive: 12 tables x 6-bit signatures, candidates
+    share a full signature in any table, verify stage recomputes exact
+    cosine so precision is 1.0 and only recall is approximate. All
+    signature math is nested codegen expressions — no Python until
+    nothing is left to prune.
+    """
+    v = _vecs(spark, sf_dir)
+    sigs = v.select(
+        "vec_id",
+        "emb",
+        "norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        F.expr(_srp_sig(t)).alias("sig"),
+                    )
+                    for t in range(_SRP_TABLES)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "emb", "norm", "s.table_id", "s.sig")
+
+    cand = (
+        sigs.alias("x")
+        .join(
+            sigs.alias("y"),
+            (F.col("x.table_id") == F.col("y.table_id"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("doc_a"),
+            F.col("y.vec_id").alias("doc_b"),
+            (
+                _dot(F.col("x.emb"), F.col("y.emb")) / (F.col("x.norm") * F.col("y.norm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _SIM_T)
+        .distinct()
+    )
+    return cand
+
+
+@query("llm_ann_ivf")  # rows-only: probed-list recall is approximate by design
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest centroid,
+    probe the {_IVF_NPROBE} nearest lists per query, exact-rank within.
+
+    Centroids are the deterministic vec_id % {_IVF_MOD} == 0 subset (~2%),
+    standing in for a k-means codebook — the partition/probe plumbing is
+    identical. At scale: centroid set broadcasts (~2% of corpus), list
+    assignment is one scan, probed search touches nprobe/nlist of the
+    corpus (~6% here) instead of 100%.
+    """
+    v = _vecs(spark, sf_dir)
+    cent = v.filter(F.col("vec_id") % _IVF_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"), F.col("norm").alias("cnorm")
+    )
+    ccos = _dot(F.col("emb"), F.col("cemb")) / (F.col("norm") * F.col("cnorm"))
+    # Inverted lists: argmax centroid per vector via max(struct) — one scan.
+    assign = (
+        v.join(F.broadcast(cent), how="cross")
+        .select("vec_id", "emb", "norm", "cent_id", ccos.alias("ccos"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("emb").alias("emb"),
+            F.first("norm").alias("norm"),
+            F.max(F.struct(F.col("ccos"), (-F.col("cent_id")).alias("neg"))).alias("best"),
+        )
+        .select("vec_id", "emb", "norm", (-F.col("best.neg")).alias("list_id"))
+    )
+    # Probe plan: top-nprobe centroid lists per query vector.
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), F.col("norm").alias("qnorm")
+    )
+    qcos = _dot(F.col("qemb"), F.col("cemb")) / (F.col("qnorm") * F.col("cnorm"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qccos"), F.asc("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qemb", "qnorm", "cent_id", qcos.alias("qccos"))
+        .withColumn("prb", F.row_number().over(wq))
+        .filter(F.col("prb") <= _IVF_NPROBE)
+        .select("query_id", "qemb", "qnorm", F.col("cent_id").alias("list_id"))
+    )
+    # Search only the probed lists.
+    scos = _dot(F.col("qemb"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))
+    hits = (
+        probes.join(assign, "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), scos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        hits.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )
