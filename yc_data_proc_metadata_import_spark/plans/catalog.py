@@ -1,0 +1,187 @@
+"""Catalog DDL operators (SURVEY.md SS2.2) — the reference's purpose.
+
+The reference provisions two Spark/Hive clusters over one object-storage
+bucket and demonstrates catalog operations against shared data
+(reference: README_en.md:3; services metastore-import.tf:196; shared
+bucket metastore-import.tf:165-179,185,234). Here the "bucket" is the
+sf_dir and the catalog is the SparkSession's (works identically against a
+Hive Metastore — session.py get_spark(enable_hive=True) — because every
+operator goes through ``spark.sql`` DDL / ``spark.catalog``).
+
+Design rules:
+- EXTERNAL tables point at the existing parquet — registering metadata
+  never copies data, exactly the reference's shared-bucket model.
+- Every operator is SELF-CONTAINED and idempotent: it drops and recreates
+  its own database first, so the driver can run keys in any order, twice.
+- Catalog introspection outputs are fully determined by the DDL the
+  operator itself just ran, so even SHOW/DESCRIBE results are
+  hash-checked against literal-VALUES oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..sources.io import SCRATCH, _materialize, load, table_path
+
+
+def _reset_db(spark: SparkSession, db: str) -> None:
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db}")
+
+
+def _ext_table(spark: SparkSession, db: str, name: str, sf_dir: str, src: str) -> None:
+    """Register an external parquet table over the shared-storage path."""
+    spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+    spark.sql(
+        f"CREATE TABLE {db}.{name} USING parquet LOCATION '{table_path(sf_dir, src)}'"
+    )
+
+
+@query(
+    "catalog_create_database",
+    oracle="SELECT 'eng_cat_db' AS namespace",
+)
+def catalog_create_database(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE DATABASE + verify via SHOW DATABASES (delegated to the
+    session catalog, as the reference delegates to HMS)."""
+    _reset_db(spark, "eng_cat_db")
+    return spark.sql("SHOW DATABASES LIKE 'eng_cat_db'")
+
+
+@query(
+    "catalog_create_table",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def catalog_create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External table over existing parquet; prove it's queryable by
+    aggregating THROUGH the catalog name. Metadata-only — zero data moved,
+    the scan underneath is the same pushdown-pruned parquet read."""
+    _reset_db(spark, "eng_ct_db")
+    _ext_table(spark, "eng_ct_db", "nation_ext", sf_dir, "nation")
+    return spark.sql(
+        "SELECT n_regionkey, COUNT(*) AS n_nations "
+        "FROM eng_ct_db.nation_ext GROUP BY n_regionkey"
+    )
+
+
+@query(
+    "catalog_save_as_table",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def catalog_save_as_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """saveAsTable: persist a DataFrame as a catalog table and read it
+    back BY NAME. The table data lands under .scratch (explicit path —
+    the local stand-in for a warehouse bucket); at scale this is a
+    parallel parquet write keeping the frame's partitioning."""
+    _reset_db(spark, "eng_sat_db")
+    out = os.path.join(SCRATCH, "saveastable_region")
+    (
+        load(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name")
+        .write.mode("overwrite")
+        .option("path", out)
+        .saveAsTable("eng_sat_db.region_saved")
+    )
+    return spark.table("eng_sat_db.region_saved")
+
+
+@query(
+    "catalog_list_tables",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('eng_ls_db', 'nation_ext', false),
+        ('eng_ls_db', 'region_ext', false)
+    ) AS t(namespace, tableName, isTemporary)
+    """,
+)
+def catalog_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW TABLES over a just-built database — enumeration is fully
+    determined by the DDL above it, so even this introspection query is
+    value-hash-checked."""
+    _reset_db(spark, "eng_ls_db")
+    _ext_table(spark, "eng_ls_db", "nation_ext", sf_dir, "nation")
+    _ext_table(spark, "eng_ls_db", "region_ext", sf_dir, "region")
+    return spark.sql("SHOW TABLES IN eng_ls_db")
+
+
+@query(
+    "catalog_describe",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('n_nationkey', 'int', CAST(NULL AS VARCHAR)),
+        ('n_name', 'string', CAST(NULL AS VARCHAR)),
+        ('n_regionkey', 'int', CAST(NULL AS VARCHAR))
+    ) AS t(col_name, data_type, comment)
+    """,
+)
+def catalog_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE TABLE — schema introspection through the catalog; the
+    external table's schema comes from the parquet footer."""
+    _reset_db(spark, "eng_desc_db")
+    _ext_table(spark, "eng_desc_db", "nation_ext", sf_dir, "nation")
+    return spark.sql("DESCRIBE TABLE eng_desc_db.nation_ext")
+
+
+@query(
+    "catalog_drop",
+    oracle="SELECT CAST(NULL AS VARCHAR) AS namespace WHERE false",
+)
+def catalog_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP TABLE then DROP DATABASE CASCADE; the post-condition (no
+    matching namespace remains) is the returned — empty — result. Since
+    tables are external, dropping deregisters metadata only; the shared
+    parquet is untouched (verified: the next scan still works)."""
+    _reset_db(spark, "eng_drop_db")
+    _ext_table(spark, "eng_drop_db", "nation_ext", sf_dir, "nation")
+    spark.sql("DROP TABLE eng_drop_db.nation_ext")
+    spark.sql("DROP DATABASE eng_drop_db CASCADE")
+    return spark.sql("SHOW DATABASES LIKE 'eng_drop_db'")
+
+
+@query(
+    "catalog_recover_partitions",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def catalog_recover_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partition discovery: write orders partitioned by
+    o_orderpriority (one-time fixture, _SUCCESS-marker cached), register
+    an external PARTITIONED table over it, MSCK REPAIR to discover the
+    partition directories, then aggregate through the table.
+
+    At 100 TB this is the canonical "register yesterday's landed
+    partitions" op: MSCK lists directories (metadata-scale work) and adds
+    partitions to the catalog — no data pass at all. The count-by-
+    partition-column readback proves pruned partition scans see every row.
+    """
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = _materialize(
+        lambda p: load(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(p),
+        os.path.join(SCRATCH, f"parts_orders_{sf_tag}"),
+    )
+    _reset_db(spark, "eng_rp_db")
+    spark.sql(
+        "CREATE TABLE eng_rp_db.orders_parts "
+        "(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING) "
+        f"USING parquet PARTITIONED BY (o_orderpriority) LOCATION '{src}'"
+    )
+    spark.sql("MSCK REPAIR TABLE eng_rp_db.orders_parts")
+    return spark.sql(
+        "SELECT o_orderpriority, COUNT(*) AS n_orders "
+        "FROM eng_rp_db.orders_parts GROUP BY o_orderpriority"
+    )

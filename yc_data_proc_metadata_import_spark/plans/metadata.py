@@ -1,0 +1,183 @@
+"""Metadata export / import / roundtrip (SURVEY.md SS2.2) — the
+reference's one demonstrated end-to-end capability: export a cluster's
+Hive Metastore contents, import them into another cluster, verify the
+shared-bucket table is queryable on the target (reference: README_en.md:3
+"export your metadata ... import it into another one"; thrift-9083 egress
+metastore-import.tf:112-117; shared bucket metastore-import.tf:165-179,
+185,234).
+
+Local model: "cluster A" and "cluster B" are two catalog namespaces
+(eng_meta_src / eng_meta_dst) over the same shared storage — exactly the
+reference's topology, where both clusters' metastores describe one bucket
+and only METADATA crosses. The manifest is a portable JSON file (the IR
+the managed service would ship over thrift): database, table, column
+schema, format, data location. Import replays it as DDL; data never
+moves.
+
+Every key here is value-hash-checked: the manifest content is fully
+determined by the DDL that built the source namespace, and the roundtrip
+check aggregates the SAME parquet through both namespaces.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..sources.io import SCRATCH, table_path
+from .catalog import _ext_table, _reset_db
+
+_SRC_DB = "eng_meta_src"
+_DST_DB = "eng_meta_dst"
+_TABLES = (("nation_ext", "nation"), ("region_ext", "region"))
+
+
+def _build_source(spark: SparkSession, sf_dir: str) -> None:
+    """Cluster A: a namespace of external tables over shared storage."""
+    _reset_db(spark, _SRC_DB)
+    for tbl, src in _TABLES:
+        _ext_table(spark, _SRC_DB, tbl, sf_dir, src)
+
+
+def _table_location(spark: SparkSession, db: str, tbl: str) -> str:
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {db}.{tbl}").collect():
+        if row.col_name == "Location":
+            return row.data_type
+    raise ValueError(f"no location for {db}.{tbl}")
+
+
+def export_manifest(spark: SparkSession, db: str) -> list[dict]:
+    """Walk the session catalog and serialize ``db`` to a portable
+    manifest: the export half of the reference's migration. Pure
+    metadata traversal — O(tables x columns), no data touched."""
+    manifest = []
+    for t in spark.catalog.listTables(db):
+        cols = [
+            {"name": c.name, "type": c.dataType, "ordinal": i}
+            for i, c in enumerate(spark.catalog.listColumns(f"{db}.{t.name}"))
+        ]
+        manifest.append(
+            {
+                "database": db,
+                "table": t.name,
+                "format": "parquet",
+                "location": _table_location(spark, db, t.name),
+                "columns": cols,
+            }
+        )
+    return manifest
+
+
+def import_manifest(spark: SparkSession, manifest: list[dict], dst_db: str) -> None:
+    """Replay a manifest as DDL into another namespace ("cluster B").
+    External CREATE TABLE against the SAME locations — the shared-bucket
+    import semantics of the reference (data unmoved, metadata recreated).
+    """
+    _reset_db(spark, dst_db)
+    for entry in manifest:
+        spark.sql(
+            f"CREATE TABLE {dst_db}.{entry['table']} USING {entry['format']} "
+            f"LOCATION '{entry['location']}'"
+        )
+
+
+def _manifest_path() -> str:
+    os.makedirs(SCRATCH, exist_ok=True)
+    return os.path.join(SCRATCH, "meta_manifest.json")
+
+
+@query(
+    "meta_export",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('eng_meta_src', 'nation_ext', 'parquet', 'n_nationkey', 'int', 0),
+        ('eng_meta_src', 'nation_ext', 'parquet', 'n_name', 'string', 1),
+        ('eng_meta_src', 'nation_ext', 'parquet', 'n_regionkey', 'int', 2),
+        ('eng_meta_src', 'region_ext', 'parquet', 'r_regionkey', 'int', 0),
+        ('eng_meta_src', 'region_ext', 'parquet', 'r_name', 'string', 1)
+    ) AS t(database, tbl, format, column_name, column_type, ordinal)
+    """,
+)
+def meta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export: build cluster A's namespace, walk the catalog into a JSON
+    manifest on disk, and surface the manifest relationally. The
+    (location-free) projection is hash-checked; locations are environment
+    paths and live only in the JSON."""
+    _build_source(spark, sf_dir)
+    manifest = export_manifest(spark, _SRC_DB)
+    with open(_manifest_path(), "w") as f:
+        json.dump(manifest, f, indent=2)
+    rows = [
+        (e["database"], e["table"], e["format"], c["name"], c["type"], c["ordinal"])
+        for e in manifest
+        for c in e["columns"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "database string, tbl string, format string, column_name string, "
+        "column_type string, ordinal int",
+    )
+
+
+@query(
+    "meta_import",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def meta_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import: replay the exported manifest into cluster B's namespace and
+    query THROUGH the imported table. Hash-equality with the oracle over
+    the raw parquet proves the imported metadata resolves to the same
+    shared data — the tutorial's verification step (README_en.md:3)."""
+    _build_source(spark, sf_dir)
+    with open(_manifest_path()) as f:
+        manifest = json.load(f)
+    import_manifest(spark, manifest, _DST_DB)
+    return spark.sql(
+        f"SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name "
+        f"FROM {_DST_DB}.nation_ext GROUP BY n_regionkey"
+    )
+
+
+@query(
+    "meta_roundtrip",
+    oracle="""
+    WITH agg AS (
+        SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS mn, MAX(n_name) AS mx
+        FROM nation GROUP BY n_regionkey)
+    SELECT a.n_regionkey, a.n AS n_src, b.n AS n_dst,
+           (a.n = b.n AND a.mn = b.mn AND a.mx = b.mx) AS match
+    FROM agg a JOIN agg b USING (n_regionkey)
+    """,
+)
+def meta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full migration roundtrip: export cluster A -> manifest -> import
+    into cluster B -> run the same aggregate on BOTH namespaces and join
+    the results. Every row's ``match`` must be true (and is, by hash
+    against the oracle's self-join) — BASELINE.md target T4."""
+    _build_source(spark, sf_dir)
+    manifest = export_manifest(spark, _SRC_DB)
+    with open(_manifest_path(), "w") as f:
+        json.dump(manifest, f, indent=2)
+    import_manifest(spark, manifest, _DST_DB)
+
+    def agg(db: str) -> DataFrame:
+        return spark.sql(
+            f"SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS mn, MAX(n_name) AS mx "
+            f"FROM {db}.nation_ext GROUP BY n_regionkey"
+        )
+
+    a, b = agg(_SRC_DB).alias("a"), agg(_DST_DB).alias("b")
+    return a.join(b, "n_regionkey").select(
+        "n_regionkey",
+        a["n"].alias("n_src"),
+        b["n"].alias("n_dst"),
+        (
+            (a["n"] == b["n"]) & (a["mn"] == b["mn"]) & (a["mx"] == b["mx"])
+        ).alias("match"),
+    )
