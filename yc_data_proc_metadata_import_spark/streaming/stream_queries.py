@@ -1,0 +1,395 @@
+"""Structured Streaming operators (SURVEY.md SS2.11) over the ``events``
+fixture, driven with ``availableNow`` triggers so each key runs the full
+streaming engine (file source -> stateful operators -> sink) yet
+terminates and returns a batch-queryable DataFrame, per the driver
+contract.
+
+Verification strategy (SURVEY.md SS5.3): streaming results are checked by
+BATCH EQUIVALENCE — tumbling/sliding/session/dedup produce exactly what
+the equivalent batch query produces, so they carry full DuckDB oracles.
+The watermark key's late-drop semantics are modeled in the oracle too
+(two deterministic micro-batches via file modification times).
+
+100 TB notes: the file source is the same partitioned parquet scan as
+batch — checkpointed offsets + per-file tracking scale with file count,
+not bytes. Windowed aggregation state is (window x key) sized and evicted
+by watermark; memory sinks here are a test harness stand-in for a real
+table sink (the driver collects results anyway).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import SCRATCH, _materialize, load
+from ..utils import dsum, sql_dsum
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def _stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """Streaming source dir: events with ts already converted to
+    microsecond timestamps (one-time fixture; the stream schema is then
+    plain TIMESTAMP and batch/stream read identical values)."""
+    return _materialize(
+        lambda p: load(spark, sf_dir, "events").write.mode("overwrite").parquet(p),
+        os.path.join(SCRATCH, f"stream_events_{_sf_tag(sf_dir)}"),
+    )
+
+
+def _stream_dup_src(spark: SparkSession, sf_dir: str) -> str:
+    """Source with every event present TWICE — dedup's input."""
+    e = load(spark, sf_dir, "events")
+    return _materialize(
+        lambda p: e.unionAll(e).write.mode("overwrite").parquet(p),
+        os.path.join(SCRATCH, f"stream_events_dup_{_sf_tag(sf_dir)}"),
+    )
+
+
+def _stream_three_batch_src(spark: SparkSession, sf_dir: str) -> str:
+    """Three-file source with CONTROLLED batch order for the watermark
+    key (modification times forced apart; maxFilesPerTrigger=1 +
+    oldest-first makes each file one micro-batch):
+
+      batch 0: even event_ids            -> advances the watermark
+      batch 1: odd ids in the final 10min -> emits+evicts closed windows
+      batch 2: odd ids older than that   -> LATE: dropped by watermark
+
+    Single-file writes are fine here: a tiny one-time TEST fixture whose
+    whole point is exact batch boundaries, not a data path."""
+    out = os.path.join(SCRATCH, f"stream_events_3b_{_sf_tag(sf_dir)}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        import shutil
+
+        e = load(spark, sf_dir, "events")
+        cutoff = e.agg(
+            (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("c")
+        ).first()["c"]
+        parts = (
+            e.filter(F.col("event_id") % 2 == 0),
+            e.filter((F.col("event_id") % 2 == 1) & (F.col("ts") > F.lit(cutoff))),
+            e.filter((F.col("event_id") % 2 == 1) & (F.col("ts") <= F.lit(cutoff))),
+        )
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for idx, part in enumerate(parts):
+            sub = os.path.join(tmp, f"write_{idx}")
+            part.coalesce(1).write.mode("overwrite").parquet(sub)
+            src = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+            dst = os.path.join(tmp, f"batch{idx}.parquet")
+            shutil.move(os.path.join(sub, src), dst)
+            os.utime(dst, (1_700_000_000 + idx * 100, 1_700_000_000 + idx * 100))
+            shutil.rmtree(sub)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        shutil.rmtree(out, ignore_errors=True)
+        os.replace(tmp, out)
+    return out
+
+
+def _read_stream(spark: SparkSession, path: str, **options) -> DataFrame:
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.parquet(path)
+
+
+def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
+    """Drive the stream to completion into a memory sink table ``name``."""
+    spark = df.sparkSession
+    spark.catalog.dropTempView(name) if name in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    chk = os.path.join(SCRATCH, "checkpoints", name)
+    import shutil
+
+    shutil.rmtree(chk, ignore_errors=True)  # fresh run each invocation
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+_WINDOWED_SQL = """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+           event_type, COUNT(*) AS n_events, {vsum} AS value_sum
+    FROM events
+    GROUP BY 1, 2, 3
+"""
+
+
+@query("stream_tumbling", oracle=_WINDOWED_SQL.format(vsum=sql_dsum("value")))
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows x event_type, complete mode.
+
+    Batch-equivalent by construction (complete mode + availableNow), so
+    the streaming plan — file source, watermark-free windowed hash agg,
+    state store — is hash-checked against the batch oracle. State size =
+    windows x types; eviction via watermark is exercised separately.
+    """
+    src = _stream_src(spark, sf_dir)
+    agg = (
+        _read_stream(spark, src)
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "value_sum"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    _run_to_memory(agg, "mem_stream_tumbling", "complete")
+    return spark.table("mem_stream_tumbling")
+
+
+@query(
+    "stream_sliding",
+    oracle=f"""
+    WITH expanded AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts)
+                 - k * INTERVAL '5 minutes' AS window_start,
+               event_type, value
+        FROM events, (SELECT unnest([0, 1]) AS k))
+    SELECT window_start, window_start + INTERVAL '10 minutes' AS window_end,
+           event_type, COUNT(*) AS n_events, {sql_dsum('value')} AS value_sum
+    FROM expanded
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide): every event lands in
+    exactly two overlapping windows; complete mode, batch-equivalent.
+    The oracle expands each row into its two windows explicitly."""
+    src = _stream_src(spark, sf_dir)
+    agg = (
+        _read_stream(spark, src)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "value_sum"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    _run_to_memory(agg, "mem_stream_sliding", "complete")
+    return spark.table("mem_stream_sliding")
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '5 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '5 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    HAVING MAX(ts) + INTERVAL '5 minutes'
+           <= (SELECT MAX(ts) - INTERVAL '10 minutes' FROM events)
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) per user, append mode (the only
+    mode Spark supports for streaming session aggregation).
+
+    A new session starts when the gap EXCEEDS 5 min; session_end =
+    last_ts + gap. Append emits a session once the watermark passes its
+    end, so sessions ending within the final 10-minute lateness horizon
+    stay in state forever — the oracle's HAVING clause models exactly
+    that emission rule (batch gaps-and-islands + watermark cutoff).
+    """
+    src = _stream_src(spark, sf_dir)
+    agg = (
+        _read_stream(spark, src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    _run_to_memory(agg, "mem_stream_session", "append")
+    return spark.table("mem_stream_session")
+
+
+@query(
+    "stream_watermark",
+    oracle=f"""
+    WITH wme AS (
+        SELECT max(ts) - INTERVAL '10 minutes' AS w
+        FROM events WHERE event_id % 2 = 0),
+    wmf AS (
+        SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events)
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+           event_type, COUNT(*) AS n_events
+    FROM events, wme, wmf
+    WHERE time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' <= wmf.w
+      AND (event_id % 2 = 0
+           OR time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' > wme.w)
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data drop, observed end to end in APPEND mode over
+    three controlled micro-batches: evens advance the watermark to
+    max(even ts)-10min; a sliver of recent odds advances it further; the
+    remaining (late) odds then arrive behind the watermark and are
+    DROPPED (numRowsDroppedByWatermark > 0 in the query progress —
+    asserted in tests). Windows inside the final lateness horizon are
+    never emitted.
+
+    Measured Spark 4.1 rules the oracle encodes: (1) a window is emitted
+    iff window_end <= max(all ts) - 10min (the final watermark); (2) the
+    LATE-ROW FILTER lags the watermark by one batch — batch N filters
+    with the watermark computed from batches < N-1 — so late odds are
+    dropped iff window_end <= max(even ts) - 10min, and the few late
+    rows in younger windows still merge and emit.
+    """
+    src = _stream_three_batch_src(spark, sf_dir)
+    agg = (
+        _read_stream(spark, src, maxFilesPerTrigger=1, latestFirst=False)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    _run_to_memory(agg, "mem_stream_watermark", "append")
+    return spark.table("mem_stream_watermark")
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT event_id, event_type, ts FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: every event arrives twice; watermark-scoped
+    dropDuplicates on event_id emits each exactly once (append mode).
+    Batch-equivalent to the original (pre-duplication) stream. At scale
+    the watermark bounds dedup state to the lateness horizon instead of
+    all-time history.
+    """
+    src = _stream_dup_src(spark, sf_dir)
+    dedup = (
+        _read_stream(spark, src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "event_type", "ts")
+    )
+    _run_to_memory(dedup, "mem_stream_dedup", "append")
+    return spark.table("mem_stream_dedup")
+
+
+def _user_stats_fn(key, pdf_iter, state):
+    """applyInPandasWithState update fn: per-user running (count, min_ts,
+    max_ts) in ms. Deterministic regardless of row order within a batch.
+    """
+    import pandas as pd
+
+    (user_id,) = key
+    n, mn, mx = state.get() if state.exists else (0, None, None)
+    for pdf in pdf_iter:
+        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+        n += len(pdf)
+        lo, hi = min(ts_ms), max(ts_ms)
+        mn = lo if mn is None else min(mn, lo)
+        mx = hi if mx is None else max(mx, hi)
+    state.update((n, mn, mx))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "first_ms": [mn], "last_ms": [mx]}
+    )
+
+
+@query(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(epoch_us(min(ts)) // 1000 AS BIGINT) AS first_ms,
+           CAST(epoch_us(max(ts)) // 1000 AS BIGINT) AS last_ms
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful per-key processing via applyInPandasWithState:
+    per-user running count + first/last event time, update mode.
+
+    The state handle is the engine-managed per-key store (RocksDB-backed
+    on a cluster); the update fn sees Arrow batches per key — the shape
+    any custom sessionizer/feature-accumulator takes. Output is
+    batch-equivalent here (single availableNow batch), so it carries a
+    full oracle despite being a "non-SQL" operator.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src = _stream_src(spark, sf_dir)
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("first_ms", LongType()),
+            StructField("last_ms", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("mn", LongType()),
+            StructField("mx", LongType()),
+        ]
+    )
+    stateful = (
+        _read_stream(spark, src)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _run_to_memory(stateful, "mem_stream_stateful", "update")
+    return spark.table("mem_stream_stateful")
