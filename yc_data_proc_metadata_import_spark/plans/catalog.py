@@ -110,7 +110,9 @@ def catalog_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     _reset_db(spark, "eng_ls_db")
     _ext_table(spark, "eng_ls_db", "nation_ext", sf_dir, "nation")
     _ext_table(spark, "eng_ls_db", "region_ext", sf_dir, "region")
-    return spark.sql("SHOW TABLES IN eng_ls_db")
+    # SHOW TABLES also lists session temp views (empty namespace) — exclude
+    # them so the enumeration is exactly the database's contents.
+    return spark.sql("SHOW TABLES IN eng_ls_db").filter("NOT isTemporary")
 
 
 @query(

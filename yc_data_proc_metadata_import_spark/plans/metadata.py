@@ -55,6 +55,10 @@ def export_manifest(spark: SparkSession, db: str) -> list[dict]:
     metadata traversal — O(tables x columns), no data touched."""
     manifest = []
     for t in spark.catalog.listTables(db):
+        if t.isTemporary:
+            # listTables(db) also returns session-scoped temp views, which
+            # are not part of the namespace being migrated.
+            continue
         cols = [
             {"name": c.name, "type": c.dataType, "ordinal": i}
             for i, c in enumerate(spark.catalog.listColumns(f"{db}.{t.name}"))
