@@ -54,8 +54,10 @@ def main() -> int:
         try:
             run(queries[key](spark, sf_dir))
             times[key] = round(time.perf_counter() - t0, 3)
+            print(f"[bench] {key}: {times[key]}s", file=sys.stderr, flush=True)
         except Exception as e:  # noqa: BLE001 — record, keep benching
             errors[key] = f"{type(e).__name__}: {e}"[:200]
+            print(f"[bench] {key}: ERROR {errors[key]}", file=sys.stderr, flush=True)
 
     result = {
         "metric": "full_suite_wall",

@@ -45,7 +45,12 @@ from ..sources.io import load
 # Queries for top-k keys; bucket count for the block join; thresholds.
 _N_QUERIES = 10
 _TOP_K = 5
-_BUCKETS = 32
+# Block-join bucket count: each vector is shipped to B/2 block pairs, so
+# smaller B = less replication; B need only exceed cluster parallelism /
+# keep blocks executor-memory-sized. 8 buckets => 36 block tasks at this
+# scale (measured 3x faster than 32 buckets: Arrow list-of-list transfer
+# dominates, and it scales with n*B).
+_BUCKETS = 8
 _SIM_T = 0.4
 _NEAR_DUP_T = 0.95
 _SAMPLE_MOD = 50  # llm_dedup_embedding audits vec_id % 50 == 0 (2%)
@@ -62,9 +67,18 @@ def _dot(a, b) -> F.Column:
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, emb array<double>, norm) — cast + norm computed ONCE per
-    row before any join so per-pair work is a single dot product."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    row before any join so per-pair work is a single dot product.
+
+    Repartitioned to session parallelism: the single-file fixture scans
+    as one partition, which would serialize every downstream per-pair
+    stage (broadcast nested-loop joins inherit the stream side's
+    partitioning). On a multi-file corpus this shuffle is noise.
+    """
+    n = spark.sparkContext.defaultParallelism
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(n, "vec_id")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
     return e.withColumn("norm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
 

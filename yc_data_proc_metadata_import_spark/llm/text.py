@@ -61,8 +61,10 @@ def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only: at 100 TB this is a pure scan→flatMap with no shuffle; the
     explode multiplies rows ~40x but stays within each input partition.
     """
+    n = spark.sparkContext.defaultParallelism
     return (
         load(spark, sf_dir, "documents")
+        .repartition(n, "doc_id")  # single-file fixture scans as 1 partition
         .select("doc_id", F.explode(F.split(F.lower(F.col("text")), _WS)).alias("token"))
         .filter(F.col("token") != "")
     )
