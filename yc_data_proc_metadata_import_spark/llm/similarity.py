@@ -382,8 +382,11 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Search only the probed lists.
     scos = _dot(F.col("qemb"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))
+    # probes = queries x nprobe rows (tiny) — broadcast so the inverted
+    # lists never shuffle (the window above defeats size estimation, which
+    # otherwise picks a sort-merge join on the skewed list_id key).
     hits = (
-        probes.join(assign, "list_id")
+        F.broadcast(probes).join(assign, "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), scos.alias("cosine"))
     )
