@@ -21,7 +21,6 @@ each batch across the JVM/Python boundary once.
 from __future__ import annotations
 
 import os
-import tempfile
 from typing import Iterator
 
 import pandas as pd
@@ -73,9 +72,10 @@ def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     path byte-exactly (payload_sha is computed from the ROUND-TRIPPED
     bytes and hash-checked against DuckDB hashing the original text).
     """
-    out = os.path.join(
-        tempfile.mkdtemp(prefix="yc_dpmi_media_"), "media.parquet"
-    )
+    from ..sources.io import SCRATCH
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(SCRATCH, f"media_roundtrip_{sf_tag}")
     media_table(spark, sf_dir).write.mode("overwrite").parquet(out)
     rt = spark.read.parquet(out)
     return rt.select(
