@@ -336,3 +336,90 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents").select(
         "doc_id", roll.alias("fp"), F.length("text").cast("long").alias("n_chars_fp")
     )
+
+
+_PAIRS_SQL = f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ({_SHINGLES_SQL}) a JOIN ({_SHINGLES_SQL}) b
+      ON a.doc_id < b.doc_id
+     AND 2 * len(a.shingles) >= len(b.shingles)
+     AND 2 * len(b.shingles) >= len(a.shingles)
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))) >= {_JACCARD_T}
+"""
+
+
+@query(
+    "llm_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs),
+    reach(u, v) AS (
+        SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+    SELECT u AS doc_id, MIN(v) AS cluster_id,
+           (u = MIN(v)) AS keep
+    FROM reach GROUP BY u
+    """,
+)
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the verified pair
+    graph, canonical representative = lowest doc_id per component — the
+    step a dedup pipeline runs after pair generation to decide which
+    rows to keep (``keep`` marks the representative).
+
+    Distributed min-label propagation: every node starts labeled with
+    itself; each round takes the min label over neighbors; stops when no
+    label changes (dup-cluster diameters are tiny, so 2-3 rounds). Each
+    round is one shuffle join + aggregate — no driver-side graph, and
+    ``localCheckpoint`` truncates the growing plan lineage so iteration
+    cost stays flat. At billions of edges the same loop holds (this is
+    large-star/small-star's core step); the oracle is DuckDB's recursive
+    reachability CTE over the identical exact pair set.
+    """
+    p = llm_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        p.union(p.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
+        .localCheckpoint(eager=True)  # materialize the pair pipeline ONCE
+    )
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # bound >> any real dup-cluster diameter
+        nbr = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
