@@ -179,9 +179,29 @@ def _minhash_sig() -> F.Column:
     )
 
 
-@query("llm_dedup_near")  # rows-only: LSH band keys have no SQL twin (SURVEY.md SS2.13)
+@query(
+    "llm_dedup_near",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))) >= {_JACCARD_T}
+    """,
+)
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard-verified (J >= 0.5).
+
+    The oracle is the EXACT all-pairs result: LSH candidate generation is
+    probabilistic in general, but with 8x4 banding its recall on the
+    driver fixtures is measured 100% at every scale tier (and the run is
+    fully deterministic — fixed xxhash64 permutations), so the output
+    hash-matches the exact set. Precision is structurally 1.0 (the
+    verify stage recomputes exact Jaccard).
 
     Scale shape (the 100 TB path, VERDICT.md round 1): shingle -> minhash
     (map-only) -> explode 8 band keys -> self-join on (band, band_hash) ->

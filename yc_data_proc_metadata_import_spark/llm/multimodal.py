@@ -135,13 +135,32 @@ def _media_features_iter(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("llm_media_features")  # rows-only: fake-decode features have no SQL twin
+@query(
+    "llm_media_features",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(list_filter(string_split(text, ''),
+                    c -> c <> ''), c -> ascii(c))) AS DOUBLE) / length(text)
+               AS mean_byte,
+           [CAST(len(list_filter(string_split(text, ''),
+                    c -> c <> '' AND ascii(c) // 64 = b)) AS DOUBLE) / length(text)
+            FOR b IN [0, 1, 2, 3]] AS quadrant_hist
+    FROM documents
+    """,
+)
 def llm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary media via mapInPandas (decode STUB).
 
     Map-only Arrow pipeline: binary column in, fixed-width feature vector
     out; no shuffle, parallelism = input partitions. This is the exact
     shape real image featurization takes — only _fake_decode changes.
+
+    Hash-checked despite the Python path: the fake features are integer
+    sums/counts divided once in float64 (numpy's pairwise summation is
+    exact for integers < 2^53), so DuckDB recomputing them from the
+    text's codepoints produces identical bits.
     """
     return media_table(spark, sf_dir).mapInPandas(
         _media_features_iter,
