@@ -155,15 +155,28 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     discards. The size-ratio filter (an exact necessary condition for
     J >= 0.5) prunes before the count-agg.
     """
+    # The inverted index carries xxhash64(shingle) longs, not shingle
+    # strings: the join/groupBy shuffle keys shrink ~3x and hash-compare
+    # as single longs. Counting common hashes == counting common shingles
+    # unless two distinct shingles collide in 2^64 (P ~ n_shingles^2/2^65
+    # per doc-pair — astronomically small, and deterministic given fixed
+    # xxhash64, so the exact-string oracle parity check would catch it).
+    # Materialized once (localCheckpoint) so the self-join's two sides
+    # reuse one tokenize+shingle pass — at 100 TB this is the "build the
+    # index, then join the index" split, index size ~2% of corpus.
     sh = shingled(spark, sf_dir).withColumn("n_sh", F.size("shingles"))
-    inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    inv = sh.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.expr("transform(shingles, s -> xxhash64(s))")).alias("sh_h"),
+    ).localCheckpoint(eager=True)
     a = inv.select(
-        F.col("shingle"), F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+        F.col("sh_h"), F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
     )
     b = inv.select(
-        F.col("shingle"), F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+        F.col("sh_h"), F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
     )
-    pairs = a.join(b, "shingle").filter(
+    pairs = a.join(b, "sh_h").filter(
         (F.col("doc_a") < F.col("doc_b"))
         & (2 * F.col("n_a") >= F.col("n_b"))
         & (2 * F.col("n_b") >= F.col("n_a"))
@@ -292,15 +305,27 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear-shuffle plan. Fingerprints are 8 bytes/doc — at 100 TB the
     entire candidate structure is ~0.01% of corpus size.
     """
+    # Empty-token docs are excluded via trim(text) <> '' — exactly
+    # equivalent to size(hashes) > 0 (tokens are empty iff the text is
+    # all whitespace) but cheap when Catalyst pushes it down to the scan;
+    # a filter on size(hashes) would be substituted below the repartition
+    # and re-run tokenize+hash per row inside the predicate (measured 3x
+    # cost of the whole stage).
     docs = (
         load(spark, sf_dir, "documents")
+        .filter(F.trim(F.col("text")) != "")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id",
             F.expr(f"transform(array_distinct({_TOKS}), t -> xxhash64(t))").alias("hashes"),
         )
-        .filter(F.size("hashes") > 0)
         .select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
+        # Materialize the 16-byte/doc fingerprint table once: both sides
+        # of the block self-join reuse it instead of re-running
+        # tokenize+hash+fold per side. At 100 TB this is exactly the
+        # "compute fingerprints, then join fingerprints" pipeline split —
+        # the materialized set is ~0.01% of corpus size.
+        .localCheckpoint(eager=True)
     )
     blocks = docs.select(
         "doc_id",
