@@ -51,3 +51,28 @@ def test_dedup_paths_are_not_cartesian(spark, sf_dir, key):
     plan = _plan(spark, sf_dir, key)
     assert "CartesianProduct" not in plan, f"{key}: cartesian product!\n{plan}"
     assert "BroadcastNestedLoopJoin" not in plan, f"{key}: BNL join!\n{plan}"
+
+
+def test_tokenizer_never_runs_inside_a_filter_predicate(spark, sf_dir):
+    """Regression guard for the lambda-inlining pushdown trap: a filter
+    placed above the shingle/token projection gets pushed below the
+    repartition by SUBSTITUTING the whole array expression into a per-row
+    Filter predicate — re-running the regex tokenizer once per row (or,
+    inlined into a transform lambda, once per element; measured 10x the
+    stage cost). The dedup pipelines therefore only filter on cheap raw
+    columns, and this test pins that: no optimized Filter node may
+    contain the tokenizer.
+    """
+    from yc_data_proc_metadata_import_spark.llm.dedup import shingled
+
+    frames = {
+        "shingled": shingled(spark, sf_dir),
+        "llm_dedup_near": QUERIES["llm_dedup_near"](spark, sf_dir),
+    }
+    for name, df in frames.items():
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            if "Filter" in line and "split(" in line:
+                raise AssertionError(
+                    f"{name}: tokenizer inlined into a Filter predicate:\n{line}"
+                )

@@ -111,3 +111,42 @@ def reshape_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(h < _SAMPLE_KEEP).select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
+
+
+# Per-stratum keep thresholds out of the 2^32 hash space: boost the
+# low-resource languages, downsample English — the balancing move every
+# multilingual training-data pipeline makes.
+_STRATA_KEEP = {"en": 429496730, "de": 3865470566, "fr": 3865470566}
+_STRATA_DEFAULT_KEEP = 2147483648  # 50%
+
+
+@query(
+    "reshape_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 <
+          CASE lang
+               WHEN 'en' THEN {_STRATA_KEEP["en"]}
+               WHEN 'de' THEN {_STRATA_KEEP["de"]}
+               WHEN 'fr' THEN {_STRATA_KEEP["fr"]}
+               ELSE {_STRATA_DEFAULT_KEEP} END
+    """,
+)
+def reshape_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED sample: per-language keep rates (10% en,
+    90% de/fr, 50% default) applied via the same multiplicative key hash
+    as reshape_sample.
+
+    Unlike ``df.sampleBy`` — whose selection depends on seed plumbing and
+    partition traversal order — the hash threshold is a pure row-local
+    predicate: reproducible across engines and reruns, pushes down to the
+    scan, and needs no per-stratum count pass. Rebalancing a 100 TB
+    corpus is therefore one scan-bound filter.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    keep = F.lit(_STRATA_DEFAULT_KEEP)
+    for lang, thr in _STRATA_KEEP.items():
+        keep = F.when(F.col("lang") == lang, F.lit(thr)).otherwise(keep)
+    return d.filter(h < keep).select("doc_id", "lang", "source")

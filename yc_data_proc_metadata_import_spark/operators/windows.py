@@ -191,3 +191,65 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_in_segment") <= 3)
         .select("c_mktsegment", "c_custkey", "c_acctbal", "rank_in_segment")
     )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@query(
+    "win_sessionize",
+    oracle=f"""
+    WITH x AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+    s AS (
+        SELECT user_id, event_id, ts,
+               SUM(CASE WHEN prev IS NULL
+                        OR epoch_us(ts) - epoch_us(prev) > {_SESSION_GAP_US}
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM x)
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           CAST(epoch_us(MIN(ts)) // 1000 AS BIGINT) AS start_ms,
+           CAST(epoch_us(MAX(ts)) // 1000 AS BIGINT) AS end_ms,
+           CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000 AS BIGINT) AS dur_ms
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization (gaps-and-islands): split each user's event
+    stream into sessions at >30-minute inactivity gaps, then aggregate
+    per-session stats — the batch twin of ``stream_session`` and the
+    canonical pre-processing step for behavioral training data.
+
+    One shuffle on user_id serves both the lag/cumsum windows and the
+    final per-session aggregate (the group key is a prefix extension of
+    the window partition key, so the rows are already co-located). Gap
+    arithmetic is integer microseconds (``unix_micros``/``epoch_us``) —
+    bit-exact across engines. Ordering ties broken by event_id.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    new_sess = (
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > _SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+    )
+    sess = e.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.min("us") / F.lit(1000)).cast("long").alias("start_ms"),
+        (F.max("us") / F.lit(1000)).cast("long").alias("end_ms"),
+        ((F.max("us") - F.min("us")) / F.lit(1000)).cast("long").alias("dur_ms"),
+    )

@@ -393,3 +393,68 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(stateful, "mem_stream_stateful", "update")
     return spark.table("mem_stream_stateful")
+
+
+@query(
+    "stream_join",
+    oracle="""
+    SELECT s.event_id AS signup_id, p.event_id AS purchase_id, s.user_id,
+           CAST((epoch_us(p.ts) - epoch_us(s.ts)) // 1000 AS BIGINT) AS delay_ms
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 30 MINUTES
+    """,
+)
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join: attribute each purchase to the signups
+    of the same user within the preceding 30 minutes. Both sides are
+    watermarked and the join condition carries the event-time range
+    bound, so the state store can evict rows once the other side's
+    watermark passes — the attribution-join shape (impressions x clicks)
+    at its 100 TB scale: state is bounded by rate x window, not stream
+    length.
+
+    availableNow processes everything in one micro-batch, so the append
+    output equals the batch range join — hence a full oracle (integer-
+    microsecond delay arithmetic, bit-exact both engines).
+    """
+    src = _stream_src(spark, sf_dir)
+    signups = (
+        _read_stream(spark, src)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "30 minutes")
+    )
+    purchases = (
+        _read_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = (
+        signups.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "signup_id",
+            "purchase_id",
+            "user_id",
+            ((F.unix_micros("p_ts") - F.unix_micros("s_ts")) / F.lit(1000))
+            .cast("long")
+            .alias("delay_ms"),
+        )
+    )
+    _run_to_memory(joined, "mem_stream_join", "append")
+    return spark.table("mem_stream_join")
