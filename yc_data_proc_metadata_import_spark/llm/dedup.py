@@ -284,26 +284,93 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# SimHash: sign-sum of token-hash bits -> 64-bit fingerprint, computed as a
-# nested higher-order aggregate (outer over bit positions, inner over token
-# hashes) — stays in codegen, no UDF.
+# SimHash: sign-sum fingerprint computed as a nested higher-order
+# aggregate (outer over bit positions, inner over token hashes) — no UDF.
+#
+# Every ingredient is exact integer arithmetic both engines share, which
+# is what makes the key oracle-able:
+# - token hash: polynomial fold (acc*31 + codepoint) % (2^31 - 1) — the
+#   llm_fingerprint pattern, verified bit-exact vs DuckDB list_reduce;
+# - per-token 60-bit sign pattern: ONE Knuth multiply of the poly hash,
+#   (h * 2654435761) % 2^60 — max intermediate ~2^62.3, so no BIGINT
+#   overflow in either engine (DuckDB errors on overflow, Spark silently
+#   wraps — staying under 2^63 keeps them identical). Mixing once per
+#   TOKEN keeps the 60 x n_tokens inner loop at a cheap (h >> b) & 1
+#   (a per-(hash,bit) multiplicative hash measured 2x slower);
+# - 60-bit fingerprint (not 64): bit 63 would flip the BIGINT sign in
+#   Spark but overflow-error in DuckDB's 1<<63.
+_SIMHASH_BITS = 60
+_TOKHASH_EXPR = (
+    "transform(array_distinct(toks), t -> "
+    "(aggregate(transform(filter(split(t, ''), c -> c <> ''), c -> cast(ascii(c) as bigint)), "
+    "cast(0 as bigint), (acc, c) -> (acc * 31 + c) % 2147483647)"
+    " * 2654435761) % 1152921504606846976)"
+)
 _SIMHASH_EXPR = (
-    "aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) -> acc + "
+    f"aggregate(sequence(0, {_SIMHASH_BITS - 1}), cast(0 as bigint), (acc, b) -> acc + "
     "if(aggregate(hashes, 0, (s, h) -> s + if((shiftright(h, b) & 1) = 1, 1, -1)) > 0, "
     "shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"
 )
 _HAMMING_T = 10
+_BLOCK_BITS = 15  # 4 blocks x 15 bits cover the 60-bit fingerprint
 
 
-@query("llm_dedup_simhash")  # rows-only: hash fingerprints have no SQL twin
+@query(
+    "llm_dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_transform(
+                   list_distinct(list_filter(
+                       string_split_regex(lower(text), '\\s+'), t -> t <> '')),
+                   t -> (list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(
+                               list_filter(string_split(t, ''), c -> c <> ''),
+                               c -> CAST(ascii(c) AS BIGINT))),
+                       (acc, c) -> (acc * 31 + c) % 2147483647)
+                     * 2654435761) % 1152921504606846976) AS hashes
+        FROM documents WHERE trim(text) <> ''),
+    fp AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(0, {_SIMHASH_BITS}), b ->
+                           CASE WHEN list_reduce(
+                                    list_prepend(0,
+                                        list_transform(hashes, h ->
+                                            CASE WHEN ((h >> b) & 1) = 1
+                                                 THEN 1 ELSE -1 END)),
+                                    (s, x) -> s + x) > 0
+                                THEN (CAST(1 AS BIGINT) << b)
+                                ELSE CAST(0 AS BIGINT) END)),
+                   (acc, x) -> acc + x) AS simhash
+        FROM tok),
+    blocks AS (
+        SELECT doc_id, simhash, j.block_id,
+               (simhash >> (j.block_id * {_BLOCK_BITS})) & {2**_BLOCK_BITS - 1} AS block_key
+        FROM fp, (SELECT unnest(range(0, 4)) AS block_id) j)
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+    FROM blocks x JOIN blocks y
+      ON x.block_id = y.block_id AND x.block_key = y.block_key
+     AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= {_HAMMING_T}
+    """,
+)
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprint, band-blocked Hamming.
+    """SimHash near-dup pairs: 60-bit fingerprint, band-blocked Hamming.
 
-    Blocking on the four 16-bit quarters guarantees any pair with Hamming
+    Blocking on the four 15-bit quarters guarantees any pair with Hamming
     distance <= 3 shares a block (pigeonhole); the verify stage keeps
     pairs with distance <= 10, trading a little recall in 4..10 for a
     linear-shuffle plan. Fingerprints are 8 bytes/doc — at 100 TB the
     entire candidate structure is ~0.01% of corpus size.
+
+    Hash-checked: token hashes and hyperplane signs are exact-integer
+    expressions (see module constants) that DuckDB replays verbatim, so
+    the oracle verifies fingerprints, blocking, and Hamming verify
+    bit-exactly.
     """
     # Empty-token docs are excluded via trim(text) <> '' — exactly
     # equivalent to size(hashes) > 0 (tokens are empty iff the text is
@@ -315,10 +382,8 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .filter(F.trim(F.col("text")) != "")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select(
-            "doc_id",
-            F.expr(f"transform(array_distinct({_TOKS}), t -> xxhash64(t))").alias("hashes"),
-        )
+        .withColumn("toks", F.expr(_TOKS))
+        .select("doc_id", F.expr(_TOKHASH_EXPR).alias("hashes"))
         .select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
         # Materialize the 16-byte/doc fingerprint table once: both sides
         # of the block self-join reuse it instead of re-running
@@ -335,9 +400,9 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(j).alias("block_id"),
-                        F.shiftright("simhash", j * 16).bitwiseAND(F.lit(0xFFFF)).alias(
-                            "block_key"
-                        ),
+                        F.shiftright("simhash", j * _BLOCK_BITS)
+                        .bitwiseAND(F.lit(2**_BLOCK_BITS - 1))
+                        .alias("block_key"),
                     )
                     for j in range(4)
                 ]

@@ -279,16 +279,75 @@ _SRP_BITS = 6
 _SRP_TABLES = 12
 
 
-def _srp_sig(t: int, dim_expr: str = "size(emb)") -> str:
-    return (
-        f"aggregate(sequence(0, {_SRP_BITS - 1}), cast(0 as bigint), (acc, j) -> acc * 2 + "
-        f"if(aggregate(sequence(1, {dim_expr}), cast(0.0 as double), (s, d) -> "
-        f"s + if((xxhash64(d, j, {t}) & 1) = 1, element_at(emb, d), -element_at(emb, d))"
-        f") > cast(0.0 as double), cast(1 as bigint), cast(0 as bigint)))"
-    )
+# Hyperplane sign for (dimension d, bit j, table t): the top bit of a
+# Knuth multiplicative hash over the packed index. Exact BIGINT
+# arithmetic (max intermediate ~2^50, no overflow) that DuckDB evaluates
+# identically — which is what makes the whole SRP pipeline oracle-able;
+# xxhash64 would be marginally better-mixed but has no SQL twin.
+#
+# The signs depend only on CONSTANT indices, so the Spark side bakes
+# them into literal ±1.0 arrays at plan-build time (the oracle replays
+# the arithmetic formula itself — same values): the interpreted inner
+# loop is then one multiply-add per element (x * ±1.0 == ±x bit-exactly
+# in IEEE, matching the oracle's CASE ... emb[d] ELSE -emb[d] fold) —
+# measured 3.5x faster than evaluating the hash per (d, j) eval.
+_SRP_DIM = 64  # embeddings fixture dimension (FIXTURES.md)
 
 
-@query("llm_sim_join_lsh")  # rows-only: LSH signatures have no SQL twin
+def _srp_sign(d: int, j: int, t: int) -> int:
+    return 1 if ((d * 4096 + j * 64 + t) * 2654435761) % 4294967296 < 2147483648 else -1
+
+
+def _srp_sig(t: int) -> str:
+    bits = []
+    for j in range(_SRP_BITS):
+        arr = ", ".join(
+            f"{_srp_sign(d, j, t)}.0D" for d in range(1, _SRP_DIM + 1)
+        )
+        # element_at over the constant sign array keeps size(emb)
+        # dynamic (no zip_with null-padding if a vector is short) and
+        # costs one lookup + multiply per element.
+        dot = (
+            "aggregate(sequence(1, size(emb)), cast(0.0 as double), "
+            f"(s, d) -> s + element_at(emb, d) * element_at(array({arr}), d))"
+        )
+        bits.append(
+            f"if({dot} > cast(0.0 as double), cast(1 as bigint), cast(0 as bigint))"
+        )
+    expr = bits[0]
+    for b in bits[1:]:
+        expr = f"({expr} * 2 + {b})"
+    return expr
+
+
+@query(
+    "llm_sim_join_lsh",
+    oracle=f"""
+    WITH v AS ({_VECS_SQL}),
+    sigs AS (
+        SELECT vec_id, emb, norm, t.table_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(0, {_SRP_BITS}), j ->
+                           CASE WHEN list_reduce(
+                                    list_prepend(CAST(0.0 AS DOUBLE),
+                                        list_transform(range(1, len(emb) + 1), d ->
+                                            CASE WHEN ((d * 4096 + j * 64 + t.table_id)
+                                                       * 2654435761) % 4294967296
+                                                      < 2147483648
+                                                 THEN CAST(emb[d] AS DOUBLE)
+                                                 ELSE -CAST(emb[d] AS DOUBLE) END)),
+                                    (s, x) -> s + x) > 0.0
+                                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+                   (acc, b) -> acc * 2 + b) AS sig
+        FROM v, (SELECT unnest(range(0, {_SRP_TABLES})) AS table_id) t)
+    SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b,
+           {_DOT_SQL.format(a="x.emb", b="y.emb")} / (x.norm * y.norm) AS cosine
+    FROM sigs x JOIN sigs y
+      ON x.table_id = y.table_id AND x.sig = y.sig AND x.vec_id < y.vec_id
+    WHERE {_DOT_SQL.format(a="x.emb", b="y.emb")} / (x.norm * y.norm) >= {_SIM_T}
+    """,
+)
 def llm_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH similarity join (candidates then exact
     verify at cos >= 0.4).
@@ -299,24 +358,37 @@ def llm_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine so precision is 1.0 and only recall is approximate. All
     signature math is nested codegen expressions — no Python until
     nothing is left to prune.
+
+    Hash-checked: the hyperplane signs come from an exact-integer
+    multiplicative hash (see _SRP_SIGN) rather than xxhash64, so the
+    oracle replays the identical signature computation in SQL — the
+    driver verifies candidate generation AND verify stage bit-exactly.
     """
     v = _vecs(spark, sf_dir)
-    sigs = v.select(
-        "vec_id",
-        "emb",
-        "norm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table_id"),
-                        F.expr(_srp_sig(t)).alias("sig"),
-                    )
-                    for t in range(_SRP_TABLES)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", "emb", "norm", "s.table_id", "s.sig")
+    # Materialize the (vec_id, table_id, sig) index once — ~24 bytes/row
+    # — so the candidate self-join's two sides reuse one signature pass
+    # instead of recomputing 12x6 dot products per side; embeddings are
+    # joined back only for the verify stage (the candidate shuffle never
+    # carries vectors). Same "build the index, then join the index"
+    # split as llm_dedup_ngram.
+    sigs = (
+        v.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table_id"),
+                            F.expr(_srp_sig(t)).alias("sig"),
+                        )
+                        for t in range(_SRP_TABLES)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", "s.table_id", "s.sig")
+        .localCheckpoint(eager=True)
+    )
 
     cand = (
         sigs.alias("x")
@@ -329,17 +401,63 @@ def llm_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.vec_id").alias("doc_a"),
             F.col("y.vec_id").alias("doc_b"),
-            (
-                _dot(F.col("x.emb"), F.col("y.emb")) / (F.col("x.norm") * F.col("y.norm"))
-            ).alias("cosine"),
         )
-        .filter(F.col("cosine") >= _SIM_T)
         .distinct()
     )
-    return cand
+    a = v.select(F.col("vec_id").alias("doc_a"), F.col("emb").alias("emb_a"), F.col("norm").alias("norm_a"))
+    b = v.select(F.col("vec_id").alias("doc_b"), F.col("emb").alias("emb_b"), F.col("norm").alias("norm_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _SIM_T)
+    )
 
 
-@query("llm_ann_ivf")  # rows-only: probed-list recall is approximate by design
+@query(
+    "llm_ann_ivf",
+    oracle=f"""
+    WITH v AS ({_VECS_SQL}),
+    cent AS (
+        SELECT vec_id AS cent_id, emb AS cemb, norm AS cnorm
+        FROM v WHERE vec_id % {_IVF_MOD} = 0),
+    assign AS (
+        SELECT vec_id, emb, norm, cent_id AS list_id FROM (
+            SELECT v.vec_id, v.emb, v.norm, c.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_DOT_SQL.format(a="v.emb", b="c.cemb")}
+                                / (v.norm * c.cnorm) DESC,
+                                c.cent_id ASC) AS rn
+            FROM v CROSS JOIN cent c)
+        WHERE rn = 1),
+    probes AS (
+        SELECT query_id, qemb, qnorm, cent_id AS list_id FROM (
+            SELECT q.vec_id AS query_id, q.emb AS qemb, q.norm AS qnorm,
+                   c.cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_DOT_SQL.format(a="q.emb", b="c.cemb")}
+                                / (q.norm * c.cnorm) DESC,
+                                c.cent_id ASC) AS rn
+            FROM v q CROSS JOIN cent c WHERE q.vec_id < {_N_QUERIES})
+        WHERE rn <= {_IVF_NPROBE}),
+    hits AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a="p.qemb", b="a.emb")}
+                 / (p.qnorm * a.norm) AS cosine
+        FROM probes p JOIN assign a ON p.list_id = a.list_id
+        WHERE a.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, rnk, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        FROM hits)
+    WHERE rnk <= {_TOP_K}
+    """,
+)
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: assign every vector to its nearest centroid,
     probe the {_IVF_NPROBE} nearest lists per query, exact-rank within.
@@ -349,6 +467,13 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical. At scale: centroid set broadcasts (~2% of corpus), list
     assignment is one scan, probed search touches nprobe/nlist of the
     corpus (~6% here) instead of 100%.
+
+    Hash-checked despite being "approximate": approximation is vs the
+    exact-NN ground truth, but the ALGORITHM is fully deterministic
+    (modulo-selected centroids, cent_id-tiebroken argmax assignment,
+    ordered probes, left-fold dot products), so the oracle mirrors the
+    IVF spec itself in SQL and the driver verifies every stage of the
+    plumbing bit-exactly.
     """
     v = _vecs(spark, sf_dir)
     cent = v.filter(F.col("vec_id") % _IVF_MOD == 0).select(
