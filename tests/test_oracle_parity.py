@@ -1,8 +1,9 @@
 """Every registered query with an oracle must match DuckDB exactly —
 the local twin of the driver's CORRECTNESS gate (rows + schema + values).
 
-Keys without an oracle (approx/streaming/metadata ops) get a weaker check:
-the query must run and return a stable, non-error DataFrame.
+As of round 2 every key carries an oracle (ORACLE_KEYS == all keys); the
+rows-only fallback test remains so a future oracle-less key still gets a
+runs-and-returns check rather than silently no coverage.
 """
 
 from __future__ import annotations
@@ -26,8 +27,11 @@ def test_oracle_parity(key, spark, sf_dir, oracle):
     assert_match(df, oracle, ORACLES[key], key)
 
 
-@pytest.mark.parametrize("key", ROWS_ONLY_KEYS)
+@pytest.mark.parametrize("key", ROWS_ONLY_KEYS or ["<none>"])
 def test_rows_only_runs(key, spark, sf_dir):
+    if key == "<none>":
+        assert not ROWS_ONLY_KEYS  # all keys oracle-checked — nothing to do
+        return
     df = QUERIES[key](spark, sf_dir)
     assert df.columns, f"{key}: empty schema"
     n = df.count()

@@ -167,3 +167,122 @@ def llm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, fmt string, n_bytes long, mean_byte double, "
         "quadrant_hist array<double>",
     )
+
+
+# Frame sampling: treat the payload as a fixed-stride frame sequence
+# (256-byte frames standing in for video frames), keep every 5th frame.
+_FRAME_BYTES = 256
+_FRAME_STRIDE = 5
+
+
+def _frame_sample_iter(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow batch -> one row per SAMPLED frame. The real-codec version
+    swaps the byte-slice for ffmpeg frame extraction; partitioning, fan-out
+    shape (rows out > rows in), and schema stay identical."""
+    import numpy as np
+
+    for pdf in it:
+        ids, idxs, lens, means = [], [], [], []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            arr = np.frombuffer(media, dtype=np.uint8)
+            for fi in range(0, (arr.size + _FRAME_BYTES - 1) // _FRAME_BYTES, _FRAME_STRIDE):
+                frame = arr[fi * _FRAME_BYTES : (fi + 1) * _FRAME_BYTES]
+                ids.append(doc_id)
+                idxs.append(fi)
+                lens.append(int(frame.size))
+                # exact: integer sum < 2^53 divided once in float64
+                means.append(float(frame.sum(dtype=np.int64)) / frame.size)
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": idxs, "frame_len": lens, "frame_mean": means}
+        )
+
+
+@query(
+    "llm_frame_sample",
+    oracle=f"""
+    SELECT doc_id, f.frame_idx,
+           CAST(length(substr(text, f.frame_idx * {_FRAME_BYTES} + 1, {_FRAME_BYTES}))
+                AS BIGINT) AS frame_len,
+           CAST(list_sum(list_transform(
+                    list_filter(string_split(
+                        substr(text, f.frame_idx * {_FRAME_BYTES} + 1, {_FRAME_BYTES}), ''),
+                        c -> c <> ''),
+                    c -> ascii(c))) AS DOUBLE)
+             / length(substr(text, f.frame_idx * {_FRAME_BYTES} + 1, {_FRAME_BYTES}))
+               AS frame_mean
+    FROM documents,
+         (SELECT unnest(range(0, 1000, {_FRAME_STRIDE})) AS frame_idx) f
+    WHERE f.frame_idx * {_FRAME_BYTES} < length(text)
+    """,
+)
+def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media via mapInPandas (decode STUB):
+    every {_FRAME_STRIDE}th 256-byte frame, one output row per frame.
+
+    The fan-out shape (rows out > rows in) is what a video pipeline's
+    frame extraction does; map-only, so parallelism = input partitions
+    and no shuffle moves payload bytes. Hash-checked: frame boundaries
+    and byte means are recomputed by DuckDB from the text (ASCII fixture
+    => codepoints == bytes).
+    """
+    return media_table(spark, sf_dir).mapInPandas(
+        _frame_sample_iter,
+        "doc_id long, frame_idx long, frame_len long, frame_mean double",
+    )
+
+
+_RESIZE_FACTOR = 4
+
+
+def _media_resize_iter(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow batch -> per-row downsampled payload stats ("resize" = keep
+    every 4th byte — the stride-subsample shape of nearest-neighbor image
+    downscaling, minus the codec)."""
+    import numpy as np
+
+    for pdf in it:
+        orig, kept, means = [], [], []
+        for media in pdf["media"]:
+            arr = np.frombuffer(media, dtype=np.uint8)
+            small = arr[::_RESIZE_FACTOR]
+            orig.append(int(arr.size))
+            kept.append(int(small.size))
+            means.append(
+                float(small.sum(dtype=np.int64)) / small.size if small.size else 0.0
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "orig_bytes": orig,
+                "resized_bytes": kept,
+                "resized_mean": means,
+            }
+        )
+
+
+@query(
+    "llm_media_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS orig_bytes,
+           CAST(len(kept) AS BIGINT) AS resized_bytes,
+           CAST(list_sum(kept) AS DOUBLE) / len(kept) AS resized_mean
+    FROM (
+        SELECT doc_id, text,
+               list_transform(
+                   list_filter(range(1, length(text) + 1),
+                               i -> (i - 1) % {_RESIZE_FACTOR} = 0),
+                   i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS kept
+        FROM documents)
+    """,
+)
+def llm_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride "resize" of binary media via mapInPandas (decode STUB):
+    keep every {_RESIZE_FACTOR}th byte, report original/resized sizes and
+    the exact resized mean. Map-only Arrow plumbing identical to a real
+    nearest-neighbor downscale; hash-checked via DuckDB recomputing the
+    stride subsample from the text."""
+    return media_table(spark, sf_dir).mapInPandas(
+        _media_resize_iter,
+        "doc_id long, orig_bytes long, resized_bytes long, resized_mean double",
+    )

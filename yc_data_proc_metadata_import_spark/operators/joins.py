@@ -345,3 +345,104 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_extendedprice", "revenue"))
     )
+
+
+_SALTS = 16
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT l.l_returnflag, COUNT(*) AS n_li,
+           {sql_dsum("l.l_quantity")} AS qty_sum, MIN(d.flag_n) AS flag_n
+    FROM lineitem l
+    JOIN (SELECT l_returnflag, COUNT(*) AS flag_n
+          FROM lineitem GROUP BY l_returnflag) d
+      ON l.l_returnflag = d.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED join on a pathologically skewed key (l_returnflag: 3 values
+    over the whole fact table) — the manual skew-mitigation pattern for
+    when AQE's skew-join split can't help (e.g., a shuffle-hash join where
+    one key IS one partition).
+
+    Mechanics: the small side explodes x{_SALTS} salt replicas; the fact
+    side computes a DETERMINISTIC salt (l_orderkey % {_SALTS}); the join key
+    becomes (flag, salt), spreading each hot key over {_SALTS} tasks. The
+    oracle is the UNsalted join — proving salting changes the execution
+    shape, never the result. At 100 TB: salt count scales with executor
+    count; replicating an S-row dim x{_SALTS} is noise, while an unsalted
+    3-key shuffle would put ~33% of the table on one reducer.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    dim = (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("flag_n"))
+        .withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(_SALTS)])))
+    )
+    fact = li.select(
+        "l_returnflag", "l_quantity", (F.col("l_orderkey") % _SALTS).alias("salt")
+    )
+    return (
+        fact.join(F.broadcast(dim), ["l_returnflag", "salt"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_li"),
+            dsum("l_quantity", "qty_sum"),
+            F.min("flag_n").alias("flag_n"),
+        )
+    )
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 100.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, 'N' AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0)
+    SELECT COALESCE(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_custkey, t.o_custkey) AS o_custkey,
+           COALESCE(u.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           COALESCE(u.o_totalprice, t.o_totalprice) AS o_totalprice
+    FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          FROM orders) t
+    FULL OUTER JOIN updates u ON t.o_orderkey = u.o_orderkey
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style SCD1 upsert without a table format: updates win on
+    matched keys, unmatched updates insert, unmatched targets carry over —
+    expressed as one full-outer join + COALESCE projection.
+
+    The update set is derived deterministically from orders (every 10th
+    key gets +100.0 on totalprice — exact in IEEE doubles at these
+    magnitudes; every 97th key re-inserted under a new key). At 100 TB
+    this is the hand-rolled core of Delta/Iceberg MERGE: one shuffle on
+    the merge key; with both sides bucketed on that key it degrades to a
+    zero-shuffle zip. Updates are usually << target, so AQE picks a
+    broadcast plan for the update side automatically.
+    """
+    t = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = t.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+    )
+    ins = (
+        t.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1000000000))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    u = upd.unionByName(ins)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    tt, uu = t.alias("t"), u.alias("u")
+    return tt.join(uu, F.col("t.o_orderkey") == F.col("u.o_orderkey"), "full_outer").select(
+        *[F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c) for c in cols]
+    )

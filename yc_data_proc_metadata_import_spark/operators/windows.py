@@ -253,3 +253,47 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("us") / F.lit(1000)).cast("long").alias("end_ms"),
         ((F.max("us") - F.min("us")) / F.lit(1000)).cast("long").alias("dur_ms"),
     )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    starts AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM seq WHERE prev_type IS NULL OR event_type <> prev_type)
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) // 1000 AS BIGINT) AS valid_from_ms,
+           CAST(epoch_us(lead(ts) OVER w2) // 1000 AS BIGINT) AS valid_to_ms
+    FROM starts
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 history build: collapse each user's event stream into
+    state intervals — a row per run of equal event_type, with
+    [valid_from, valid_to) bounds (open current interval = NULL) — the
+    dimension-history shape every warehouse load job needs.
+
+    Two window passes over ONE shuffle on user_id (lag to find state
+    changes, lead over the filtered starts for interval ends; the second
+    window reuses the first's partitioning and sort, so no extra
+    exchange). Integer-millisecond bounds keep it bit-exact vs DuckDB.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    starts = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    )
+    return starts.select(
+        "user_id",
+        "event_type",
+        (F.col("us") / F.lit(1000)).cast("long").alias("valid_from_ms"),
+        (F.lead("us").over(w) / F.lit(1000)).cast("long").alias("valid_to_ms"),
+    )
