@@ -76,3 +76,21 @@ def test_tokenizer_never_runs_inside_a_filter_predicate(spark, sf_dir):
                 raise AssertionError(
                     f"{name}: tokenizer inlined into a Filter predicate:\n{line}"
                 )
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """The whole point of bucketed tables: recurring joins/aggregates on
+    the bucket key run with zero shuffles (bucket i zips with bucket i)."""
+    QUERIES["bucketed_join_noshuffle"](spark, sf_dir)  # ensure tables exist
+    plan = _plan(spark, sf_dir, "bucketed_join_noshuffle")
+    assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan}"
+
+
+def test_partition_pruned_scan_skips_partitions(spark, sf_dir):
+    """The status='F' predicate must prune at the directory level — the
+    scan's partition filters must carry it (not just a post-scan filter)."""
+    df = QUERIES["scan_partition_pruned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_status_part" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], f"no partition filter on the scan:\n{plan}"

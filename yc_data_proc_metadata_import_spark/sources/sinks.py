@@ -72,3 +72,117 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.col("o_status_part").cast("string").alias("o_orderstatus"),
     )
+
+
+@query(
+    "sink_csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV export/import round-trip with header + explicit read schema
+    (schema inference would cost a second scan at 100 TB)."""
+    out = os.path.join(SCRATCH, f"sink_nation_csv_{os.path.basename(os.path.normpath(sf_dir))}")
+    load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).option("header", True).csv(out)
+    return spark.read.csv(
+        out, header=True, schema="n_nationkey INT, n_name STRING, n_regionkey INT"
+    )
+
+
+@query(
+    "sink_json",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines export/import round-trip with explicit read schema."""
+    out = os.path.join(SCRATCH, f"sink_region_json_{os.path.basename(os.path.normpath(sf_dir))}")
+    load(spark, sf_dir, "region").select("r_regionkey", "r_name").write.mode(
+        "overwrite"
+    ).json(out)
+    return spark.read.json(out, schema="r_regionkey INT, r_name STRING")
+
+
+@query(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIC PARTITION PRUNING over the hive-partitioned sink: the
+    o_status_part = 'F' predicate selects matching directories at plan
+    time, so the scan never opens the other partitions' files — the
+    mechanism that turns a 100 TB table into a 30 TB read. The physical
+    plan shows the pruned count in "partition filters" / a reduced
+    "files read" (asserted in tests/test_plans.py).
+
+    Reuses sink_partitioned's layout (building it if absent) — exactly
+    how a production table is produced and then selectively read.
+    """
+    out = os.path.join(
+        SCRATCH, f"sink_orders_part_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        sink_partitioned(spark, sf_dir)  # build the layout once
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_status_part") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "bucketed_join_noshuffle",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, COUNT(*) AS n_li
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED co-located join: both tables written with
+    ``bucketBy(8, key)``, so the join (and the groupBy on the same key)
+    runs with ZERO exchanges — each task zips bucket i of both sides.
+
+    This is the 100 TB recurring-join pattern: pay one shuffle at write
+    time, then every subsequent join/aggregate on the bucket key is
+    shuffle-free (tests/test_plans.py asserts no Exchange in the plan).
+    Bucket count scales with cluster size; 8 here matches the fixture.
+    """
+    db = "bucketed_db"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    to, tl = f"{db}.orders_b_{tag}", f"{db}.lineitem_b_{tag}"
+    for t, src, key in ((to, "orders", "o_orderkey"), (tl, "lineitem", "l_orderkey")):
+        if not spark.catalog.tableExists(t):
+            # A previous SESSION may have left the managed location on disk
+            # while this session's catalog has no entry — clear it or
+            # saveAsTable fails with LOCATION_ALREADY_EXISTS.
+            import shutil
+
+            wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+            shutil.rmtree(
+                os.path.join(wh, f"{db}.db", t.split(".")[1]), ignore_errors=True
+            )
+            (
+                load(spark, sf_dir, src)
+                .write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(t)
+            )
+    # hint("merge"): at fixture scale AQE would broadcast the small side
+    # (adding a BroadcastExchange); at 100 TB neither side broadcasts and
+    # sort-merge is what the bucket layout serves — force it so the plan
+    # under test IS the scale plan: bucket-aligned SMJ, zero Exchange,
+    # and the same-key groupBy also reuses the bucket partitioning.
+    o = spark.table(to).select("o_orderkey", "o_totalprice").hint("merge")
+    l = spark.table(tl).select("l_orderkey")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("n_li"))
+    )
