@@ -322,3 +322,46 @@ def llm_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("detected"),
     )
     return detected.groupBy("lang", "detected").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB)
+# treat identically: character classes + bounded repetition, no
+# backrefs/lookaround. Applied in a fixed order (emails before digit runs
+# so an address's digits don't get pre-masked).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_NUM = "[0-9]{4,}"
+
+
+@query(
+    "llm_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_before,
+           CAST(length(red) AS BIGINT) AS n_chars_after,
+           sha256(red) AS redacted_sha
+    FROM (
+        SELECT doc_id, text,
+               regexp_replace(
+                   regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_NUM}', '<NUM>', 'g') AS red
+        FROM documents)
+    """,
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: mask emails then long digit runs — the
+    scrub-before-training step every corpus pipeline runs. Map-only
+    JVM regexp_replace (global in both engines), no UDF; at 100 TB this
+    is scan-bound. The redacted text is verified via sha256 so the
+    oracle checks the exact output bytes, not just counts.
+    """
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+        _PII_NUM,
+        "<NUM>",
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_before"),
+        F.length(red).cast("long").alias("n_chars_after"),
+        F.sha2(red, 256).alias("redacted_sha"),
+    )

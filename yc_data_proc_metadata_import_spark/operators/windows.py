@@ -297,3 +297,35 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("us") / F.lit(1000)).cast("long").alias("valid_from_ms"),
         (F.lead("us").over(w) / F.lit(1000)).cast("long").alias("valid_to_ms"),
     )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           NTILE(10) OVER w AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / ntile
+    over one shared spec. The (price, orderkey) ordering is total, so
+    ranks are row-unique and both functions reduce to exact integer
+    ratios — one IEEE division each, bit-identical across engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
