@@ -365,3 +365,51 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(red).cast("long").alias("n_chars_after"),
         F.sha2(red, 256).alias("redacted_sha"),
     )
+
+
+# Chunking: 32-token windows, stride 24 (8-token overlap) — the
+# context-window packing step for RAG indexing / LLM training prep.
+_CHUNK, _STRIDE = 32, 24
+
+
+@query(
+    "llm_doc_chunking",
+    oracle=f"""
+    SELECT doc_id, c.chunk_idx,
+           array_to_string(list_slice(toks, c.chunk_idx * {_STRIDE} + 1,
+                                      c.chunk_idx * {_STRIDE} + {_CHUNK}), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, c.chunk_idx * {_STRIDE} + 1,
+                               c.chunk_idx * {_STRIDE} + {_CHUNK})) AS INTEGER) AS n_tokens
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+          FROM documents),
+         (SELECT unnest(range(0, 1000)) AS chunk_idx) c
+    WHERE len(toks) > 0 AND c.chunk_idx * {_STRIDE} < len(toks)
+    """,
+)
+def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window CHUNKING: split each document into
+    {_CHUNK}-token windows every {_STRIDE} tokens — the packing step a
+    RAG index or context-window-bounded training pipeline runs over the
+    whole corpus.
+
+    Map-only fan-out (explode of per-doc window structs, no shuffle);
+    the tokenizer is hoisted into its own projection (never inside the
+    window lambda — see llm/dedup.py's shingle note). At 100 TB:
+    scan-bound, output rows ~= tokens/stride.
+    """
+    n = spark.sparkContext.defaultParallelism
+    chunks = (
+        f"if(size(toks) > 0, transform(sequence(0, floor((size(toks) - 1) / {_STRIDE})), "
+        f"i -> struct(cast(i as bigint) as chunk_idx, "
+        f"concat_ws(' ', slice(toks, cast(i * {_STRIDE} + 1 as int), {_CHUNK})) as chunk_text, "
+        f"size(slice(toks, cast(i * {_STRIDE} + 1 as int), {_CHUNK})) as n_tokens)), "
+        "array())"
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .repartition(n, "doc_id")
+        .withColumn("toks", F.filter(F.split(F.lower(F.col("text")), _WS), lambda t: t != ""))
+        .select("doc_id", F.explode(F.expr(chunks)).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+    )
