@@ -39,6 +39,7 @@ _OPERATOR_MODULES = (
     "operators.sort",
     "operators.setops",
     "operators.reshape",
+    "operators.analytics",
     "functions.scalar",
     "functions.udf",
     "plans.catalog",

@@ -1,0 +1,167 @@
+"""TPC-H-shaped analytical queries (Q3 / Q5 / Q10 over the driver's
+TPC-H-ish fixtures) — the multi-join star-schema workload a user of the
+reference's two Spark clusters actually runs against the shared tables
+(README_en.md:3: create tables on one cluster, query them from the other).
+
+Scale shape: each query joins the lineitem/orders fact spine with
+broadcastable dimensions (customer at these SFs sits near the broadcast
+threshold — AQE decides; nation/region always broadcast), aggregates on a
+bounded key, and top-k's with a total order. Filters sit directly on the
+scans (pushed to parquet), so the fact tables are pruned before any join.
+
+Determinism: revenue = SUM(extendedprice * (1 - discount)) aggregates in
+decimal(19,4) products (exact, order-independent — utils.dsum_prod) and
+surfaces as double; top-k orderings carry unique tiebreakers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.io import load
+from ..utils import dec_n, sql_dsum_prod
+
+
+def _revenue(alias: str) -> F.Column:
+    return (
+        F.sum(dec_n("l_extendedprice") * dec_n(F.lit(1.0) - F.col("l_discount")))
+        .cast("double")
+        .alias(alias)
+    )
+
+
+_REV_SQL = sql_dsum_prod("l_extendedprice", "1 - l_discount")
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey, {_REV_SQL} AS revenue, o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top-10 unshipped orders by revenue for one segment.
+
+    customer filters to ~1/5 and joins as the build side; the date
+    predicates prune both fact scans at the parquet level; the group key
+    (orderkey) is high-cardinality so the aggregate shuffle is the only
+    large exchange; top-10 runs as TakeOrdered (no global sort).
+    """
+    cutoff = "1998-03-15"
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+    SELECT n.n_name, {_REV_SQL} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name ASC
+    """,
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue where customer and supplier share a nation, one
+    region, one year.
+
+    The dims-first star shape: region -> nation -> supplier reduce to a
+    broadcastable filtered dimension chain before touching the fact
+    spine; the local-supplier condition (c_nationkey = s_nationkey) rides
+    the same join, never a separate shuffle.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+            F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+        )
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == o.o_orderkey)
+        .join(
+            dims,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(_revenue("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, {_REV_SQL} AS revenue, c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by lost revenue on returned items in
+    one quarter. Quarter + returnflag predicates prune both fact scans;
+    nation broadcasts; top-20 is TakeOrdered with a custkey tiebreaker.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_revenue("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
