@@ -252,3 +252,35 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.missing").alias("missing_key"),
         F.length("props").cast("bigint").alias("props_len"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_partkey & 255 AS low_byte,
+           p_partkey | 4096 AS with_flag,
+           xor(p_partkey, p_size) AS key_xor_size,
+           p_partkey << 3 AS shl3,
+           p_partkey >> 2 AS shr2,
+           CAST(bit_count(p_partkey) AS INTEGER) AS popcount,
+           ~p_partkey AS negated
+    FROM part
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts/popcount/complement — exact
+    two's-complement integer ops, bit-identical across engines (the
+    building blocks the LSH/SimHash operators compose)."""
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return p.select(
+        "p_partkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("p_size").cast("long")).alias("key_xor_size"),
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        F.bit_count(k).alias("popcount"),
+        F.bitwise_not(k).alias("negated"),
+    )

@@ -187,3 +187,28 @@ def catalog_recover_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderpriority, COUNT(*) AS n_orders "
         "FROM eng_rp_db.orders_parts GROUP BY o_orderpriority"
     )
+
+
+@query(
+    "catalog_view",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n, MAX(o_totalprice) AS max_price
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def catalog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temp-view + SQL entry point: register the DataFrame as a view and
+    query it with spark.sql — the Zeppelin/SQL-notebook workflow the
+    reference's clusters serve (metastore-import.tf:196 provisions
+    ZEPPELIN). Views are catalog metadata only: the plan underneath is
+    the same pruned parquet scan, so there is no abstraction penalty.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n, MAX(o_totalprice) AS max_price
+        FROM v_orders WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        """
+    )

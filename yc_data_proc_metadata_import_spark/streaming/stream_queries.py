@@ -458,3 +458,46 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(joined, "mem_stream_join", "append")
     return spark.table("mem_stream_join")
+
+
+@query(
+    "stream_sink_parquet",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming -> PARQUET TABLE sink via foreachBatch: each micro-batch
+    appends with its batch_id available for idempotent writes — the
+    pattern for streaming into a warehouse table when the built-in file
+    sink's directory-commit log isn't enough (merges, compaction,
+    multi-table fan-out).
+
+    availableNow drains the source and terminates; the oracle checks the
+    landed table equals the batch source exactly (exactly-once on this
+    path: fresh checkpoint + overwrite-by-run).
+    """
+    import shutil
+
+    src = _stream_src(spark, sf_dir)
+    out = os.path.join(SCRATCH, f"stream_sink_parquet_{_sf_tag(sf_dir)}")
+    shutil.rmtree(out, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select("event_id", "user_id", "event_type", "value")
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    chk = os.path.join(SCRATCH, "checkpoints", f"stream_sink_parquet_{_sf_tag(sf_dir)}")
+    shutil.rmtree(chk, ignore_errors=True)
+    q = (
+        _read_stream(spark, src)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
