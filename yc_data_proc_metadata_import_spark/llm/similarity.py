@@ -521,3 +521,26 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", "rnk", "cosine")
     )
+
+
+@query(
+    "llm_embedding_normalize",
+    oracle=f"""
+    WITH v AS ({_VECS_SQL})
+    SELECT vec_id,
+           list_transform(emb, x -> CAST(x AS DOUBLE) / norm) AS unit,
+           CAST(len(emb) AS INTEGER) AS dim
+    FROM v
+    """,
+)
+def llm_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize the embedding column (map-only) — the prep step every
+    cosine-similarity pipeline runs once so downstream scoring is a plain
+    dot product. Division by the shared exact-fold norm is one IEEE op
+    per element, bit-identical across engines."""
+    v = _vecs(spark, sf_dir)
+    return v.select(
+        "vec_id",
+        F.transform(F.col("emb"), lambda x: x / F.col("norm")).alias("unit"),
+        F.size("emb").alias("dim"),
+    )

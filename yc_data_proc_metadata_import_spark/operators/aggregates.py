@@ -331,3 +331,25 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(var_qty).alias("stddev_qty"),
         corr.alias("corr_qty_price"),
     )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000.0) AS all_over_1k,
+           bool_or(o_orderstatus = 'P') AS any_pending,
+           count_if(o_orderstatus = 'O') AS n_open
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: every/any/count_if — exact predicates,
+    partial-aggregated like any other hash agg (one bit per group per
+    partition crosses the shuffle)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.every(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.some(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+    )

@@ -446,3 +446,33 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tt.join(uu, F.col("t.o_orderkey") == F.col("u.o_orderkey"), "full_outer").select(
         *[F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c) for c in cols]
     )
+
+
+@query(
+    "sql_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface: Catalyst
+    decorrelates both into semi/anti joins on o_custkey — the same
+    physical shape as join_semi/join_anti, proving subquery SQL costs
+    nothing over the DataFrame API."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders_sq o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+          AND NOT EXISTS (SELECT 1 FROM v_orders_sq o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        """
+    )

@@ -186,3 +186,34 @@ def bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_totalprice")
         .agg(F.count(F.lit(1)).alias("n_li"))
     )
+
+
+@query(
+    "sink_orc",
+    oracle="SELECT p_partkey, p_name, p_brand, p_retailprice FROM part",
+)
+def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC export/import round-trip — the Hive-native columnar format the
+    reference's Hive 3.1 service defaults to for managed tables."""
+    out = os.path.join(SCRATCH, f"sink_part_orc_{os.path.basename(os.path.normpath(sf_dir))}")
+    load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    ).write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+@query(
+    "sink_text",
+    oracle="SELECT text AS value FROM documents",
+)
+def sink_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text sink/scan round-trip (one document per line; the fixture
+    corpus is newline-free, asserted before writing — line-oriented
+    formats corrupt silently otherwise)."""
+    out = os.path.join(SCRATCH, f"sink_docs_text_{os.path.basename(os.path.normpath(sf_dir))}")
+    d = load(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    n_nl = d.filter(F.col("value").contains("\n")).count()
+    if n_nl:
+        raise ValueError(f"{n_nl} documents contain newlines — text sink would corrupt")
+    d.write.mode("overwrite").text(out)
+    return spark.read.text(out)
