@@ -353,3 +353,42 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(F.col("o_orderstatus") == "P").alias("any_pending"),
         F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 600000.0 THEN 13
+                ELSE CAST(FLOOR(o_totalprice * 12.0 / 600000.0) AS BIGINT) + 1
+           END AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (12 buckets over [0, 600k), under/overflow in
+    buckets 0/13) — the profiling aggregate every data-quality dashboard
+    runs. The bucket index is the SAME explicit floor arithmetic in both
+    engines (DuckDB has no width_bucket; an engine-specific builtin could
+    round boundaries differently anyway), so assignment is bit-identical
+    and the only shuffle carries one row per bucket per partition."""
+    o = load(spark, sf_dir, "orders")
+    v = F.col("o_totalprice")
+    bucket = (
+        F.when(v < 0.0, F.lit(0))
+        .when(v >= 600000.0, F.lit(13))
+        .otherwise(F.floor(v * 12.0 / 600000.0) + 1)
+        .cast("long")
+    )
+    return (
+        o.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -241,3 +241,51 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal, NULL AS s_tier FROM supplier
+    WHERE s_suppkey % 2 = 0
+    UNION ALL
+    SELECT s_suppkey, s_name, s_acctbal,
+           CASE WHEN s_acctbal > 5000.0 THEN 'gold' ELSE 'std' END AS s_tier
+    FROM supplier WHERE s_suppkey % 2 = 1
+    """,
+)
+def scan_schema_evolution(spark, sf_dir: str):
+    """SCHEMA EVOLUTION read: two parquet batches written under different
+    schemas (the second adds a s_tier column), scanned as one dataset with
+    ``mergeSchema`` — rows from the old batch surface NULL for the new
+    column. This is how a 100 TB table absorbs schema changes without
+    rewriting history; mergeSchema costs a footer-read per file at plan
+    time (off by default for that reason — enable it per-read like here,
+    or pin the merged schema in the metastore).
+    """
+    from pyspark.sql import functions as F
+
+    out = os.path.join(SCRATCH, f"schema_evo_{os.path.basename(os.path.normpath(sf_dir))}")
+
+    def write(p: str) -> None:
+        s = load(spark, sf_dir, "supplier")
+        old = s.filter(F.col("s_suppkey") % 2 == 0).select("s_suppkey", "s_name", "s_acctbal")
+        new = (
+            s.filter(F.col("s_suppkey") % 2 == 1)
+            .select(
+                "s_suppkey",
+                "s_name",
+                "s_acctbal",
+                F.when(F.col("s_acctbal") > 5000.0, "gold").otherwise("std").alias("s_tier"),
+            )
+        )
+        old.write.mode("overwrite").parquet(os.path.join(p, "batch=v1"))
+        new.write.mode("overwrite").parquet(os.path.join(p, "batch=v2"))
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+
+    _materialize(write, out)
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(os.path.join(out, "batch=v1"), os.path.join(out, "batch=v2"))
+        .select("s_suppkey", "s_name", "s_acctbal", "s_tier")
+    )
