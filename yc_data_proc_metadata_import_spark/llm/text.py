@@ -413,3 +413,96 @@ def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.expr(chunks)).alias("c"))
         .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
     )
+
+
+_MIN_NGRAM_COUNT = 3
+
+
+@query(
+    "llm_ngram_counts",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+        FROM documents),
+    bg AS (
+        SELECT doc_id, b.bigram
+        FROM (SELECT doc_id,
+                     list_transform(range(1, len(toks)),
+                         i -> concat(toks[i], ' ', toks[i + 1])) AS bigrams
+              FROM tk WHERE len(toks) >= 2),
+             unnest(bigrams) AS b(bigram))
+    SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+    FROM bg GROUP BY bigram HAVING COUNT(*) >= {_MIN_NGRAM_COUNT}
+    """,
+)
+def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BIGRAM counts with a min-count floor — the n-gram LM /
+    phrase-mining table. Map-only window build (tokenizer hoisted, see
+    llm/dedup.py) then one hash aggregation on the bigram; the HAVING
+    floor is where a 100 TB vocabulary drops its singleton long tail
+    (applied post-aggregation, so partial aggregation still combines
+    map-side)."""
+    n = spark.sparkContext.defaultParallelism
+    bigrams = (
+        "if(size(toks) >= 2, transform(sequence(1, size(toks) - 1), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))), array())"
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .repartition(n, "doc_id")
+        .withColumn("toks", F.filter(F.split(F.lower(F.col("text")), _WS), lambda t: t != ""))
+        .select("doc_id", F.explode(F.expr(bigrams)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("n") >= _MIN_NGRAM_COUNT)
+    )
+
+
+@query(
+    "llm_unigram_logprob",
+    oracle="""
+    WITH tok AS (SELECT doc_id, t.token
+                 FROM documents,
+                      unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                         x -> x <> '')) AS t(token)),
+    vocab AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+    total AS (SELECT COUNT(*) AS t_total FROM tok)
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(FLOOR(ln(CAST(vocab.tf AS DOUBLE) / total.t_total)
+                                * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*) AS avg_logprob
+    FROM tok JOIN vocab USING (token) CROSS JOIN total
+    GROUP BY tok.doc_id
+    """,
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram log-probability — the cheap
+    perplexity proxy corpus-quality filters rank documents by (rare-token
+    gibberish scores low, common prose high).
+
+    Scale shape = llm_tfidf's: the corpus side shuffles once into the
+    vocabulary aggregate, which broadcasts back with the scalar total.
+    Determinism: ln() differs across libms in the last ulp, so each
+    token's logprob is rounded to an exact integer micro-unit
+    (FLOOR(x*1e6+0.5) — identical in both engines) and summed exactly;
+    one final double division pair surfaces the average.
+    """
+    tok = tokens(spark, sf_dir)
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = tok.agg(F.count(F.lit(1)).alias("t_total"))
+    micro = F.floor(
+        F.log(F.col("tf").cast("double") / F.col("t_total")) * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum(micro).cast("double") / 1000000.0 / F.count(F.lit(1))).alias(
+                "avg_logprob"
+            ),
+        )
+    )
