@@ -289,3 +289,47 @@ def scan_schema_evolution(spark, sf_dir: str):
         .parquet(os.path.join(out, "batch=v1"), os.path.join(out, "batch=v2"))
         .select("s_suppkey", "s_name", "s_acctbal", "s_tier")
     )
+
+
+@query(
+    "scan_permissive_json",
+    oracle="""
+    SELECT CASE WHEN doc_id % 10 = 0 THEN NULL ELSE doc_id END AS doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang,
+           (doc_id % 10 = 0) AS is_corrupt
+    FROM documents
+    """,
+)
+def scan_permissive_json(spark, sf_dir: str):
+    """PERMISSIVE ingest of a dirty JSON-lines source: every 10th line is
+    deliberately malformed (unclosed object); the scan keeps going, NULLs
+    the fields, and captures the raw line in the corrupt-record column —
+    the quarantine pattern for 100 TB feeds where one bad producer must
+    not fail the job (badRecordsPath is the same idea with a side
+    output). FAILFAST/DROPMALFORMED are the strict/discard alternatives.
+    """
+    from pyspark.sql import functions as F
+
+    out = os.path.join(SCRATCH, f"dirty_json_{os.path.basename(os.path.normpath(sf_dir))}")
+
+    def write(p: str) -> None:
+        d = load(spark, sf_dir, "documents").select(
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string")),
+            )
+            .otherwise(F.to_json(F.struct("doc_id", "lang")))
+            .alias("value")
+        )
+        d.write.mode("overwrite").text(p)
+
+    path = _materialize(write, out)
+    parsed = spark.read.json(
+        path,
+        schema="doc_id BIGINT, lang STRING, _bad STRING",
+        columnNameOfCorruptRecord="_bad",
+        mode="PERMISSIVE",
+    )
+    return parsed.select(
+        "doc_id", "lang", F.col("_bad").isNotNull().alias("is_corrupt")
+    )
