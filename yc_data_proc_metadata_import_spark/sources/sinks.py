@@ -157,23 +157,36 @@ def bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     to, tl = f"{db}.orders_b_{tag}", f"{db}.lineitem_b_{tag}"
     for t, src, key in ((to, "orders", "o_orderkey"), (tl, "lineitem", "l_orderkey")):
         if not spark.catalog.tableExists(t):
-            # A previous SESSION may have left the managed location on disk
-            # while this session's catalog has no entry — clear it or
-            # saveAsTable fails with LOCATION_ALREADY_EXISTS.
-            import shutil
-
             wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-            shutil.rmtree(
-                os.path.join(wh, f"{db}.db", t.split(".")[1]), ignore_errors=True
-            )
-            (
-                load(spark, sf_dir, src)
-                .write.mode("overwrite")
-                .bucketBy(8, key)
-                .sortBy(key)
-                .format("parquet")
-                .saveAsTable(t)
-            )
+            loc = os.path.join(wh, f"{db}.db", t.split(".")[1])
+            if os.path.exists(os.path.join(loc, "_SUCCESS")):
+                # A previous SESSION wrote these bucketed files but this
+                # session's in-memory catalog lost the entry. Bucketed
+                # parquet carries its bucket id in the file names, so
+                # re-registering via DDL with the same bucket spec is
+                # enough — no rewrite (saves the two-table shuffle write
+                # on every fresh session).
+                schema = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in load(spark, sf_dir, src).schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {t} ({schema}) USING parquet "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
+                    f"LOCATION '{loc}'"
+                )
+            else:
+                import shutil
+
+                shutil.rmtree(loc, ignore_errors=True)  # partial leftover
+                (
+                    load(spark, sf_dir, src)
+                    .write.mode("overwrite")
+                    .bucketBy(8, key)
+                    .sortBy(key)
+                    .format("parquet")
+                    .saveAsTable(t)
+                )
     # hint("merge"): at fixture scale AQE would broadcast the small side
     # (adding a BroadcastExchange); at 100 TB neither side broadcasts and
     # sort-merge is what the bucket layout serves — force it so the plan
