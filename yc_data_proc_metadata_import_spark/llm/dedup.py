@@ -19,11 +19,13 @@ in any hot path, no driver-side state, no collect.
   verify — the cheaper fingerprint alternative when token-level Jaccard
   is overkill.
 
-Determinism: xxhash64/sha2 are fixed functions, Jaccard is an integer
-ratio (one IEEE division — bit-identical), so every output here is fully
-deterministic. LSH/SimHash keys have no DuckDB twin, so those two are
-rows-only; their *verify* stage recomputes exact Jaccard/Hamming, which the
-oracle-checked llm_dedup_ngram cross-validates.
+Determinism: every hash here is a fixed function and Jaccard is an
+integer ratio (one IEEE division — bit-identical), so every output is
+fully deterministic AND oracle-checked: llm_dedup_near's LSH has
+measured 100% recall on the fixtures so the exact all-pairs SQL is its
+oracle, and llm_dedup_simhash uses exact-integer hashes (polynomial
+fold + Knuth multiply) that DuckDB replays verbatim. The verify stages
+recompute exact Jaccard/Hamming, which llm_dedup_ngram cross-validates.
 """
 
 from __future__ import annotations
