@@ -61,11 +61,11 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_datetime",
     oracle="""
     SELECT o_orderkey,
-           year(o_orderdate) AS order_year,
-           month(o_orderdate) AS order_month,
-           day(o_orderdate) AS order_day,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(day(o_orderdate) AS INTEGER) AS order_day,
            CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
-           datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS days_to_cutoff,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS INTEGER) AS days_to_cutoff,
            CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
            CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS order_epoch,
            last_day(CAST(o_orderdate AS DATE)) AS month_end,

@@ -113,7 +113,7 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udtf_explode",
     oracle="""
-    SELECT t.doc_id, u.i AS pos, u.x AS token
+    SELECT t.doc_id, CAST(u.i AS INTEGER) AS pos, u.x AS token
     FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE doc_id < 50) t,
          LATERAL (SELECT unnest(l) AS x, generate_subscripts(l, 1) AS i) u
     """,

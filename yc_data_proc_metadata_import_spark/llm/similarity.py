@@ -114,7 +114,8 @@ _VECS_SQL = (
                    ROW_NUMBER() OVER (PARTITION BY query_id
                                       ORDER BY cosine DESC, neighbor_id) AS rnk
             FROM pairs)
-    SELECT query_id, neighbor_id, rnk, cosine FROM ranked WHERE rnk <= {_TOP_K}
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, cosine
+    FROM ranked WHERE rnk <= {_TOP_K}
     """,
 )
 def llm_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,7 +451,7 @@ def llm_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (p.qnorm * a.norm) AS cosine
         FROM probes p JOIN assign a ON p.list_id = a.list_id
         WHERE a.vec_id <> p.query_id)
-    SELECT query_id, neighbor_id, rnk, cosine FROM (
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, cosine FROM (
         SELECT query_id, neighbor_id, cosine,
                ROW_NUMBER() OVER (PARTITION BY query_id
                    ORDER BY cosine DESC, neighbor_id ASC) AS rnk

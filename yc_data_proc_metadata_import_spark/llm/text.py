@@ -201,7 +201,7 @@ _STOP_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
             FROM tok GROUP BY doc_id)
     SELECT d.source,
            COUNT(*) AS n_docs,
-           SUM(p.n_tok) AS total_tokens,
+           CAST(SUM(p.n_tok) AS BIGINT) AS total_tokens,
            CAST(SUM(p.tok_chars) AS DOUBLE) / SUM(p.n_tok) AS avg_token_len,
            CAST(SUM(p.n_stop) AS DOUBLE) / SUM(p.n_tok) AS stopword_ratio,
            CAST(SUM(CASE WHEN d.n_chars > 200 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS long_doc_ratio

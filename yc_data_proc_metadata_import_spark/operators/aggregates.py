@@ -339,7 +339,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            bool_and(o_totalprice > 1000.0) AS all_over_1k,
            bool_or(o_orderstatus = 'P') AS any_pending,
-           count_if(o_orderstatus = 'O') AS n_open
+           CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open
     FROM orders GROUP BY o_orderpriority
     """,
 )
