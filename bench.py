@@ -68,7 +68,16 @@ def main() -> int:
     }
     if errors:
         result["errors"] = errors
-    print(json.dumps(result))
+    line = json.dumps(result)
+    print(line)
+    # Durable local artifact (round-2 VERDICT: BENCH_r01 was empty and
+    # BENCH_r02's captured stdout tail was truncated — keep our own
+    # history instead of depending on the driver's capture).
+    try:
+        with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_LOCAL.jsonl"), "a") as f:
+            f.write(json.dumps({"ts": int(time.time()), **result}) + "\n")
+    except OSError:
+        pass
     return 0
 
 

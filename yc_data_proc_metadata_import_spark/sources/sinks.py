@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from .io import SCRATCH, load
+from .io import SCRATCH, load, table_path
 
 
 @query(
@@ -198,6 +198,86 @@ def bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("o_orderkey", "o_totalprice")
         .agg(F.count(F.lit(1)).alias("n_li"))
+    )
+
+
+@query(
+    "scan_typed_columns",
+    oracle="""
+    WITH typed AS (
+        SELECT o_orderkey AS k,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+               rpad(o_orderstatus, 3, ' ') AS status_c,
+               o_orderpriority AS prio_v,
+               CAST(o_orderdate AS DATE) AS order_d
+        FROM orders)
+    SELECT status_c,
+           CAST(length(status_c) AS INTEGER) AS status_len,
+           COUNT(*) AS n,
+           CAST(SUM(price_dec) AS DECIMAL(28,2)) AS total_price_dec,
+           MIN(order_d) AS first_day,
+           MAX(CAST(order_d AS TIMESTAMP) + to_days(CAST(k % 30 AS INTEGER))) AS last_due,
+           MAX(prio_v) AS prio_max
+    FROM typed GROUP BY status_c
+    """,
+)
+def scan_typed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive type-surface round-trip (round-2 VERDICT gap): DECIMAL(12,2)
+    money, CHAR(3) with its mandated space padding, VARCHAR(15), DATE —
+    written through a DDL-typed parquet table and read back — plus
+    day-time INTERVAL arithmetic on the way out.
+
+    What each type proves:
+    - DECIMAL survives parquet with exact scale and the aggregate is an
+      exact decimal SUM (cast to DECIMAL(28,2) on both engines — Spark
+      widens sums to (22,2), DuckDB to (38,2)).
+    - CHAR(3): Spark pads 'F' -> 'F  ' on INSERT per the Hive char
+      contract; the padded form is what parquet stores, so status_len
+      is 3 for every row in both engines.
+    - INTERVAL: make_dt_interval(k % 30 days) added to a timestamp —
+      intervals are computed per-row but surfaced as TIMESTAMP, because
+      raw interval COLUMNS have no portable parquet/arrow encoding.
+    The table rebuilds only when its _SUCCESS marker is missing (same
+    re-register pattern as the bucketed tables)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tbl = f"typed_orders_{tag}"
+    loc = os.path.join(SCRATCH, f"typed_orders_{tag}")
+    if not spark.catalog.tableExists(tbl) or not os.path.exists(
+        os.path.join(loc, "_SUCCESS")
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(
+            f"CREATE TABLE {tbl} (k BIGINT, price_dec DECIMAL(12,2), "
+            f"status_c CHAR(3), prio_v VARCHAR(15), order_d DATE) "
+            f"USING parquet LOCATION '{loc}'"
+        )
+        src = table_path(sf_dir, "orders")
+        spark.sql(
+            f"INSERT OVERWRITE {tbl} "
+            f"SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)), "
+            f"o_orderstatus, o_orderpriority, CAST(o_orderdate AS DATE) "
+            f"FROM parquet.`{src}`"
+        )
+    t = spark.table(tbl)
+    due = F.to_timestamp("order_d") + F.make_dt_interval(F.col("k") % 30)
+    return (
+        t.groupBy("status_c")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price_dec").cast("decimal(28,2)").alias("total_price_dec"),
+            F.min("order_d").alias("first_day"),
+            F.max(due).alias("last_due"),
+            F.max("prio_v").alias("prio_max"),
+        )
+        .select(
+            "status_c",
+            F.length("status_c").alias("status_len"),
+            "n",
+            "total_price_dec",
+            "first_day",
+            "last_due",
+            "prio_max",
+        )
     )
 
 
