@@ -89,6 +89,7 @@ _ADJUDICATE_LAST = (
     "stream_watermark",
     "llm_sim_join_lsh",
     "stream_dedup",
+    "stream_rate_source",
     "llm_dedup_cluster",
     "stream_join",
 )
