@@ -114,6 +114,18 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan}"
 
 
+def test_dpp_join_prunes_at_runtime(spark, sf_dir):
+    """join_dpp_pruned's fact scan must carry a dynamicpruningexpression
+    in its PartitionFilters — the runtime pruning injected from the
+    filtered dimension side (the fact query itself has no partition
+    predicate, so static pruning can't fire)."""
+    df = QUERIES["join_dpp_pruned"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), (
+        f"no dynamic partition pruning on the fact scan:\n{plan}"
+    )
+
+
 def test_partition_pruned_scan_skips_partitions(spark, sf_dir):
     """The status='F' predicate must prune at the directory level — the
     scan's partition filters must carry it (not just a post-scan filter)."""

@@ -284,3 +284,36 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(k).alias("popcount"),
         F.bitwise_not(k).alias("negated"),
     )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    SELECT c_custkey,
+           c_custkey AS key_from_struct,
+           c_acctbal AS bal_from_nested,
+           c_mktsegment AS seg_from_nested,
+           true AS struct_eq,
+           CAST(to_json(struct_pack(k := c_custkey)) AS VARCHAR) AS struct_json
+    FROM customer
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family: build, nest, field-access, whole-struct equality,
+    and JSON rendering. Like fn_map, the check is on the struct ops'
+    RESULTS (extracted scalars), not the container encoding — except
+    struct_json, which pins the canonical JSON rendering of an
+    integer-field struct (float fields would diverge on repr, so the
+    JSON probe deliberately carries only the key)."""
+    c = load(spark, sf_dir, "customer")
+    s = F.struct(F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("bal"))
+    nested = F.struct(s.alias("inner"), F.col("c_mktsegment").alias("seg"))
+    rebuilt = F.struct(F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("bal"))
+    return c.select(
+        "c_custkey",
+        s.getField("key").alias("key_from_struct"),
+        nested.getField("inner").getField("bal").alias("bal_from_nested"),
+        nested.getField("seg").alias("seg_from_nested"),
+        (s == rebuilt).alias("struct_eq"),
+        F.to_json(F.struct(F.col("c_custkey").alias("k"))).alias("struct_json"),
+    )

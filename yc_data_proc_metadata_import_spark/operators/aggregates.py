@@ -392,3 +392,36 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@query(
+    "agg_time_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+           event_type, COUNT(*) AS n_events, {{vsum}} AS value_sum
+    FROM events
+    GROUP BY 1, 2, 3
+    """.format(vsum="CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)"),
+)
+def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH event-time windowing: F.window() tumbling buckets as a plain
+    groupBy dimension — the same bucketing the streaming keys use, shown
+    on the batch API (backfills run exactly this query over historical
+    data, then the streaming twin takes over for the live tail). One hash
+    aggregation; the window struct is computed row-locally, so partial
+    aggregation combines map-side like any groupBy."""
+    from ..utils import dsum
+
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "value_sum"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )

@@ -165,3 +165,48 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM orders)) AS DATE)
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < CAST(date_trunc('month', (SELECT MAX(o_orderdate) FROM orders)) AS DATE)
+    )
+    SELECT m, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM months LEFT JOIN orders
+      ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+    GROUP BY m
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4.x): generate the complete month spine from
+    min to max order date, then LEFT JOIN order counts onto it — the
+    date-dimension / gap-filling query a reporting layer runs (months
+    with zero orders surface as 0, which a plain GROUP BY can't produce).
+
+    The recursion is driver-cheap (one row per month); the join is the
+    usual broadcast of the tiny generated spine against the fact scan.
+    Calendar arithmetic (date_trunc/+1 month) is identical in both
+    engines.
+    """
+    tag = sf_dir.replace("/", "_").replace(".", "_")
+    view = f"rcte_orders{tag}"
+    load(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE months(m) AS (
+          SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM {view})) AS DATE)
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+          WHERE m < CAST(date_trunc('month', (SELECT MAX(o_orderdate) FROM {view})) AS DATE)
+        )
+        SELECT m, COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN {view}
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m
+        """
+    )

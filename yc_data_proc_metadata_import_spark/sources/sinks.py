@@ -134,6 +134,45 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_dpp_pruned",
+    oracle="""
+    SELECT 'finished' AS label, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime twin of
+    ``scan_partition_pruned``: the fact side is partitioned on
+    o_status_part, the filter lives on the DIMENSION side, and Spark
+    injects a dynamicpruningexpression subquery into the fact scan's
+    PartitionFilters at runtime (asserted in tests/test_plans.py). At
+    100 TB this is the mechanism that keeps a star join from scanning
+    partitions no dimension row selects — static pruning can't help
+    because the fact query itself carries no partition predicate.
+    """
+    out = os.path.join(
+        SCRATCH, f"sink_orders_part_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        sink_partitioned(spark, sf_dir)  # build the layout once
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")], "st string, label string"
+    )
+    from ..utils import dsum
+
+    return (
+        fact.join(
+            dim.filter(F.col("label") == "finished"),
+            fact.o_status_part == F.col("st"),
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total_price"))
+    )
+
+
+@query(
     "bucketed_join_noshuffle",
     oracle="""
     SELECT o.o_orderkey, o.o_totalprice, COUNT(*) AS n_li
