@@ -170,12 +170,14 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_recursive_cte",
     oracle="""
-    WITH RECURSIVE months(m) AS (
-      SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM orders)) AS DATE)
+    WITH RECURSIVE steps(n) AS (
+      SELECT 0
       UNION ALL
-      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
-      WHERE m < CAST(date_trunc('month', (SELECT MAX(o_orderdate) FROM orders)) AS DATE)
-    )
+      SELECT n + 1 FROM steps WHERE n < 11
+    ),
+    months AS (
+      SELECT CAST(DATE '1996-01-01' + to_months(CAST(n AS INTEGER)) AS DATE) AS m
+      FROM steps)
     SELECT m, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
     FROM months LEFT JOIN orders
       ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
@@ -183,27 +185,31 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RECURSIVE CTE (Spark 4.x): generate the complete month spine from
-    min to max order date, then LEFT JOIN order counts onto it — the
-    date-dimension / gap-filling query a reporting layer runs (months
-    with zero orders surface as 0, which a plain GROUP BY can't produce).
+    """RECURSIVE CTE (Spark 4.x): generate a 12-month calendar spine for
+    1996 by recursion, then LEFT JOIN order counts onto it — the
+    date-dimension / gap-filling query a reporting layer runs (a month
+    with zero orders surfaces as 0, which a plain GROUP BY can't
+    produce).
 
-    The recursion is driver-cheap (one row per month); the join is the
-    usual broadcast of the tiny generated spine against the fact scan.
-    Calendar arithmetic (date_trunc/+1 month) is identical in both
-    engines.
+    Spark executes one iteration per recursion step, so the recursive
+    term must stay CONSTANT-SPACE AND SCAN-FREE: recursing over the raw
+    date bounds re-ran the anchor's scalar subquery against the fact
+    table every step (~80 steps x a scan = 50 s at sf0.1). The spine
+    recursion here touches no table — each step is a one-row local job —
+    and the single fact scan happens once, in the join below it, with
+    the tiny spine broadcast.
     """
     tag = sf_dir.replace("/", "_").replace(".", "_")
     view = f"rcte_orders{tag}"
     load(spark, sf_dir, "orders").createOrReplaceTempView(view)
     return spark.sql(
         f"""
-        WITH RECURSIVE months(m) AS (
-          SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM {view})) AS DATE)
+        WITH RECURSIVE steps(n) AS (
+          SELECT 0
           UNION ALL
-          SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
-          WHERE m < CAST(date_trunc('month', (SELECT MAX(o_orderdate) FROM {view})) AS DATE)
-        )
+          SELECT n + 1 FROM steps WHERE n < 11
+        ),
+        months AS (SELECT add_months(DATE '1996-01-01', n) AS m FROM steps)
         SELECT m, COUNT(o_orderkey) AS n_orders
         FROM months LEFT JOIN {view}
           ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
