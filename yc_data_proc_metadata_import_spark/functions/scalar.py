@@ -317,3 +317,53 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s == rebuilt).alias("struct_eq"),
         F.to_json(F.struct(F.col("c_custkey").alias("k"))).alias("struct_json"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+        SELECT event_id,
+               'https://shop.example.com' ||
+               CASE WHEN user_id % 3 = 0 THEN ':8443' ELSE '' END ||
+               '/' || event_type || '?uid=' || CAST(user_id AS VARCHAR) AS url
+        FROM events)
+    SELECT event_id, url,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/:]+)', 1) AS host,
+           NULLIF(regexp_extract(url, '^[a-z]+://[^/:]+:([0-9]+)', 1), '') AS port,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           NULLIF(regexp_extract(url, '[?&]uid=([^&]*)', 1), '') AS uid
+    FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family: parse_url component extraction (protocol /
+    host / port / path / query parameter) over URLs constructed from the
+    events fixture — the clickstream-normalization step of a web-log
+    pipeline. The oracle re-parses the identical strings with anchored
+    regexps (DuckDB has no parse_url); NULLIF aligns DuckDB's
+    empty-string no-match with parse_url's NULL. Row-local, codegen'd,
+    zero shuffle."""
+    e = load(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://shop.example.com"),
+        F.when(F.col("user_id") % 3 == 0, ":8443").otherwise(""),
+        F.lit("/"),
+        F.col("event_type"),
+        F.lit("?uid="),
+        F.col("user_id").cast("string"),
+    )
+    d = e.select("event_id", url.alias("url"))
+    # parse_url has no PORT part (Hive part set: HOST/PATH/QUERY/REF/
+    # PROTOCOL/AUTHORITY/FILE/USERINFO) — the port comes off AUTHORITY.
+    auth = F.parse_url("url", F.lit("AUTHORITY"))
+    return d.select(
+        "event_id",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.nullif(F.regexp_extract(auth, ":([0-9]+)$", 1), F.lit("")).alias("port"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("uid")).alias("uid"),
+    )

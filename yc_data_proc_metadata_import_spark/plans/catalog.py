@@ -212,3 +212,39 @@ def catalog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "catalog_alter",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('n_nationkey', 'int', CAST(NULL AS VARCHAR)),
+        ('n_name', 'string', CAST(NULL AS VARCHAR)),
+        ('n_regionkey', 'int', 'region fk'),
+        ('load_batch', 'bigint', 'ingest batch id')
+    ) AS t(col_name, data_type, comment)
+    """,
+)
+def catalog_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE lifecycle: ADD COLUMNS, ALTER COLUMN COMMENT, RENAME
+    TABLE — the schema-evolution DDL a metastore migration must carry
+    (the reference moves exactly this table metadata between clusters).
+    All metadata-plane: the shared parquet is untouched; the added
+    column has no data and scans as NULL, which is the Hive
+    schema-on-read contract. DESCRIBE of the renamed table is the
+    hash-checked post-condition — fully determined by the DDL above it.
+    """
+    _reset_db(spark, "eng_alter_db")
+    _ext_table(spark, "eng_alter_db", "nation_ext", sf_dir, "nation")
+    spark.sql(
+        "ALTER TABLE eng_alter_db.nation_ext "
+        "ADD COLUMNS (load_batch BIGINT COMMENT 'ingest batch id')"
+    )
+    spark.sql(
+        "ALTER TABLE eng_alter_db.nation_ext "
+        "ALTER COLUMN n_regionkey COMMENT 'region fk'"
+    )
+    spark.sql(
+        "ALTER TABLE eng_alter_db.nation_ext RENAME TO eng_alter_db.nation_final"
+    )
+    return spark.sql("DESCRIBE TABLE eng_alter_db.nation_final")
