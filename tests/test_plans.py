@@ -134,3 +134,28 @@ def test_partition_pruned_scan_skips_partitions(spark, sf_dir):
     assert "PartitionFilters: [" in plan and "o_status_part" in plan.split(
         "PartitionFilters:"
     )[1].split("]")[0], f"no partition filter on the scan:\n{plan}"
+
+
+def test_bloom_filter_reaches_probe_side(spark, sf_dir):
+    """join_bloom_filtered's reason to exist: under the key's conf window
+    the optimized plan must carry a bloom filter (might_contain) applied
+    to the lineitem probe side, built from the filtered orders side."""
+    from yc_data_proc_metadata_import_spark.operators.joins import (
+        _BLOOM_CONFS,
+        bloom_join_frame,
+    )
+
+    orig = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = (
+            bloom_join_frame(spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+    finally:
+        for k, v in orig.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "bloom" in plan.lower(), f"no runtime bloom filter:\n{plan}"

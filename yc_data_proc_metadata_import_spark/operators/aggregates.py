@@ -425,3 +425,38 @@ def agg_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey,
+                   CAST(round(o_totalprice * 100.0) AS BIGINT) * 10000000000
+                     + o_orderkey) AS priciest_order,
+           arg_min(o_orderkey,
+                   CAST(round(o_totalprice * 100.0) AS BIGINT) * 10000000000
+                     + o_orderkey) AS cheapest_order,
+           arg_min(o_orderstatus, o_orderkey) AS first_status
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax/argmin): fetch the key of the extreme row
+    per group in ONE aggregation pass — no rank-window + filter detour,
+    so it partial-aggregates map-side like any other agg.
+
+    max_by is explicitly nondeterministic under ties, so the ordering
+    value is made UNIQUE by folding the unique orderkey into the
+    cent-exact price (price_cents * 1e10 + orderkey, all < 2^63) —
+    ties then resolve to the same row in both engines."""
+    o = load(spark, sf_dir, "orders")
+    ordv = (
+        F.round(F.col("o_totalprice") * 100.0).cast("long") * F.lit(10000000000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ordv).alias("priciest_order"),
+        F.min_by("o_orderkey", ordv).alias("cheapest_order"),
+        F.min_by("o_orderstatus", "o_orderkey").alias("first_status"),
+    )

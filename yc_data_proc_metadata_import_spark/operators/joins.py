@@ -476,3 +476,95 @@ def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
         """
     )
+
+
+# Runtime bloom-filter injection needs thresholds scaled to the fixture:
+# creation side (filtered orders) must be small, application side
+# (lineitem) must look "big enough to be worth filtering". On a real
+# cluster the DEFAULTS (creation <= 10 MB, application >= 10 GB) gate it
+# to exactly the joins where a semi-join pre-filter pays; here only the
+# application floor is lowered. Broadcast is disabled for the join so the
+# plan is the 100 TB fact-to-fact shape (SMJ) bloom filters exist for.
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY joined frame — callers must hold _BLOOM_CONFS while
+    planning/executing it (tests assert the bloomfilter lands)."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_li"), dsum("l_extendedprice", "revenue"))
+    )
+
+
+@query(
+    "join_bloom_filtered",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_li, {sql_dsum('l_extendedprice')} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME BLOOM FILTER on a selective fact-to-fact join: the filtered
+    orders side builds a bloom filter that is pushed into the lineitem
+    scan, so most of the big side's rows die before the shuffle — at
+    100 TB this cuts the dominant cost (shuffling the probe side) by the
+    join's selectivity, without any manual pre-aggregation.
+
+    SQLConf is captured at EXECUTION, not DataFrame creation, so the
+    frame is materialized in-key (eager localCheckpoint) while the bloom
+    confs are held, then the originals are restored so later keys keep
+    their broadcast plans.
+    """
+    orig = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in orig.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+        SELECT nullif(c_nationkey, 0) AS k, COUNT(*) AS n_cust
+        FROM customer GROUP BY 1),
+    s AS (
+        SELECT nullif(s_nationkey, 0) AS k, COUNT(*) AS n_supp
+        FROM supplier GROUP BY 1)
+    SELECT c.k, c.n_cust, s.n_supp
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (<=>): NULL keys match each other instead
+    of dropping — the semantics a dimension with an 'unknown' bucket
+    needs (here nationkey 0 is mapped to NULL on both sides). Plans as a
+    regular hash/sort-merge equi-join on the null-safe key, so it scales
+    like any equi-join; the oracle spells it IS NOT DISTINCT FROM.
+    """
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.nullif(F.col("c_nationkey"), F.lit(0)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.nullif(F.col("s_nationkey"), F.lit(0)).alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.k.eqNullSafe(s.sk)).select("k", "n_cust", "n_supp")

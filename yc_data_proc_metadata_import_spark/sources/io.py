@@ -333,3 +333,34 @@ def scan_permissive_json(spark, sf_dir: str):
     return parsed.select(
         "doc_id", "lang", F.col("_bad").isNotNull().alias("is_corrupt")
     )
+
+
+@query(
+    "scan_ignore_corrupt",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def scan_ignore_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRUPT-FILE tolerance: a directory holding good parquet plus a
+    truncated-garbage '.parquet' file reads clean under
+    ``ignoreCorruptFiles`` — at 100 TB a single bad object out of
+    millions must cost a warning, not the job. (Schema-level dirtiness is
+    the PERMISSIVE-mode key's job; this one is file-level.) The fixture
+    is one-time (_SUCCESS-gated); the oracle is the intact table."""
+    import shutil
+
+    out = os.path.join(SCRATCH, f"corrupt_mix_{os.path.basename(os.path.normpath(sf_dir))}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        load(spark, sf_dir, "region").select("r_regionkey", "r_name").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "part-garbage.parquet"), "wb") as f:
+            f.write(b"PAR1 this is not a parquet file, just bytes\x00\x01\x02")
+        shutil.rmtree(out, ignore_errors=True)
+        os.replace(tmp, out)
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(out)
+        .select("r_regionkey", "r_name")
+    )
