@@ -87,6 +87,8 @@ _ADJUDICATE_LAST = (
     "stream_session",
     "llm_ann_ivf",
     "stream_watermark",
+    "stream_restart_checkpoint",
+    "llm_lsh_recall_audit",
     "llm_sim_join_lsh",
     "stream_dedup",
     "stream_rate_source",

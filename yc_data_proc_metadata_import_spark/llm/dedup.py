@@ -112,8 +112,7 @@ _INV_SQL = f"""
     FROM ({_SHINGLES_SQL})
 """
 
-_PAIRS_SQL = f"""
-    WITH inv AS ({_INV_SQL})
+_PAIRS_BODY = f"""
     SELECT doc_a, doc_b,
            CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
     FROM (
@@ -124,6 +123,11 @@ _PAIRS_SQL = f"""
          AND 2 * a.n_sh >= b.n_sh AND 2 * b.n_sh >= a.n_sh
         GROUP BY 1, 2, 3, 4)
     WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {_JACCARD_T}
+"""
+
+_PAIRS_SQL = f"""
+    WITH inv AS ({_INV_SQL})
+    {_PAIRS_BODY}
 """
 
 
@@ -226,6 +230,45 @@ def _minhash_sig() -> F.Column:
     )
 
 
+def lsh_candidates(sh: DataFrame) -> DataFrame:
+    """LSH candidate pairs from a (doc_id, sig) frame: explode the
+    {_BANDS} band keys, self-join on (band_id, band_hash), distinct
+    upper-triangle pairs. Shared by llm_dedup_near (which then verifies
+    exact Jaccard) and llm_lsh_recall_audit (which measures this stage's
+    recall against the exact pair set)."""
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", j * _ROWS_PER_BAND + k + 1)
+                                for k in range(_ROWS_PER_BAND)
+                            ],
+                            F.lit(j),
+                        ).alias("band_hash"),
+                    )
+                    for j in range(_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    return (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @query(
     "llm_dedup_near",
     # exact all-pairs ground truth, spelled as the inverted-index join
@@ -250,39 +293,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability. Candidate recall at J=0.9 is ~0.9998 with 8x4 banding.
     """
     sh = shingled(spark, sf_dir).withColumn("sig", _minhash_sig())
-    bands = sh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", j * _ROWS_PER_BAND + k + 1)
-                                for k in range(_ROWS_PER_BAND)
-                            ],
-                            F.lit(j),
-                        ).alias("band_hash"),
-                    )
-                    for j in range(_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
-
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
-    )
-
+    cand = lsh_candidates(sh)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -559,4 +570,61 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).alias("keep"),
+    )
+
+
+@query(
+    "llm_lsh_recall_audit",
+    oracle=f"""
+    WITH inv AS ({_INV_SQL}),
+    exact AS ({_PAIRS_BODY})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_recalled,
+           CAST(1.0 AS DOUBLE) AS recall
+    FROM exact
+    """,
+)
+def llm_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL AUDIT for the LSH candidate stage: join the exact J>=0.5
+    pair set (inverted-index ground truth) against the banded candidate
+    pairs and measure what fraction the bands caught — the measurement a
+    dedup pipeline runs before trusting LSH at a new threshold/corpus.
+
+    This turns llm_dedup_near's "recall is 100% on these fixtures" CLAIM
+    into an adjudicated result: the oracle pins n_recalled = n_true_pairs
+    and recall = 1.0, so a single missed pair hash-fails the key. (Same
+    self-certifying pattern as agg_approx_distinct's accuracy flag.)
+    """
+    sh = shingled(spark, sf_dir).withColumn("sig", _minhash_sig()).localCheckpoint(
+        eager=True
+    )
+    inv = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode(F.expr("transform(shingles, s -> xxhash64(s))")).alias("sh_h"),
+    )
+    a = inv.select("sh_h", F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    b = inv.select("sh_h", F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    common = (
+        a.join(b, "sh_h")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (2 * F.col("n_a") >= F.col("n_b"))
+            & (2 * F.col("n_b") >= F.col("n_a"))
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    exact = common.filter(jac >= _JACCARD_T).select("doc_a", "doc_b")
+    cand = lsh_candidates(sh)
+    hits = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+    t = exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    r = hits.agg(F.count(F.lit(1)).alias("n_recalled"))
+    return t.crossJoin(r).select(
+        "n_true_pairs",
+        "n_recalled",
+        (F.col("n_recalled").cast("double") / F.col("n_true_pairs")).alias("recall"),
     )

@@ -603,3 +603,71 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").alias("total"),
         F.max("ts_ms").alias("last_ts_ms"),
     )
+
+
+@query(
+    "stream_restart_checkpoint",
+    oracle="SELECT event_id, user_id, value FROM events",
+)
+def stream_restart_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT RECOVERY / exactly-once across restarts: run an
+    availableNow stream over half the source files, then add the other
+    half and RESTART from the SAME checkpoint — the second run must
+    process only the files the offset log hasn't seen. This is the
+    mechanics of every production incremental-ingest job (process
+    yesterday's landing, die or stop, resume on today's).
+
+    The proof is the oracle: output == events exactly. A restart that
+    re-reads the first half doubles those rows (rows_match fails); one
+    that misses new files drops rows. The two half-files are a one-time
+    staged fixture; src/out/checkpoint are rebuilt fresh per invocation
+    so the restart sequence is exercised every run.
+    """
+    import shutil
+
+    tag = _sf_tag(sf_dir)
+    stage = os.path.join(SCRATCH, f"stream_restart_stage_{tag}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        tmp = stage + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        e = load(spark, sf_dir, "events")
+        halves = (
+            e.filter(F.col("event_id") % 2 == 0),
+            e.filter(F.col("event_id") % 2 == 1),
+        )
+        for idx, part in enumerate(halves):
+            sub = os.path.join(tmp, f"w{idx}")
+            part.coalesce(1).write.mode("overwrite").parquet(sub)
+            fname = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+            shutil.move(os.path.join(sub, fname), os.path.join(tmp, f"half{idx}.parquet"))
+            shutil.rmtree(sub)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        shutil.rmtree(stage, ignore_errors=True)
+        os.replace(tmp, stage)
+
+    src = os.path.join(SCRATCH, f"stream_restart_src_{tag}")
+    out = os.path.join(SCRATCH, f"stream_restart_out_{tag}")
+    chk = os.path.join(SCRATCH, "checkpoints", f"stream_restart_{tag}")
+    for d in (src, out, chk):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select("event_id", "user_id", "value").write.mode("append").parquet(out)
+
+    def run_once() -> None:
+        q = (
+            _read_stream(spark, src)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    shutil.copy(os.path.join(stage, "half0.parquet"), os.path.join(src, "half0.parquet"))
+    run_once()  # first run: sees only half0
+    shutil.copy(os.path.join(stage, "half1.parquet"), os.path.join(src, "half1.parquet"))
+    run_once()  # restart: offset log skips half0, processes only half1
+    return spark.read.parquet(out)
