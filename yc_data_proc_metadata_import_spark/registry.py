@@ -22,6 +22,45 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+_PYFILES_SENT: set[int] = set()
+
+
+def _ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship this package to the Python workers (once per SparkContext).
+
+    cloudpickle serializes module-level functions BY REFERENCE, so every
+    pandas-UDF / mapInPandas / applyInPandasWithState worker must be able
+    to ``import yc_data_proc_metadata_import_spark`` itself. A driver
+    process that found the package via a patched ``sys.path`` (instead of
+    cwd or $PYTHONPATH, which workers inherit) would otherwise die with
+    ModuleNotFoundError on the first Python-exec key. ``addPyFile`` of a
+    package zip is the canonical fix and also exactly how this library
+    deploys to a real cluster (``spark-submit --py-files``).
+    """
+    sc = spark.sparkContext
+    if id(sc) in _PYFILES_SENT:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"yc_dp_engine_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        os.replace(tmp, zpath)
+    sc.addPyFile(zpath)
+    _PYFILES_SENT.add(id(sc))
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` under ``name``; optionally attach a DuckDB oracle."""
@@ -29,6 +68,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str, *args: Any, **kwargs: Any) -> DataFrame:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            _ensure_worker_imports(spark)
             return fn(spark, sf_dir, *args, **kwargs)
 
         wrapped.__name__ = fn.__name__
