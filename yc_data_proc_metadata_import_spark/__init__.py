@@ -49,6 +49,7 @@ _OPERATOR_MODULES = (
     "llm.similarity",
     "llm.text",
     "llm.multimodal",
+    "llm.pipeline",
 )
 
 
@@ -93,6 +94,7 @@ _ADJUDICATE_LAST = (
     "stream_dedup",
     "stream_rate_source",
     "llm_dedup_cluster",
+    "llm_curation_pipeline",
     "stream_join",
 )
 
