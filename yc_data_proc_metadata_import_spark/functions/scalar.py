@@ -367,3 +367,34 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("uid")).alias("uid"),
     )
+
+
+@query(
+    "fn_hash_encode",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha256(p_name) AS name_sha256,
+           base64(CAST(p_name AS BLOB)) AS name_b64,
+           CAST(octet_length(from_base64(base64(CAST(p_name AS BLOB)))) AS INTEGER)
+             AS b64_roundtrip_len,
+           lower(hex(p_name)) AS name_hex
+    FROM part
+    """,
+)
+def fn_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash + encoding family: md5 / sha256 content digests (the
+    content-addressing primitives every data-lake dedup/caching layer
+    uses) and base64/hex transport encodings with a decode round-trip.
+    All row-local codegen; hex is case-normalized (Spark upper, DuckDB
+    upper — lowered on both so the oracle can't drift on case)."""
+    p = load(spark, sf_dir, "part")
+    b64 = F.base64(F.col("p_name").cast("binary"))
+    return p.select(
+        "p_partkey",
+        F.md5(F.col("p_name").cast("binary")).alias("name_md5"),
+        F.sha2(F.col("p_name").cast("binary"), 256).alias("name_sha256"),
+        b64.alias("name_b64"),
+        F.length(F.unbase64(b64)).alias("b64_roundtrip_len"),
+        F.lower(F.hex("p_name")).alias("name_hex"),
+    )

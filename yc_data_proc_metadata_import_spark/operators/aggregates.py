@@ -460,3 +460,31 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", ordv).alias("cheapest_order"),
         F.min_by("o_orderstatus", "o_orderkey").alias("first_status"),
     )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT o_orderpriority,
+           bit_or(CAST(1 << (o_orderkey % 7) AS BIGINT)) AS flags_any,
+           bit_and(CAST(255 | (o_orderkey % 16) AS BIGINT)) AS flags_all,
+           bit_xor(CAST(o_orderkey AS BIGINT)) AS key_parity_fold
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AGGREGATES: fold per-row flag bitmaps with bit_or /
+    bit_and / bit_xor — the set-of-flags rollup (feature bitmaps,
+    permission masks) that replaces collect_set for small enumerable
+    domains. Associative and commutative, so partial aggregation
+    combines map-side; one BIGINT per group crosses the shuffle."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    # F.shiftleft takes a Python-int bit count, so the per-row shift is
+    # spelled in SQL (same expression DuckDB runs).
+    flag = F.expr("CAST(shiftleft(1, CAST(o_orderkey % 7 AS INT)) AS BIGINT)")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_or(flag).alias("flags_any"),
+        F.bit_and((F.lit(255).bitwiseOR(k % 16)).cast("bigint")).alias("flags_all"),
+        F.bit_xor(k.cast("bigint")).alias("key_parity_fold"),
+    )
