@@ -5,11 +5,15 @@ travels as an opaque ``binary`` column with a typed metadata struct; the
 engine moves/filters/joins it without touching the payload, and decode /
 feature-extraction runs as Arrow-batched Python over ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is STUBBED
-(`decode_image` raises NotImplementedError) and feature extraction runs a
-clearly-marked deterministic fake over the raw bytes — the Spark-side
-plumbing (schema, partitioning, batch shape, UDF signature) is real and
-tested; swapping the fake for PIL/ffmpeg changes one function.
+Decode status (round-3): ``decode_image`` REALLY decodes binary PPM (P6)
+with numpy alone, and ``llm_image_decode`` runs that decode end-to-end
+over genuine PPM bytes (oracle recomputes expected pixel stats from the
+image generator's arithmetic, so a parsing bug hash-fails). Compressed
+codecs (png/jpeg) need PIL/opencv, which this container does not ship —
+for those, decode raises NotImplementedError (the documented swap point)
+and the feature/frame/resize keys run a clearly-marked deterministic
+fake over the raw bytes; their Spark-side plumbing (schema,
+partitioning, batch shape, UDF signature) is real and tested.
 
 100 TB notes: binary payloads dominate row size, so the round-trip write
 keeps the source's natural partitioning (no repartition/coalesce funnel)
@@ -89,13 +93,47 @@ def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_image(data: bytes, fmt: str):
-    """Real decode hook — requires an image codec library (PIL/opencv),
-    which this container does not ship. Kept as the single swap point.
+    """Decode an image payload to an (h, w, 3) uint8 array.
+
+    REAL decode for ``ppm`` (binary P6 — header + raw RGB, parsed here
+    with numpy alone; see llm_image_decode, which runs it end-to-end over
+    genuine PPM bytes). Compressed codecs (png/jpeg) need PIL/opencv,
+    which this container does not ship — they remain the documented swap
+    point and raise.
     """
+    if fmt == "ppm":
+        return _decode_ppm(data)
     raise NotImplementedError(
-        "image decode requires PIL/opencv (not available in this container); "
-        "llm_media_features uses _fake_decode for the pipeline plumbing"
+        f"{fmt} decode requires PIL/opencv (not available in this container); "
+        "ppm decodes for real — see llm_image_decode"
     )
+
+
+def _decode_ppm(data: bytes):
+    """Binary PPM (P6) parser: magic, whitespace/comment-tolerant header
+    tokens (width, height, maxval), single whitespace, then raw RGB."""
+    import numpy as np
+
+    if not data.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw samples
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    arr = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return arr.reshape(h, w, 3)
 
 
 def _fake_decode(data: bytes) -> "list[float]":
@@ -285,4 +323,118 @@ def llm_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_table(spark, sf_dir).mapInPandas(
         _media_resize_iter,
         "doc_id long, orig_bytes long, resized_bytes long, resized_mean double",
+    )
+
+
+def _ppm_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """One-time parquet of REAL binary PPM images, one per document:
+    pixel (y, x, c) = (doc_id*7 + 3x + 5y + 11c) mod 256, dimensions
+    8 + doc_id % 9 by 8 + (3*doc_id) % 9 — a pure function of doc_id, so
+    the oracle can recompute expected stats arithmetically while the
+    engine path decodes the actual bytes."""
+    from ..sources.io import SCRATCH
+
+    out = os.path.join(
+        SCRATCH, f"ppm_media_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = 8 + doc_id % 9
+                h = 8 + (3 * doc_id) % 9
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                c = np.arange(3, dtype=np.int64)
+                v = (
+                    doc_id * 7
+                    + 3 * x[None, :, None]
+                    + 5 * y[:, None, None]
+                    + 11 * c[None, None, :]
+                ) % 256
+                header = f"P6\n{w} {h}\n255\n".encode()
+                payloads.append(header + v.astype(np.uint8).tobytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(gen, "doc_id long, media binary")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def _image_decode_iter(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        ids, ws, hs, mr, mg, mb = [], [], [], [], [], []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            img = decode_image(bytes(media), "ppm")
+            h, w, _ = img.shape
+            n = w * h
+            sums = img.sum(axis=(0, 1), dtype="int64")  # exact, < 2^53
+            ids.append(doc_id)
+            ws.append(w)
+            hs.append(h)
+            mr.append(float(sums[0]) / n)
+            mg.append(float(sums[1]) / n)
+            mb.append(float(sums[2]) / n)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "width": ws,
+                "height": hs,
+                "mean_r": mr,
+                "mean_g": mg,
+                "mean_b": mb,
+            }
+        )
+
+
+@query(
+    "llm_image_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               8 + doc_id % 9 AS w,
+               8 + (3 * doc_id) % 9 AS h
+        FROM documents),
+    px AS (
+        SELECT doc_id, w, h, xx.x, yy.y
+        FROM dims,
+             LATERAL (SELECT unnest(range(0, w)) AS x) xx,
+             LATERAL (SELECT unnest(range(0, h)) AS y) yy)
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(SUM((doc_id * 7 + 3 * x + 5 * y) % 256) AS DOUBLE) / (w * h) AS mean_r,
+           CAST(SUM((doc_id * 7 + 3 * x + 5 * y + 11) % 256) AS DOUBLE) / (w * h) AS mean_g,
+           CAST(SUM((doc_id * 7 + 3 * x + 5 * y + 22) % 256) AS DOUBLE) / (w * h) AS mean_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def llm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (closes the round-2 "decode is a
+    stub" gap for the codec the container can support): a one-time
+    fixture of genuine binary PPM (P6) images — header + raw RGB, pixel
+    values a pure function of doc_id — is read back from parquet and
+    DECODED BY PARSING THE BYTES (``decode_image``/``_decode_ppm``,
+    numpy-only) inside mapInPandas; per-channel means come from the
+    decoded array. The oracle recomputes the expected dimensions and
+    channel means from the generator arithmetic, so a decoder bug (wrong
+    offset, wrong shape, channel swap) hash-fails the key. Compressed
+    codecs remain the documented NotImplementedError swap point.
+
+    Scale shape: map-only Arrow batches, no shuffle; decode parallelism
+    = input partitions, the same as a PIL/ffmpeg-backed decoder."""
+    src = _ppm_fixture(spark, sf_dir)
+    return spark.read.parquet(src).mapInPandas(
+        _image_decode_iter,
+        "doc_id long, width int, height int, mean_r double, mean_g double, mean_b double",
     )
