@@ -438,3 +438,145 @@ def llm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _image_decode_iter,
         "doc_id long, width int, height int, mean_r double, mean_g double, mean_b double",
     )
+
+
+def decode_audio(data: bytes):
+    """REAL audio decode for RIFF/WAVE PCM16 mono: walk the chunk list
+    (fmt / data, tolerating extra chunks), validate the format block,
+    return (int16 sample array, sample_rate). Pure struct parsing —
+    no codec library involved — mirroring decode_image's PPM path."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels, samples = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_code != 1:
+                raise ValueError(f"only PCM supported, fmt={fmt_code}")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError(f"only 16-bit mono supported (bits={bits}, ch={channels})")
+    return samples, rate
+
+
+_WAV_RATE = 8000
+
+
+def _wav_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """One-time parquet of REAL WAV (PCM16 mono) payloads: sample i of
+    doc d is ((d*13 + i*17) mod 4096) - 2048, n = 400 + (d mod 100)*4 —
+    a pure function of doc_id so the oracle can recompute exact stats."""
+    import struct
+
+    from ..sources.io import SCRATCH
+
+    out = os.path.join(
+        SCRATCH, f"wav_media_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 400 + (doc_id % 100) * 4
+                i = np.arange(n, dtype=np.int64)
+                v = ((doc_id * 13 + i * 17) % 4096 - 2048).astype("<i2")
+                body = v.tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(body))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(body))
+                )
+                payloads.append(hdr + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
+
+    (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(gen, "doc_id long, media binary")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def _audio_decode_iter(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import math
+
+    for pdf in it:
+        ids, ns, rates, durs, means, rmss = [], [], [], [], [], []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            samples, rate = decode_audio(bytes(media))
+            n = int(samples.size)
+            s = int(samples.sum(dtype="int64"))       # exact
+            sq = int((samples.astype("int64") ** 2).sum())  # exact, < 2^53
+            ids.append(doc_id)
+            ns.append(n)
+            rates.append(rate)
+            durs.append(n * 1_000_000 // rate)
+            means.append(float(s) / n)
+            rmss.append(math.sqrt(float(sq) / n))
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_samples": ns,
+                "sample_rate": rates,
+                "duration_us": durs,
+                "mean_amp": means,
+                "rms": rmss,
+            }
+        )
+
+
+@query(
+    "llm_audio_decode",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id, 400 + (doc_id % 100) * 4 AS n FROM documents),
+    smp AS (
+        SELECT doc_id, n, ((doc_id * 13 + ii.i * 17) % 4096) - 2048 AS v
+        FROM dims, LATERAL (SELECT unnest(range(0, n)) AS i) ii)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
+           CAST(n * 1000000 // {_WAV_RATE} AS BIGINT) AS duration_us,
+           CAST(SUM(v) AS DOUBLE) / n AS mean_amp,
+           sqrt(CAST(SUM(v * v) AS DOUBLE) / n) AS rms
+    FROM smp GROUP BY doc_id, n
+    """,
+)
+def llm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: genuine RIFF/WAVE PCM16 payloads
+    (written by the fixture, chunk-walked and frombuffer-parsed by
+    ``decode_audio``) -> sample count, duration, exact mean amplitude,
+    RMS. The oracle replays the sample-generator arithmetic, so a header
+    mis-parse, endianness bug, or off-by-one in the data chunk
+    hash-fails. Exactness: integer sums < 2^53, ONE float64 division,
+    and sqrt of the identical double is bit-identical across engines.
+    Map-only Arrow batches — the same scale shape as a real ffmpeg-backed
+    loudness/duration audit."""
+    src = _wav_fixture(spark, sf_dir)
+    return spark.read.parquet(src).mapInPandas(
+        _audio_decode_iter,
+        "doc_id long, n_samples long, sample_rate long, duration_us long, "
+        "mean_amp double, rms double",
+    )
