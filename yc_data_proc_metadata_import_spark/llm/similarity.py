@@ -146,9 +146,13 @@ def _block_pairs_iter(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """One numpy GEMM per (bucket_a, bucket_b) row; emits qualifying pairs.
 
     Arrow hands each block pair as ~1-row batches with the two buckets'
-    id/vector lists inline; float64 matmul + threshold mask replaces
-    per-pair expression evaluation (~100x fewer JVM<->Python crossings
-    than a scalar UDF, BLAS throughput on the inner loop).
+    ids and a FLAT float64 vector buffer (flattened JVM-side): a single
+    frombuffer+reshape per block instead of a Python list-of-lists per
+    vector — the nested-list conversion was the dominant cost of the
+    whole key (the GEMM itself is milliseconds at these sizes). float64
+    matmul + threshold mask replaces per-pair expression evaluation
+    (~100x fewer JVM<->Python crossings than a scalar UDF, BLAS
+    throughput on the inner loop).
     """
     import numpy as np
 
@@ -157,8 +161,8 @@ def _block_pairs_iter(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for row in pdf.itertuples(index=False):
             ida = np.asarray(row.ids_a, dtype=np.int64)
             idb = np.asarray(row.ids_b, dtype=np.int64)
-            va = np.asarray([np.asarray(x, dtype=np.float64) for x in row.vecs_a])
-            vb = np.asarray([np.asarray(x, dtype=np.float64) for x in row.vecs_b])
+            va = np.asarray(row.flat_a, dtype=np.float64).reshape(len(ida), -1)
+            vb = np.asarray(row.flat_b, dtype=np.float64).reshape(len(idb), -1)
             cos = (va @ vb.T) / np.outer(
                 np.linalg.norm(va, axis=1), np.linalg.norm(vb, axis=1)
             )
@@ -205,14 +209,22 @@ def llm_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("emb"),
         (F.col("vec_id") % _BUCKETS).alias("bkt"),
     )
-    bucketed = v.groupBy("bkt").agg(
-        F.collect_list("vec_id").alias("ids"), F.collect_list("emb").alias("vecs")
+    # ONE collect_list of (id, emb) structs per bucket keeps ids and
+    # vectors aligned by construction; the vectors ship to Python as one
+    # flat buffer per block (see _block_pairs_iter).
+    packed = v.groupBy("bkt").agg(
+        F.collect_list(F.struct("vec_id", "emb")).alias("rows")
+    )
+    bucketed = packed.select(
+        "bkt",
+        F.expr("transform(rows, r -> r.vec_id)").alias("ids"),
+        F.flatten(F.expr("transform(rows, r -> r.emb)")).alias("flat"),
     )
     a = bucketed.select(
-        F.col("bkt").alias("bkt_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
+        F.col("bkt").alias("bkt_a"), F.col("ids").alias("ids_a"), F.col("flat").alias("flat_a")
     )
     b = bucketed.select(
-        F.col("bkt").alias("bkt_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b")
+        F.col("bkt").alias("bkt_b"), F.col("ids").alias("ids_b"), F.col("flat").alias("flat_b")
     )
     blocks = a.join(b, F.col("bkt_a") <= F.col("bkt_b")).repartition(
         _BUCKETS, "bkt_a", "bkt_b"
