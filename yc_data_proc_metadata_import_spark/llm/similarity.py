@@ -557,3 +557,146 @@ def llm_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("emb"), lambda x: x / F.col("norm")).alias("unit"),
         F.size("emb").alias("dim"),
     )
+
+
+# MaxSim (late interaction): group consecutive vectors into multi-vector
+# "documents" of _MV tokens; score(q, c) = sum over q's token-vectors of
+# the max cosine against any of c's token-vectors.
+_MV = 8
+_MV_QUERIES = 5  # first 5 multi-vector docs act as queries
+
+
+@query(
+    "llm_maxsim_topk",
+    oracle=f"""
+    WITH v AS ({_VECS_SQL}),
+    tok AS (SELECT vec_id // {_MV} AS doc, vec_id, emb, norm FROM v),
+    q AS (SELECT * FROM tok WHERE doc < {_MV_QUERIES}),
+    best AS (
+        SELECT q.doc AS qdoc, c.doc AS cdoc, q.vec_id AS qvec,
+               MAX(CAST(FLOOR({_DOT_SQL.format(a="q.emb", b="c.emb")}
+                              / (q.norm * c.norm) * 1000000000.0 + 0.5)
+                        AS BIGINT)) AS best_nano
+        FROM q JOIN tok c ON c.doc <> q.doc
+        GROUP BY 1, 2, 3),
+    scored AS (
+        SELECT qdoc, cdoc,
+               CAST(SUM(best_nano) AS DOUBLE) / 1000000000.0 AS maxsim
+        FROM best GROUP BY qdoc, cdoc),
+    ranked AS (
+        SELECT qdoc, cdoc, maxsim,
+               ROW_NUMBER() OVER (PARTITION BY qdoc
+                                  ORDER BY maxsim DESC, cdoc ASC) AS rnk
+        FROM scored)
+    SELECT CAST(qdoc AS BIGINT) AS qdoc, CAST(cdoc AS BIGINT) AS cdoc,
+           CAST(rnk AS INTEGER) AS rnk, maxsim
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def llm_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION retrieval (ColBERT-style MaxSim): every document
+    is a BAG of token vectors ({_MV} consecutive embedding rows); the
+    query-document score sums, over the query's token vectors, the best
+    cosine any document token achieves. Top-3 documents per query.
+
+    Scale shape: queries broadcast (few x {_MV} vectors), the corpus
+    scans once; per (query-token, doc) the max folds BEFORE the
+    per-document sum, so the shuffle carries one row per (qdoc, cdoc,
+    qvec) — never the full token-pair cross product. Determinism: each
+    max-cosine is snapped to an exact integer nanounit (floor(x*1e9+.5))
+    so the 8-term sum is integer-exact in any order.
+    """
+    v = _vecs(spark, sf_dir).withColumn("doc", (F.col("vec_id") / _MV).cast("long"))
+    q = v.filter(F.col("doc") < _MV_QUERIES).select(
+        F.col("doc").alias("qdoc"),
+        F.col("vec_id").alias("qvec"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+    )
+    cos = _dot(F.col("qemb"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))
+    nano = F.floor(cos * 1000000000.0 + F.lit(0.5)).cast("long")
+    best = (
+        v.join(F.broadcast(q), F.col("doc") != F.col("qdoc"))
+        .groupBy("qdoc", F.col("doc").alias("cdoc"), "qvec")
+        .agg(F.max(nano).alias("best_nano"))
+    )
+    scored = best.groupBy("qdoc", "cdoc").agg(
+        (F.sum("best_nano").cast("double") / 1000000000.0).alias("maxsim")
+    )
+    w = Window.partitionBy("qdoc").orderBy(F.desc("maxsim"), F.asc("cdoc"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("qdoc", "cdoc", F.col("rnk").cast("int").alias("rnk"), "maxsim")
+    )
+
+
+@query(
+    "llm_embedding_quantize",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding AS emb FROM embeddings),
+    s AS (
+        SELECT vec_id, emb,
+               list_max(list_transform(emb, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+        FROM v),
+    qz AS (
+        SELECT vec_id, emb, max_abs, 127.0 / max_abs AS scale,
+               list_transform(emb,
+                   x -> FLOOR(CAST(x AS DOUBLE) * (127.0 / max_abs) + 0.5)) AS qi
+        FROM s)
+    SELECT vec_id,
+           CAST(len(emb) AS INTEGER) AS n_dims,
+           max_abs,
+           CAST(len(list_filter(qi, q -> abs(q) >= 127.0)) AS BIGINT) AS n_saturated,
+           list_reduce(
+               list_transform(list_zip(qi, emb),
+                   p -> (CAST(p[1] AS DOUBLE) / (127.0 / max_abs)
+                         - CAST(p[2] AS DOUBLE))
+                        * (CAST(p[1] AS DOUBLE) / (127.0 / max_abs)
+                           - CAST(p[2] AS DOUBLE))),
+               (acc, x) -> acc + x) / len(emb) AS mse
+    FROM qz
+    """,
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 symmetric quantization audit: per-vector scale = 127/max|x|,
+    elements snapped with the deterministic floor(x*scale + 0.5) (numpy
+    round() is half-even, SQL round() half-away — floor+0.5 is identical
+    everywhere), then the dequantization error is measured as exact-fold
+    MSE. This is the 4x-memory-cut preflight a billion-vector store runs
+    before committing to int8 — saturation counts flag vectors whose
+    outliers need asymmetric or per-block scales.
+
+    Map-only higher-order functions, zero shuffle, no UDF; every float
+    op is either exact (abs/max/floor) or a left-to-right fold shared
+    bit-for-bit with the DuckDB oracle.
+    """
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    max_abs = F.array_max(F.transform(F.col("emb"), lambda x: F.abs(x)))
+    s = v.withColumn("max_abs", max_abs).withColumn(
+        "scale", F.lit(127.0) / F.col("max_abs")
+    )
+    qi = F.transform(
+        F.col("emb"), lambda x: F.floor(x * F.col("scale") + F.lit(0.5))
+    )
+    qz = s.withColumn("qi", qi)
+    err2 = F.zip_with(
+        F.col("qi"),
+        F.col("emb"),
+        lambda q, x: (q.cast("double") / F.col("scale") - x)
+        * (q.cast("double") / F.col("scale") - x),
+    )
+    mse = (
+        F.aggregate(err2, F.lit(0.0), lambda acc, e: acc + e)
+        / F.size("emb").cast("double")
+    )
+    n_sat = F.size(F.filter(F.col("qi"), lambda q: F.abs(q) >= 127.0)).cast("long")
+    return qz.select(
+        "vec_id",
+        F.size("emb").alias("n_dims"),
+        "max_abs",
+        n_sat.alias("n_saturated"),
+        mse.alias("mse"),
+    )
