@@ -1,0 +1,68 @@
+"""Property tests for the real media parsers: arbitrary images/audio
+must round-trip encode -> decode byte-exactly, including the header
+edge cases (comments, multi-digit dimensions, odd data sizes) a fixed
+fixture never exercises.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from yc_data_proc_metadata_import_spark.llm.multimodal import (
+    _decode_ppm,
+    decode_audio,
+    decode_image,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    comment=st.booleans(),
+)
+def test_ppm_roundtrip(w, h, seed, comment):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    comment_line = "# a comment\n" if comment else ""
+    hdr = f"P6\n{comment_line}{w} {h}\n255\n".encode()
+    decoded = decode_image(hdr + img.tobytes(), "ppm")
+    assert decoded.shape == (h, w, 3)
+    assert np.array_equal(decoded, img)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    extra_chunk=st.booleans(),
+)
+def test_wav_roundtrip(n, rate, seed, extra_chunk):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-(2**15), 2**15, size=n, dtype=np.int64).astype("<i2")
+    body = samples.tobytes()
+    chunks = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16
+    )
+    if extra_chunk:  # unknown chunks (LIST/INFO etc.) must be skipped
+        junk = b"abc"
+        chunks += b"LIST" + struct.pack("<I", len(junk)) + junk + (b"\x00" if len(junk) % 2 else b"")
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    decoded, got_rate = decode_audio(payload)
+    assert got_rate == rate
+    assert np.array_equal(decoded, samples)
+
+
+def test_non_ppm_raises():
+    try:
+        _decode_ppm(b"P5\n2 2\n255\n....")
+    except ValueError:
+        return
+    raise AssertionError("grayscale P5 must be rejected")
