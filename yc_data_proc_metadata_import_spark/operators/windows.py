@@ -346,3 +346,43 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@query(
+    "win_fill_forward",
+    oracle="""
+    WITH gapped AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        FROM events)
+    SELECT event_id, user_id, v AS raw_value,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS filled_value
+    FROM gapped
+    """,
+)
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD FILL (last observation carried forward): sensor/metric
+    streams with gaps take the most recent non-null reading per user —
+    the canonical time-series imputation every feature pipeline runs.
+    ``F.last(ignorenulls=True)`` over an unbounded-preceding row frame ==
+    DuckDB's ``last_value(v IGNORE NULLS)``; rows before a user's first
+    reading stay NULL in both engines. One shuffle on the (scaling)
+    user_id key serves the whole window. Gaps are synthesized
+    deterministically (every 5th event) so the fill is hash-checkable.
+    """
+    e = load(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = e.withColumn("raw_value", v)
+    return g.select(
+        "event_id",
+        "user_id",
+        "raw_value",
+        F.last("raw_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
