@@ -59,3 +59,28 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "sql_distribute_sort_by",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity >= 45.0
+    """,
+)
+def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-dialect DISTRIBUTE BY / SORT BY: hash-partition on a key and
+    sort WITHIN each partition without a global sort — the write-side
+    layout clause for producing partition-locally-ordered files (the
+    cheap cousin of ORDER BY: no range exchange, no global merge). The
+    row SET is unchanged, which is exactly what the order-insensitive
+    hash verifies; the clause's effect is the exchange+local-sort in the
+    plan."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("dsb_lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM dsb_lineitem WHERE l_quantity >= 45.0
+        DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber
+        """
+    )

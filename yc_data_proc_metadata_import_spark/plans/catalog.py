@@ -248,3 +248,35 @@ def catalog_alter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ALTER TABLE eng_alter_db.nation_ext RENAME TO eng_alter_db.nation_final"
     )
     return spark.sql("DESCRIBE TABLE eng_alter_db.nation_final")
+
+
+@query(
+    "catalog_csv_table",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def catalog_csv_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-parquet catalog table: CREATE TABLE ... USING csv with an
+    explicit schema and OPTIONS (header) over a CSV export — the
+    Hive-style text-format external table every warehouse still carries.
+    Registering is metadata-only; the query below scans through the
+    catalog name with the CSV reader, proving format plumbing lives in
+    the table definition, not the query."""
+    import shutil
+
+    csv_dir = os.path.join(SCRATCH, f"cat_csv_nation_{os.path.basename(os.path.normpath(sf_dir))}")
+    if not os.path.exists(os.path.join(csv_dir, "_SUCCESS")):
+        shutil.rmtree(csv_dir, ignore_errors=True)
+        load(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).write.mode("overwrite").option("header", True).csv(csv_dir)
+    _reset_db(spark, "eng_csv_db")
+    spark.sql(
+        "CREATE TABLE eng_csv_db.nation_csv "
+        "(n_nationkey INT, n_name STRING, n_regionkey INT) "
+        f"USING csv OPTIONS (header 'true') LOCATION '{csv_dir}'"
+    )
+    return spark.sql(
+        "SELECT n_nationkey, n_name, n_regionkey FROM eng_csv_db.nation_csv"
+    )
