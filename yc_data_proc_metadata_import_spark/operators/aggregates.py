@@ -488,3 +488,51 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_and((F.lit(255).bitwiseOR(k % 16)).cast("bigint")).alias("flags_all"),
         F.bit_xor(k.cast("bigint")).alias("key_parity_fold"),
     )
+
+
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n, true AS approx_within_5pct_rank
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style mergeable sketch) — the single-pass
+    100 TB path agg_percentile's docstring points to. Like
+    agg_approx_distinct, the CHECKABLE output is the accuracy contract:
+    the sketch's median estimate must land between the exact 45th and
+    55th percentile VALUES (a +/-5% rank tolerance, the guarantee the
+    sketch actually makes), which the oracle pins to literal true. The
+    sketch path executes for real — the flag is computed from it."""
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    lo = (
+        ranked.filter(F.col("rn") == F.expr("greatest(1, (45 * n) div 100)"))
+        .groupBy("o_orderpriority")
+        .agg(F.min("o_totalprice").alias("p45"))
+    )
+    hi = (
+        ranked.filter(F.col("rn") == F.expr("(55 * n + 99) div 100"))
+        .groupBy("o_orderpriority")
+        .agg(F.max("o_totalprice").alias("p55"))
+    )
+    ap = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        ap.join(lo, "o_orderpriority")
+        .join(hi, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n",
+            ((F.col("ap") >= F.col("p45")) & (F.col("ap") <= F.col("p55"))).alias(
+                "approx_within_5pct_rank"
+            ),
+        )
+    )
