@@ -88,6 +88,7 @@ _ADJUDICATE_LAST = (
     "stream_session",
     "llm_ann_ivf",
     "stream_watermark",
+    "agg_approx_percentile",
     "stream_restart_checkpoint",
     "llm_lsh_recall_audit",
     "llm_sim_join_lsh",
