@@ -504,7 +504,13 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch's median estimate must land between the exact 45th and
     55th percentile VALUES (a +/-5% rank tolerance, the guarantee the
     sketch actually makes), which the oracle pins to literal true. The
-    sketch path executes for real — the flag is computed from it."""
+    sketch path executes for real — the flag is computed from it.
+
+    The exact p45/p55 bound windows partition on the 5-value priority —
+    deliberately: they are the VERIFICATION apparatus (like
+    agg_approx_distinct's exact countDistinct), not the scale path. At
+    100 TB only the sketch side runs; the per-group sort that exact
+    bounds require is precisely what the sketch exists to avoid."""
     o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
     wn = Window.partitionBy("o_orderpriority")
