@@ -646,3 +646,75 @@ def llm_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_recalled",
         (F.col("n_recalled").cast("double") / F.col("n_true_pairs")).alias("recall"),
     )
+
+
+_CONTAIN_T = 0.5
+
+
+@query(
+    "llm_contamination_check",
+    oracle=f"""
+    WITH inv AS ({_INV_SQL}),
+    test AS (SELECT * FROM inv WHERE doc_id % 2 = 1),
+    train AS (SELECT * FROM inv WHERE doc_id % 2 = 0),
+    overlap AS (
+        SELECT t.doc_id AS test_doc, r.doc_id AS train_doc,
+               t.n_sh AS n_test, COUNT(*) AS n_common
+        FROM test t JOIN train r ON t.s = r.s
+        GROUP BY 1, 2, 3),
+    scored AS (
+        SELECT test_doc, train_doc,
+               CAST(n_common AS DOUBLE) / n_test AS containment,
+               ROW_NUMBER() OVER (PARTITION BY test_doc
+                   ORDER BY CAST(n_common AS DOUBLE) / n_test DESC,
+                            train_doc ASC) AS rn
+        FROM overlap)
+    SELECT test_doc, train_doc, containment
+    FROM scored WHERE rn = 1 AND containment >= {_CONTAIN_T}
+    """,
+)
+def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN/TEST CONTAMINATION (decontamination pass): split the corpus
+    into train (even doc_ids) and test (odd), and flag each test document
+    whose shingles are >= 50% CONTAINED in some single training document
+    — the benchmark-leakage check an LLM pipeline runs before trusting
+    eval numbers. Containment (|A∩B| / |A_test|), not Jaccard: a short
+    eval prompt embedded verbatim in a long training document is exactly
+    the case symmetric similarity misses.
+
+    Same inverted-index shape as llm_dedup_ngram but ASYMMETRIC: the
+    index is built once (shared shingle checkpoint), split by side, and
+    joined train-side-to-test-side only — cost scales with cross-corpus
+    shingle overlap, never |train| x |test|. Per test doc the single
+    worst offender survives (row_number over containment with a train-id
+    tiebreak), which is what a removal list needs.
+    """
+    sh = shingled_cached(spark, sf_dir)
+    inv = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode(F.expr("transform(shingles, s -> xxhash64(s))")).alias("sh_h"),
+    )
+    test = inv.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("sh_h"), F.col("doc_id").alias("test_doc"), F.col("n_sh").alias("n_test")
+    )
+    train = inv.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("sh_h"), F.col("doc_id").alias("train_doc")
+    )
+    overlap = (
+        test.join(train, "sh_h")
+        .groupBy("test_doc", "train_doc", "n_test")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    containment = F.col("n_common").cast("double") / F.col("n_test")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("test_doc").orderBy(
+        containment.desc(), F.col("train_doc").asc()
+    )
+    return (
+        overlap.withColumn("containment", containment)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("containment") >= _CONTAIN_T))
+        .select("test_doc", "train_doc", "containment")
+    )
