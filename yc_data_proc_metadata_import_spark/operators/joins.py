@@ -568,3 +568,34 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_supp"))
     )
     return c.join(s, c.k.eqNullSafe(s.sk)).select("k", "n_cust", "n_supp")
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS edit_dist
+    FROM nation a JOIN nation b
+      ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 1
+    """,
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY MATCHING join: dimension names within edit distance 1 —
+    the entity-resolution primitive for catalog reconciliation (typo'd
+    vendor/country names). Both engines implement unit-cost
+    insert/delete/substitute Levenshtein, so distances are identical
+    integers. The demo self-joins the tiny nation dimension (theta join
+    over a broadcast side); at 100 TB fuzzy matching first BLOCKS on a
+    cheap equi-key (length bucket, first character, or the q-gram
+    inverted index the dedup keys build) and only scores within blocks —
+    the llm_dedup_ngram pattern applied to short strings."""
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a = n.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(F.broadcast(b), F.col("ka") < F.col("kb"))
+        .filter(dist <= 1)
+        .select("name_a", "name_b", dist.alias("edit_dist"))
+    )
