@@ -182,9 +182,14 @@ def _media_features_iter(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            CAST(list_sum(list_transform(list_filter(string_split(text, ''),
                     c -> c <> ''), c -> ascii(c))) AS DOUBLE) / length(text)
                AS mean_byte,
-           [CAST(len(list_filter(string_split(text, ''),
-                    c -> c <> '' AND ascii(c) // 64 = b)) AS DOUBLE) / length(text)
-            FOR b IN [0, 1, 2, 3]] AS quadrant_hist
+           CAST(len(list_filter(string_split(text, ''),
+                    c -> c <> '' AND ascii(c) // 64 = 0)) AS DOUBLE) / length(text) AS q0,
+           CAST(len(list_filter(string_split(text, ''),
+                    c -> c <> '' AND ascii(c) // 64 = 1)) AS DOUBLE) / length(text) AS q1,
+           CAST(len(list_filter(string_split(text, ''),
+                    c -> c <> '' AND ascii(c) // 64 = 2)) AS DOUBLE) / length(text) AS q2,
+           CAST(len(list_filter(string_split(text, ''),
+                    c -> c <> '' AND ascii(c) // 64 = 3)) AS DOUBLE) / length(text) AS q3
     FROM documents
     """,
 )
@@ -200,10 +205,21 @@ def llm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact for integers < 2^53), so DuckDB recomputing them from the
     text's codepoints produces identical bits.
     """
-    return media_table(spark, sf_dir).mapInPandas(
+    feats = media_table(spark, sf_dir).mapInPandas(
         _media_features_iter,
         "doc_id long, fmt string, n_bytes long, mean_byte double, "
         "quadrant_hist array<double>",
+    )
+    # Result surface: fixed-width vector -> scalar columns. Spark's Arrow
+    # list child is named "element", DuckDB's "l" — surfacing a raw list
+    # risks a typed-hash mismatch at adjudication, and a 4-bin histogram
+    # is exactly a fixed set of scalar features anyway.
+    return feats.select(
+        "doc_id",
+        "fmt",
+        "n_bytes",
+        "mean_byte",
+        *[F.col("quadrant_hist")[i].alias(f"q{i}") for i in range(4)],
     )
 
 

@@ -541,8 +541,8 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH v AS ({_VECS_SQL})
     SELECT vec_id,
-           list_transform(emb, x -> CAST(x AS DOUBLE) / norm) AS unit,
-           CAST(len(emb) AS INTEGER) AS dim
+           CAST(unnest(range(0, len(emb))) AS INTEGER) AS pos,
+           unnest(list_transform(emb, x -> CAST(x AS DOUBLE) / norm)) AS u
     FROM v
     """,
 )
@@ -550,12 +550,19 @@ def llm_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize the embedding column (map-only) — the prep step every
     cosine-similarity pipeline runs once so downstream scoring is a plain
     dot product. Division by the shared exact-fold norm is one IEEE op
-    per element, bit-identical across engines."""
+    per element, bit-identical across engines.
+
+    Result surface is (vec_id, pos, u) — the unit vector posexploded to
+    one row per element: Spark's Arrow list child is named "element",
+    DuckDB's "l", so a raw list column risks a typed-hash mismatch at
+    adjudication even with identical values (DuckDB zips parallel
+    unnests positionally, mirroring posexplode exactly)."""
     v = _vecs(spark, sf_dir)
     return v.select(
         "vec_id",
-        F.transform(F.col("emb"), lambda x: x / F.col("norm")).alias("unit"),
-        F.size("emb").alias("dim"),
+        F.posexplode(
+            F.transform(F.col("emb"), lambda x: x / F.col("norm"))
+        ).alias("pos", "u"),
     )
 
 

@@ -246,7 +246,12 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exact across engines. Ordering ties broken by event_id.
     """
     e = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", F.unix_micros("ts").alias("us")
+        "user_id",
+        "event_id",
+        "ts",
+        # unix_micros requires LTZ; events.ts is NTZ (UTC session tz makes
+        # the cast a pure re-tag of the same microsecond value).
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     new_sess = (
@@ -299,7 +304,11 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange). Integer-millisecond bounds keep it bit-exact vs DuckDB.
     """
     e = load(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id", F.unix_micros("ts").alias("us")
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     starts = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(

@@ -62,6 +62,55 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
     _PYFILES_SENT.add(id(sc))
 
 
+def _ntz_type(dt):
+    """Recursively rewrite TIMESTAMP (LTZ) to TIMESTAMP_NTZ in a DataType.
+
+    Why: the driver's value-hash is computed over the Arrow representation
+    (proved twice — round 2 ``agg_bool``: DuckDB HUGEINT arrives as
+    decimal128(38,0) vs Spark int64; round 3 ``scan_typed_columns``:
+    identical collect() values but Spark TIMESTAMP_LTZ arrives as
+    ``timestamp[us, tz=UTC]`` while DuckDB's naive TIMESTAMP arrives as
+    ``timestamp[us]``).  DuckDB timestamps are NTZ semantically, so every
+    result-surface timestamp must leave Spark as TIMESTAMP_NTZ.  Session
+    timezone is pinned to UTC, so the LTZ->NTZ cast preserves wall-clock
+    values exactly.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.TimestampType):
+        return T.TimestampNTZType()
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_ntz_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _ntz_type(dt.keyType), _ntz_type(dt.valueType), dt.valueContainsNull
+        )
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _ntz_type(f.dataType), f.nullable, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
+def _normalize_result_types(df: DataFrame) -> DataFrame:
+    """Cast any (possibly nested) LTZ timestamp column to NTZ."""
+    from pyspark.sql import functions as F
+
+    replaced = False
+    cols = []
+    for f in df.schema.fields:
+        new_dt = _ntz_type(f.dataType)
+        if new_dt == f.dataType:
+            cols.append(F.col(f.name))
+        else:
+            replaced = True
+            cols.append(F.col(f.name).cast(new_dt).alias(f.name))
+    return df.select(*cols) if replaced else df
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register ``fn`` under ``name``; optionally attach a DuckDB oracle."""
 
@@ -69,7 +118,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         def wrapped(spark: SparkSession, sf_dir: str, *args: Any, **kwargs: Any) -> DataFrame:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             _ensure_worker_imports(spark)
-            return fn(spark, sf_dir, *args, **kwargs)
+            return _normalize_result_types(fn(spark, sf_dir, *args, **kwargs))
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__

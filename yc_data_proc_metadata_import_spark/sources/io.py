@@ -48,15 +48,23 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar Parquet scan — the engine's universal source.
 
-    ``events.ts`` is nanosecond-precision parquet, which Spark 4 refuses
-    to map to TimestampType; it is read as raw nanos (nanosAsLong) and
-    floor-converted to microseconds — the same truncation DuckDB applies
-    when casting TIMESTAMP_NS to TIMESTAMP, so oracles stay hash-equal.
+    ``events.ts`` has shipped in two physical encodings across testdata
+    generations: nanosecond-precision INT64 (which Spark 4 refuses to map
+    to TimestampType — read as raw nanos via nanosAsLong and
+    floor-converted to microseconds, the same truncation DuckDB applies
+    casting TIMESTAMP_NS to TIMESTAMP) and plain microsecond TIMESTAMP
+    (NTZ).  Branch on the actual physical type so either fixture
+    generation loads to the same logical column: TIMESTAMP_NTZ in UTC.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "timestamp":  # LTZ -> NTZ, session tz is UTC
+            return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

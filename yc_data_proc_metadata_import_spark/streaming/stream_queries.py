@@ -99,7 +99,15 @@ def _read_stream(spark: SparkSession, path: str, **options) -> DataFrame:
     reader = spark.readStream.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
-    return reader.parquet(path)
+    df = reader.parquet(path)
+    # Watermarks demand TIMESTAMP (LTZ); the round-4 fixtures store
+    # events.ts as NTZ microseconds. Session tz is UTC, so the cast is a
+    # pure re-tag (same micros). Result-surface timestamps are cast back
+    # to NTZ by the registry wrapper for oracle-hash parity.
+    for f in df.schema.fields:
+        if f.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
 
 
 def _state_partitions(spark: SparkSession) -> int:
