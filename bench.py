@@ -59,15 +59,46 @@ def main() -> int:
             errors[key] = f"{type(e).__name__}: {e}"[:200]
             print(f"[bench] {key}: ERROR {errors[key]}", file=sys.stderr, flush=True)
 
+    # The driver captures only the TAIL of stdout: a JSON line carrying
+    # all 158 per-key timings overflowed that capture in rounds 2-3 and
+    # recorded as parsed:null. The printed line therefore reports the
+    # headline queries only (BASELINE.md targets + one representative per
+    # operator family); the full per-key map still lands in
+    # BENCH_LOCAL.jsonl below.
+    headline = (
+        "flagship_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier",
+        "tpch_q10_returned_items",
+        "join_asof",
+        "join_star",
+        "bucketed_join_noshuffle",
+        "agg_groupby",
+        "agg_cube",
+        "win_ranking",
+        "win_sessionize",
+        "topk_per_group",
+        "sort_multi",
+        "meta_roundtrip",
+        "llm_dedup_exact",
+        "llm_dedup_near",
+        "llm_topk_cosine",
+        "llm_sim_join",
+        "llm_tokenize",
+        "llm_tfidf",
+        "stream_tumbling",
+        "stream_stateful",
+    )
     result = {
         "metric": "full_suite_wall",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": times,
+        "queries": {k: times[k] for k in headline if k in times},
+        "n_queries": len(times),
         "sf": sf,
     }
     if errors:
-        result["errors"] = errors
+        result["n_errors"] = len(errors)
     line = json.dumps(result)
     print(line)
     # Durable local artifact (round-2 VERDICT: BENCH_r01 was empty and
@@ -75,7 +106,12 @@ def main() -> int:
     # history instead of depending on the driver's capture).
     try:
         with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_LOCAL.jsonl"), "a") as f:
-            f.write(json.dumps({"ts": int(time.time()), **result}) + "\n")
+            f.write(
+                json.dumps(
+                    {"ts": int(time.time()), **result, "all_queries": times, "errors": errors}
+                )
+                + "\n"
+            )
     except OSError:
         pass
     return 0
