@@ -159,3 +159,22 @@ def test_bloom_filter_reaches_probe_side(spark, sf_dir):
         for k, v in orig.items():
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
     assert "bloom" in plan.lower(), f"no runtime bloom filter:\n{plan}"
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """sink_compaction's reason to exist: the compacted copy must hold
+    the same rows in strictly fewer files than the fragmented input."""
+    import os
+
+    from yc_data_proc_metadata_import_spark.sources.io import SCRATCH
+
+    QUERIES["sink_compaction"](spark, sf_dir).count()
+    tag = os.path.basename(os.path.normpath(sf_dir))
+
+    def n_parquet(d):
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    n_frag = n_parquet(os.path.join(SCRATCH, f"frag_orders_{tag}"))
+    n_comp = n_parquet(os.path.join(SCRATCH, f"compact_orders_{tag}"))
+    assert n_frag == 64, f"fragmented fixture expected 64 files, got {n_frag}"
+    assert n_comp < n_frag / 8, f"compaction left {n_comp} files (from {n_frag})"

@@ -217,3 +217,72 @@ def meta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (a["n"] == b["n"]) & (a["mn"] == b["mn"]) & (a["mx"] == b["mx"])
         ).alias("match"),
     )
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "meta_profile_table",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+               COUNT(DISTINCT o_custkey),
+               CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+               COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+               COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders
+    ) ORDER BY column_name
+    """,
+)
+def meta_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling — the metadata-plane companion to migration: per
+    column, row count, null count, exact distinct count, and min/max —
+    what ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS persists into
+    the metastore the reference migrates (column stats travel with the
+    catalog, metastore-import.tf:196's Hive service).
+
+    ONE aggregation job computes every column's stats (Catalyst expands
+    multi-column COUNT(DISTINCT) into a single Expand-based pass — k
+    aggregates, one scan, no per-column re-reads), then a tiny literal
+    stack reshapes the 1-row wide result to one row per column.
+    min/max surface as strings so every profiled type shares one result
+    schema; only exactly-rendered types (integers, strings) are profiled
+    here — float rendering differs across engines. At 100 TB swap the
+    exact COUNT(DISTINCT ...) family for approx_count_distinct: the
+    Expand pass multiplies scan rows by the distinct-agg count, and HLL
+    sketches drop that to one pass with bounded memory."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(table_path(sf_dir, "orders"))
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_s, max_s)"
+    ).orderBy("column_name")

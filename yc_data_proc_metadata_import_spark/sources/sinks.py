@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from .io import SCRATCH, load, table_path
+from .io import SCRATCH, _materialize, load, table_path
 
 
 @query(
@@ -349,3 +349,45 @@ def sink_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(f"{n_nl} documents contain newlines — text sink would corrupt")
     d.write.mode("overwrite").text(out)
     return spark.read.text(out)
+
+
+@query(
+    "sink_compaction",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every long-lived
+    100 TB dataset needs: streaming ingest and over-parallel writers leave
+    thousands of KB-scale files whose per-file open/footer cost dominates
+    scans; compaction rewrites them into few target-size files.
+
+    A 64-way fragmented copy of ``orders`` (one-time fixture) is
+    compacted by an explicit ``repartition`` sized from the REAL input
+    bytes (target 128 MB per output file, the parquet sweet spot; floor
+    1). The compacted copy is what's returned, so the hash check proves
+    rewrite lossless-ness, and ``tests/test_plans.py`` asserts the file
+    count actually dropped. At scale the same job runs per partition of a
+    partitioned table with its own repartition arithmetic per partition
+    (and the fragmented fixture here IS what a micro-batched streaming
+    sink leaves behind).
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    frag = _materialize(
+        lambda p: load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(p),
+        os.path.join(SCRATCH, f"frag_orders_{tag}"),
+    )
+    frag_bytes = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, round(frag_bytes / (128 * 1024 * 1024)))
+    out = os.path.join(SCRATCH, f"compact_orders_{tag}")
+    spark.read.parquet(frag).repartition(n_out).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

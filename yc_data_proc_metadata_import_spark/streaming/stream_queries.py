@@ -679,3 +679,87 @@ def stream_restart_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(os.path.join(stage, "half1.parquet"), os.path.join(src, "half1.parquet"))
     run_once()  # restart: offset log skips half0, processes only half1
     return spark.read.parquet(out)
+
+
+@query(
+    "stream_foreach_upsert",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+           event_type AS last_type,
+           value AS last_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+    WHERE rn = 1
+    """,
+)
+def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: ``foreachBatch`` MERGEs each micro-batch into
+    a keyed state table (latest event per user) — the standard Spark
+    pattern for applying a change stream to a serving table when the sink
+    has no native MERGE (with Delta/Iceberg the body becomes one
+    ``MERGE INTO``; the orchestration is identical).
+
+    Each batch: reduce the batch to latest-per-key, union with the
+    current state, keep the per-key winner, atomically swap the state
+    directory. Latest-per-key is associative over any batch split, so
+    the final state is batch-boundary-independent — which is what makes
+    the key hash-checkable against the batch oracle. State size is
+    bounded by key cardinality (not stream length), the per-batch
+    shuffle is on the scaling user_id key, and rewriting only the
+    affected partitions (here: the whole tiny state) is the
+    copy-on-write compaction real lakehouse MERGE does underneath.
+    """
+    import shutil
+
+    tag = _sf_tag(sf_dir)
+    src = _stream_src(spark, sf_dir)
+    state = os.path.join(SCRATCH, f"upsert_state_{tag}")
+    chk = os.path.join(SCRATCH, "checkpoints", f"upsert_{tag}")
+    for d in (state, chk):
+        shutil.rmtree(d, ignore_errors=True)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        cur = batch_df
+        if os.path.exists(os.path.join(state, "_SUCCESS")):
+            cur = ss.read.parquet(state).unionByName(batch_df)
+        tmp = state + ".tmp"
+        latest(cur).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state):
+            shutil.rmtree(state)
+        os.replace(tmp, state)
+
+    q = (
+        _read_stream(spark, src, maxFilesPerTrigger=3)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    s = spark.read.parquet(state)
+    return s.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
