@@ -1,9 +1,18 @@
 """Order-insensitive result comparison between a Spark DataFrame and a
 DuckDB result set — the local stand-in for the driver's value-hash check.
 
+The comparison happens at the ARROW level on both sides, because that is
+what the driver hashes (proved twice: round-2 ``agg_bool``, DuckDB
+HUGEINT arriving as decimal128(38,0) vs Spark int64 with identical
+values; round-3 ``scan_typed_columns``, Spark TIMESTAMP_LTZ arriving as
+``timestamp[us, tz=UTC]`` vs DuckDB's naive ``timestamp[us]``). Schema
+TYPES are compared field-by-field (names sorted), then values.
+
 Normalization rules (why each exists):
 - columns sorted by name: the driver sorts columns before hashing, so
   column ORDER never matters but column NAMES must match exactly;
+- Arrow types must match exactly after collapsing encodings that hold
+  identical decoded values (string vs large_string);
 - rows sorted by their normalized string form: order-insensitive;
 - floats compared EXACTLY (repr bits): the driver hashes values, so a
   1-ulp drift is a failure — operators must be written order-independent
@@ -46,23 +55,42 @@ def _norm(v):
     return f"s:{v}"
 
 
+def _canon_type(t) -> str:
+    s = str(t)
+    return s.replace("large_string", "string").replace("large_list", "list")
+
+
+def _arrow_fields(table):
+    return sorted((f.name, _canon_type(f.type)) for f in table.schema)
+
+
+def _arrow_rows(table):
+    cols = sorted(table.column_names)
+    data = [table.column(c).to_pylist() for c in cols]
+    rows = [tuple(_norm(v) for v in row) for row in zip(*data)]
+    return cols, rows
+
+
 def spark_rows(df):
-    cols = sorted(df.columns)
-    return cols, [tuple(_norm(r[c]) for c in cols) for r in df.collect()]
+    t = df.toArrow()
+    cols, rows = _arrow_rows(t)
+    return cols, rows, _arrow_fields(t)
 
 
 def duck_rows(con, sql: str):
-    cur = con.execute(sql)
-    names = [d[0] for d in cur.description]
-    order = sorted(range(len(names)), key=lambda i: names[i])
-    cols = [names[i] for i in order]
-    return cols, [tuple(_norm(row[i]) for i in order) for row in cur.fetchall()]
+    t = con.execute(sql).arrow()
+    cols, rows = _arrow_rows(t)
+    return cols, rows, _arrow_fields(t)
 
 
 def assert_match(df, con, sql: str, key: str):
-    scols, srows = spark_rows(df)
-    dcols, drows = duck_rows(con, sql)
+    scols, srows, stypes = spark_rows(df)
+    dcols, drows, dtypes = duck_rows(con, sql)
     assert scols == dcols, f"{key}: column names differ\n spark={scols}\n duck ={dcols}"
+    assert stypes == dtypes, (
+        f"{key}: ARROW TYPES differ (driver typed-hash would fail)\n"
+        f" spark={stypes}\n duck ={dtypes}"
+    )
     assert len(srows) == len(drows), f"{key}: row count {len(srows)} != {len(drows)}"
     srows.sort()
     drows.sort()

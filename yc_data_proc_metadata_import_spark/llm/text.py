@@ -526,3 +526,120 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PACK_CAP = 2048  # tokens per packed training sequence
+_PACK_SHARDS = 8  # deterministic shards; scale knob at 100 TB
+
+
+@query(
+    "llm_doc_packing",
+    oracle=f"""
+    WITH counted AS (
+        SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '')) AS n_tok
+        FROM documents),
+    placed AS (
+        SELECT shard, doc_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM counted)
+    SELECT shard, CAST((cum - n_tok) // {_PACK_CAP} AS BIGINT) AS bin_idx,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+    FROM placed GROUP BY 1, 2
+    """,
+)
+def llm_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING (concat-and-chunk): lay documents head-to-tail in
+    deterministic shard order and cut {cap}-token training sequences; a
+    document belongs to the bin where it starts. This is the packing
+    pass every pre-training data pipeline runs to turn ragged documents
+    into fixed-length context windows with minimal padding.
+
+    Per-shard running token total (one window over the shard partition)
+    -> bin index by integer division; per-bin stats via a groupBy that
+    reuses the same shard partitioning. Shards here are doc_id % {n}
+    for oracle replayability; at 100 TB shard count scales with the
+    cluster (pick shards so one shard's tokens fit an executor's sort
+    budget) and the per-shard sequential order IS the point — packing
+    must be deterministic so training runs are reproducible.
+    """
+    counted = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.filter(F.split(F.lower(F.col("text")), _WS), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = counted.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        placed.withColumn(
+            "bin_idx", ((F.col("cum") - F.col("n_tok")) / _PACK_CAP).cast("bigint")
+        )
+        .groupBy("shard", "bin_idx")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tok_sum"))
+    )
+
+
+llm_doc_packing.__doc__ = llm_doc_packing.__doc__.format(cap=_PACK_CAP, n=_PACK_SHARDS)
+
+
+@query(
+    "llm_repetition_score",
+    oracle=f"""
+    WITH tok AS ({_TOKENS_SQL}),
+    per_tok AS (
+        SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token),
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_distinct, MAX(c) AS top_cnt
+        FROM per_tok GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(top_cnt AS DOUBLE) / n_tokens AS top_tok_ratio,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+           top_cnt * 10 > n_tokens AS is_repetitive
+    FROM per_doc
+    """,
+)
+def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document REPETITION quality signal (the Gopher-rules family):
+    top-token mass fraction and type-token ratio flag boilerplate,
+    keyword-stuffed, and looping documents that survive length filters
+    but poison training data.
+
+    Two hash aggregations over the shared token table — (doc_id, token)
+    counts, then per-doc rollup on the prefix key, so the second agg
+    rides the first's partitioning without a new exchange. Ratios are
+    one IEEE division of exact integers (bit-identical across engines);
+    the repetition flag compares integers (top*10 > total), never
+    floats. Map-side combine keeps the shuffle at distinct-pair width —
+    scan-bound at 100 TB like the rest of this module.
+    """
+    per_tok = (
+        tokens(spark, sf_dir)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (F.col("top_cnt").cast("double") / F.col("n_tokens")).alias("top_tok_ratio"),
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+            "type_token_ratio"
+        ),
+        (F.col("top_cnt") * 10 > F.col("n_tokens")).alias("is_repetitive"),
+    )
