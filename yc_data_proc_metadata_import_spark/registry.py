@@ -117,6 +117,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str, *args: Any, **kwargs: Any) -> DataFrame:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # The driver hands us a session we didn't build; Spark 4
+            # defaults ANSI ON while this engine (and the reference's
+            # Hive-era clusters, metastore-import.tf:193) assume
+            # permissive casts/arithmetic.
+            spark.conf.set("spark.sql.ansi.enabled", "false")
             _ensure_worker_imports(spark)
             return _normalize_result_types(fn(spark, sf_dir, *args, **kwargs))
 
