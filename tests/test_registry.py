@@ -20,3 +20,26 @@ def test_entry_contract_importable():
 
     assert callable(e.entry)
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_adjudication_rotation():
+    """queries() must put keys without a recorded hash-green verdict ahead
+    of keys already proven in a committed CORRECTNESS_r*.json, so the
+    correctness gate's fixed per-round budget always lands on fresh keys;
+    every registered key must still appear exactly once."""
+    import yc_data_proc_metadata_import_spark as engine
+    from yc_data_proc_metadata_import_spark import _adjudicated_green
+    from yc_data_proc_metadata_import_spark.registry import QUERIES
+
+    green = _adjudicated_green()
+    ordered = list(engine.queries())
+    assert sorted(ordered) == sorted(QUERIES), "rotation lost or duped keys"
+    if green:
+        seen_green = False
+        for k in ordered:
+            if k in green:
+                seen_green = True
+            else:
+                assert not seen_green, (
+                    f"fresh key {k!r} ordered after already-green keys"
+                )

@@ -98,6 +98,7 @@ _ADJUDICATE_LAST = (
     "stream_rate_source",
     "llm_dedup_cluster",
     "llm_curation_pipeline",
+    "stream_foreach_upsert",
     "stream_join",
 )
 

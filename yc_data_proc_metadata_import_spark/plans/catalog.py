@@ -280,3 +280,58 @@ def catalog_csv_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT n_nationkey, n_name, n_regionkey FROM eng_csv_db.nation_csv"
     )
+
+
+@query(
+    "catalog_partition_ddl",
+    oracle="""
+    SELECT 'after_add' AS snap, o_orderpriority, COUNT(*) AS n
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW') GROUP BY 2
+    UNION ALL
+    SELECT 'after_drop', o_orderpriority, COUNT(*)
+    FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 2
+    """,
+)
+def catalog_partition_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit partition lifecycle: ALTER TABLE ADD PARTITION with an
+    explicit LOCATION, then DROP PARTITION — the surgical sibling of MSCK
+    REPAIR (catalog_recover_partitions) and exactly how ingest jobs
+    publish single landed partitions to the metastore the reference
+    migrates. Only registered partitions are visible (two after ADD, one
+    after DROP); both snapshots are hash-checked, and the first is
+    forced eagerly (localCheckpoint) BEFORE the DROP runs — partition
+    listings resolve at execution time, so a lazy first snapshot would
+    silently observe the post-drop catalog. Metadata-plane only: ADD and
+    DROP touch the catalog, never the files."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    src = _materialize(
+        lambda p: load(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(p),
+        os.path.join(SCRATCH, f"parts_orders_{sf_tag}"),
+    )
+    _reset_db(spark, "eng_pd_db")
+    spark.sql(
+        "CREATE TABLE eng_pd_db.orders_parts "
+        "(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING) "
+        f"USING parquet PARTITIONED BY (o_orderpriority) LOCATION '{src}'"
+    )
+    for prio in ("1-URGENT", "5-LOW"):
+        spark.sql(
+            f"ALTER TABLE eng_pd_db.orders_parts ADD PARTITION "
+            f"(o_orderpriority='{prio}') LOCATION '{src}/o_orderpriority={prio}'"
+        )
+
+    def snap(tag: str) -> DataFrame:
+        return spark.sql(
+            f"SELECT '{tag}' AS snap, o_orderpriority, COUNT(*) AS n "
+            "FROM eng_pd_db.orders_parts GROUP BY o_orderpriority"
+        )
+
+    after_add = snap("after_add").localCheckpoint(eager=True)
+    spark.sql(
+        "ALTER TABLE eng_pd_db.orders_parts DROP PARTITION (o_orderpriority='5-LOW')"
+    )
+    return after_add.unionByName(snap("after_drop"))
