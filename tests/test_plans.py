@@ -178,3 +178,15 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     n_comp = n_parquet(os.path.join(SCRATCH, f"compact_orders_{tag}"))
     assert n_frag == 64, f"fragmented fixture expected 64 files, got {n_frag}"
     assert n_comp < n_frag / 8, f"compaction left {n_comp} files (from {n_frag})"
+
+
+def test_repetition_score_single_exchange(spark, sf_dir):
+    """llm_repetition_score: one explicit doc_id repartition must serve
+    BOTH aggregations (hash(doc_id) clusters (doc_id, token) and doc_id
+    groups alike) — a second Exchange means the pattern regressed."""
+    import re
+
+    plan = _plan(spark, sf_dir, "llm_repetition_score")
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    n_exchanges = sum(1 for n in nodes if n == "Exchange")
+    assert n_exchanges == 1, f"expected 1 Exchange, found {n_exchanges}\n{plan}"

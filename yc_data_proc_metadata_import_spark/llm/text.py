@@ -615,16 +615,20 @@ def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword-stuffed, and looping documents that survive length filters
     but poison training data.
 
-    Two hash aggregations over the shared token table — (doc_id, token)
-    counts, then per-doc rollup on the prefix key, so the second agg
-    rides the first's partitioning without a new exchange. Ratios are
-    one IEEE division of exact integers (bit-identical across engines);
-    the repetition flag compares integers (top*10 > total), never
-    floats. Map-side combine keeps the shuffle at distinct-pair width —
-    scan-bound at 100 TB like the rest of this module.
+    ONE exchange total (plan-pinned in tests/test_plans.py): an explicit
+    repartition on doc_id, after which BOTH aggregations are
+    exchange-free — hash(doc_id) clusters every (doc_id, token) group
+    and every doc_id group alike, and Spark's EnsureRequirements accepts
+    a partitioning on a subset of the grouping keys. (The checkpointed
+    token table forgets its partitioning, so without the explicit
+    repartition Catalyst inserts a (doc_id, token) exchange AND a doc_id
+    exchange.) Ratios are one IEEE division of exact integers
+    (bit-identical across engines); the repetition flag compares
+    integers (top*10 > total), never floats.
     """
     per_tok = (
         tokens(spark, sf_dir)
+        .repartition("doc_id")
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
