@@ -647,3 +647,75 @@ def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("top_cnt") * 10 > F.col("n_tokens")).alias("is_repetitive"),
     )
+
+
+_MIX_BUDGET = 800  # target whitespace tokens per source domain
+_MIX_HASH = "(doc_id * 2654435761) % 4294967296"
+
+
+@query(
+    "llm_dataset_mixture",
+    oracle=f"""
+    WITH counted AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '')) AS n_tok
+        FROM documents),
+    totals AS (
+        SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+               COUNT(*) AS n_docs
+        FROM counted GROUP BY source),
+    thresholds AS (
+        SELECT source, tok_total, n_docs,
+               LEAST(4294967296, (4294967296 * {_MIX_BUDGET}) // tok_total)
+                   AS keep_thr
+        FROM totals),
+    tagged AS (
+        SELECT c.source, c.n_tok, t.tok_total, t.n_docs, t.keep_thr,
+               {_MIX_HASH} < t.keep_thr AS kept
+        FROM counted c JOIN thresholds t USING (source))
+    SELECT source, n_docs, tok_total,
+           CAST(keep_thr AS BIGINT) AS keep_thr,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept
+    FROM tagged GROUP BY source, n_docs, tok_total, keep_thr
+    """,
+)
+def llm_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN-MIXTURE sampling: compute each source's keep rate so every
+    domain lands on the same target token budget, then apply it as a
+    deterministic hash threshold — the reweighting step that turns raw
+    crawl proportions into a designed training mixture.
+
+    Pass 1: per-source token totals (tiny — one row per domain). The
+    keep threshold is EXACT integer arithmetic out of the 2^32 hash
+    space (LEAST(2^32, 2^32*budget div total)) — no float rates, so both
+    engines agree bit-for-bit and reruns are reproducible. Pass 2:
+    broadcast the per-source thresholds back and filter on the same
+    multiplicative doc_id hash reshape_sample uses (layout-independent,
+    pushdown-able). Surfaced per-source so the result stays small; the
+    kept doc set itself is the same filter without the final rollup.
+    """
+    counted = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.lower(F.col("text")), _WS), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    totals = counted.groupBy("source").agg(
+        F.sum("n_tok").alias("tok_total"), F.count(F.lit(1)).alias("n_docs")
+    )
+    thresholds = totals.withColumn(
+        "keep_thr",
+        F.expr(f"least(4294967296, (4294967296 * {_MIX_BUDGET}) div tok_total)"),
+    )
+    tagged = counted.join(F.broadcast(thresholds), "source").withColumn(
+        "kept", F.expr(_MIX_HASH) < F.col("keep_thr")
+    )
+    return tagged.groupBy("source", "n_docs", "tok_total", "keep_thr").agg(
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tok_kept"),
+    )
