@@ -166,16 +166,15 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     the same rows in strictly fewer files than the fragmented input."""
     import os
 
-    from yc_data_proc_metadata_import_spark.sources.io import SCRATCH
+    from yc_data_proc_metadata_import_spark.sources.io import _fixture_dir
 
     QUERIES["sink_compaction"](spark, sf_dir).count()
-    tag = os.path.basename(os.path.normpath(sf_dir))
 
     def n_parquet(d):
         return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
 
-    n_frag = n_parquet(os.path.join(SCRATCH, f"frag_orders_{tag}"))
-    n_comp = n_parquet(os.path.join(SCRATCH, f"compact_orders_{tag}"))
+    n_frag = n_parquet(_fixture_dir("frag_orders", sf_dir))
+    n_comp = n_parquet(_fixture_dir("compact_orders", sf_dir))
     assert n_frag == 64, f"fragmented fixture expected 64 files, got {n_frag}"
     assert n_comp < n_frag / 8, f"compaction left {n_comp} files (from {n_frag})"
 

@@ -76,10 +76,9 @@ def llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     path byte-exactly (payload_sha is computed from the ROUND-TRIPPED
     bytes and hash-checked against DuckDB hashing the original text).
     """
-    from ..sources.io import SCRATCH
+    from ..sources.io import _fixture_dir
 
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(SCRATCH, f"media_roundtrip_{sf_tag}")
+    out = _fixture_dir("media_roundtrip", sf_dir)
     media_table(spark, sf_dir).write.mode("overwrite").parquet(out)
     rt = spark.read.parquet(out)
     return rt.select(
@@ -348,11 +347,9 @@ def _ppm_fixture(spark: SparkSession, sf_dir: str) -> str:
     8 + doc_id % 9 by 8 + (3*doc_id) % 9 — a pure function of doc_id, so
     the oracle can recompute expected stats arithmetically while the
     engine path decodes the actual bytes."""
-    from ..sources.io import SCRATCH
+    from ..sources.io import _fixture_dir
 
-    out = os.path.join(
-        SCRATCH, f"ppm_media_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
+    out = _fixture_dir("ppm_media", sf_dir)
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
 
@@ -495,11 +492,9 @@ def _wav_fixture(spark: SparkSession, sf_dir: str) -> str:
     a pure function of doc_id so the oracle can recompute exact stats."""
     import struct
 
-    from ..sources.io import SCRATCH
+    from ..sources.io import _fixture_dir
 
-    out = os.path.join(
-        SCRATCH, f"wav_media_{os.path.basename(os.path.normpath(sf_dir))}"
-    )
+    out = _fixture_dir("wav_media", sf_dir)
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
 

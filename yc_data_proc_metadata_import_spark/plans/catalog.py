@@ -25,7 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import query
-from ..sources.io import SCRATCH, _materialize, load, table_path
+from ..sources.io import SCRATCH, _fixture_dir, _materialize, load, table_path
 
 
 def _reset_db(spark: SparkSession, db: str) -> None:
@@ -167,13 +167,12 @@ def catalog_recover_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions to the catalog — no data pass at all. The count-by-
     partition-column readback proves pruned partition scans see every row.
     """
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
     src = _materialize(
         lambda p: load(spark, sf_dir, "orders")
         .write.mode("overwrite")
         .partitionBy("o_orderpriority")
         .parquet(p),
-        os.path.join(SCRATCH, f"parts_orders_{sf_tag}"),
+        _fixture_dir("parts_orders", sf_dir),
     )
     _reset_db(spark, "eng_rp_db")
     spark.sql(
@@ -265,7 +264,7 @@ def catalog_csv_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table definition, not the query."""
     import shutil
 
-    csv_dir = os.path.join(SCRATCH, f"cat_csv_nation_{os.path.basename(os.path.normpath(sf_dir))}")
+    csv_dir = _fixture_dir("cat_csv_nation", sf_dir)
     if not os.path.exists(os.path.join(csv_dir, "_SUCCESS")):
         shutil.rmtree(csv_dir, ignore_errors=True)
         load(spark, sf_dir, "nation").select(
@@ -303,13 +302,12 @@ def catalog_partition_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     listings resolve at execution time, so a lazy first snapshot would
     silently observe the post-drop catalog. Metadata-plane only: ADD and
     DROP touch the catalog, never the files."""
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
     src = _materialize(
         lambda p: load(spark, sf_dir, "orders")
         .write.mode("overwrite")
         .partitionBy("o_orderpriority")
         .parquet(p),
-        os.path.join(SCRATCH, f"parts_orders_{sf_tag}"),
+        _fixture_dir("parts_orders", sf_dir),
     )
     _reset_db(spark, "eng_pd_db")
     spark.sql(

@@ -25,12 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.io import SCRATCH, _materialize, load
+from ..sources.io import SCRATCH, _materialize, load, sf_tag
 from ..utils import dsum, sql_dsum
 
-
-def _sf_tag(sf_dir: str) -> str:
-    return os.path.basename(os.path.normpath(sf_dir))
+# Fingerprint-keyed (io.sf_tag): a testdata regeneration renames every
+# staged stream source AND its checkpoints, so offset logs can never
+# replay against changed data.
+_sf_tag = sf_tag
 
 
 def _stream_src(spark: SparkSession, sf_dir: str) -> str:
