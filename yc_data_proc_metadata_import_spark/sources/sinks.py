@@ -284,15 +284,17 @@ def scan_typed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_tag(sf_dir)
     tbl = f"typed_orders_{tag}"
     loc = _fixture_dir("typed_orders", sf_dir)
-    if not spark.catalog.tableExists(tbl) or not os.path.exists(
-        os.path.join(loc, "_SUCCESS")
-    ):
+    if not spark.catalog.tableExists(tbl):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(
             f"CREATE TABLE {tbl} (k BIGINT, price_dec DECIMAL(12,2), "
             f"status_c CHAR(3), prio_v VARCHAR(15), order_d DATE) "
             f"USING parquet LOCATION '{loc}'"
         )
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        # The location is fingerprint-keyed, so existing complete data is
+        # known-current and a fresh session only re-registers (no rewrite);
+        # an absent/partial location (interrupted INSERT) rebuilds here.
         src = table_path(sf_dir, "orders")
         spark.sql(
             f"INSERT OVERWRITE {tbl} "
