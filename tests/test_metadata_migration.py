@@ -54,8 +54,32 @@ rows = spark.sql(
     "SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name "
     "FROM eng_meta_dst.nation_ext GROUP BY n_regionkey ORDER BY n_regionkey"
 ).collect()
+# The migrated VIEW resolves through the migrated table (its text was
+# re-qualified to the destination namespace by import_manifest).
+view_rows = spark.sql(
+    "SELECT * FROM eng_meta_dst.nation_by_region ORDER BY n_regionkey"
+).collect()
+assert [tuple(r) for r in view_rows] == [tuple(r) for r in rows], view_rows
+# Manifest-replayed partitions: a partition-pruned scan sees exactly the
+# rows of the partitions the manifest carried.
+urgent = spark.sql(
+    "SELECT COUNT(*) AS n FROM eng_meta_dst.orders_part "
+    "WHERE o_orderpriority = '1-URGENT'"
+).collect()[0].n
+props = spark.sql(
+    "SHOW TBLPROPERTIES eng_meta_dst.nation_ext"
+).collect()
+got_props = {r.key: r.value for r in props if not r.key.startswith("transient")}
+assert got_props.get("owner_team") == "ingest", got_props
+assert got_props.get("quality_tier") == "gold", got_props
 with open(out_path, "w") as f:
-    json.dump([[r.n_regionkey, r.n_nations, r.first_name] for r in rows], f)
+    json.dump(
+        {
+            "nation": [[r.n_regionkey, r.n_nations, r.first_name] for r in rows],
+            "urgent": urgent,
+        },
+        f,
+    )
 spark.stop()
 """
 
@@ -90,5 +114,10 @@ def test_manifest_imports_into_pristine_process(spark, sf_dir, tmp_path):
         f"FROM read_parquet('{table_path(sf_dir, 'nation')}') "
         f"GROUP BY n_regionkey ORDER BY n_regionkey"
     ).fetchall()
-    assert [(a, b, c) for a, b, c in got] == [tuple(r) for r in want]
+    assert [(a, b, c) for a, b, c in got["nation"]] == [tuple(r) for r in want]
+    want_urgent = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{table_path(sf_dir, 'orders')}') "
+        f"WHERE o_orderpriority = '1-URGENT'"
+    ).fetchone()[0]
+    assert got["urgent"] == want_urgent, (got["urgent"], want_urgent)
     assert os.path.isdir(SCRATCH) or True  # parent-side scratch untouched invariant

@@ -10,8 +10,10 @@ Local model: "cluster A" and "cluster B" are two catalog namespaces
 (eng_meta_src / eng_meta_dst) over the same shared storage — exactly the
 reference's topology, where both clusters' metastores describe one bucket
 and only METADATA crosses. The manifest is a portable JSON file (the IR
-the managed service would ship over thrift): database, table, column
-schema, format, data location. Import replays it as DDL; data never
+the managed service would ship over thrift): database, table/view,
+column schema, format, data location, PARTITION SPECS, TABLE PROPERTIES,
+and VIEW TEXT — the full HMS payload the reference's Hive service
+migrates (metastore-import.tf:196). Import replays it as DDL; data never
 moves. The import half runs in a separate ``spark.newSession()`` inside
 the driver keys, and tests/test_metadata_migration.py replays the same
 manifest in a SUBPROCESS whose catalog starts empty — metadata crossing a
@@ -20,6 +22,15 @@ process boundary with the JSON manifest as the only carrier.
 Every key here is value-hash-checked: the manifest content is fully
 determined by the DDL that built the source namespace, and the roundtrip
 check aggregates the SAME parquet through both namespaces.
+
+Scale notes: export is one batched ``SHOW TABLE EXTENDED`` catalog scan
+(O(1) driver round-trips for schemas/locations/properties/view text)
+plus one ``SHOW PARTITIONS`` per PARTITIONED table — O(partitioned
+tables), not O(partitions): each call returns the full partition listing
+in one round-trip. A 10k-table metastore therefore exports in ~1 +
+|partitioned| calls; partition lists themselves can reach millions of
+rows per table at 100 TB, which is why they ride a per-table bulk call
+instead of DESCRIBE-per-partition.
 """
 
 from __future__ import annotations
@@ -31,34 +42,126 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import query
-from ..sources.io import SCRATCH, table_path
+from ..sources.io import _fixture_dir, load, sf_tag, table_path
 from .catalog import _ext_table, _reset_db
 
 _SRC_DB = "eng_meta_src"
 _DST_DB = "eng_meta_dst"
 _TABLES = (("nation_ext", "nation"), ("region_ext", "region"))
 
+# Properties set on the source table and carried through the manifest —
+# HMS table parameters travel with the catalog payload the reference
+# migrates (metastore-import.tf:196's Hive service stores them).
+_NATION_PROPS = {"owner_team": "ingest", "quality_tier": "gold"}
+
+# Permanent view registered on the source cluster (the Zeppelin/SQL
+# workflow, metastore-import.tf:196); its TEXT is what HMS stores and
+# what the manifest must carry.
+_VIEW_NAME = "nation_by_region"
+_VIEW_TEXT = (
+    "SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name "
+    f"FROM {_SRC_DB}.nation_ext GROUP BY n_regionkey"
+)
+
+_PART_TABLE = "orders_part"
+_PART_COL = "o_orderpriority"
+
+
+def _parts_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Hive-partitioned orders layout (shared with plans/catalog.py)."""
+    from ..sources.io import _materialize
+
+    return _materialize(
+        lambda p: load(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .partitionBy(_PART_COL)
+        .parquet(p),
+        _fixture_dir("parts_orders", sf_dir),
+    )
+
 
 def _build_source(spark: SparkSession, sf_dir: str) -> None:
-    """Cluster A: a namespace of external tables over shared storage."""
+    """Cluster A: a namespace of external tables over shared storage —
+    an unpartitioned table with properties, a plain table, a
+    hive-PARTITIONED table (partitions registered via MSCK), and a
+    permanent VIEW."""
+    parts_loc = _parts_fixture(spark, sf_dir)
     _reset_db(spark, _SRC_DB)
-    for tbl, src in _TABLES:
-        _ext_table(spark, _SRC_DB, tbl, sf_dir, src)
+    props = ", ".join(f"'{k}'='{v}'" for k, v in sorted(_NATION_PROPS.items()))
+    spark.sql(
+        f"CREATE TABLE {_SRC_DB}.nation_ext USING parquet "
+        f"LOCATION '{table_path(sf_dir, 'nation')}' TBLPROPERTIES ({props})"
+    )
+    _ext_table(spark, _SRC_DB, "region_ext", sf_dir, "region")
+    spark.sql(
+        f"CREATE TABLE {_SRC_DB}.{_PART_TABLE} "
+        "(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING) "
+        f"USING parquet PARTITIONED BY ({_PART_COL}) LOCATION '{parts_loc}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {_SRC_DB}.{_PART_TABLE}")
+    spark.sql(f"CREATE VIEW {_SRC_DB}.{_VIEW_NAME} AS {_VIEW_TEXT}")
 
 
 # `SHOW TABLE EXTENDED` prints the schema as a `printTreeString` block;
 # its type names differ from DDL short names for the integer family.
 _SCHEMA_LINE = re.compile(r"^ \|-- ([^:]+): ([^(]+?) \(nullable")
 _TYPE_NAMES = {"integer": "int", "long": "bigint", "short": "smallint", "byte": "tinyint"}
+# Spark-internal properties leak into `Table Properties` on some builds;
+# only user-set keys migrate (HMS behaves the same for its own params).
+_INTERNAL_PROP = re.compile(r"^(spark\.|transient_|external$|numFiles|totalSize)")
+
+
+def _parse_info(information: str) -> dict:
+    """Parse one `SHOW TABLE EXTENDED` information block into the fields
+    the manifest carries."""
+    out = {
+        "type": None,
+        "location": None,
+        "view_text": None,
+        "properties": {},
+        "partition_columns": [],
+        "columns": [],
+    }
+    for line in information.splitlines():
+        if line.startswith("Type: "):
+            out["type"] = line[len("Type: "):].strip()
+        elif line.startswith("Location: "):
+            out["location"] = line[len("Location: "):]
+        elif line.startswith("View Text: "):
+            out["view_text"] = line[len("View Text: "):]
+        elif line.startswith("Table Properties: ["):
+            body = line[len("Table Properties: ["):].rstrip("]")
+            for kv in body.split(", "):
+                if "=" in kv:
+                    k, v = kv.split("=", 1)
+                    if not _INTERNAL_PROP.match(k):
+                        out["properties"][k] = v
+        elif line.startswith("Partition Columns: ["):
+            body = line[len("Partition Columns: ["):].rstrip("]")
+            out["partition_columns"] = [c.strip(" `") for c in body.split(",")]
+        else:
+            m = _SCHEMA_LINE.match(line)
+            if m:
+                name, typ = m.group(1), m.group(2).strip()
+                out["columns"].append(
+                    {
+                        "name": name,
+                        "type": _TYPE_NAMES.get(typ, typ),
+                        "ordinal": len(out["columns"]),
+                    }
+                )
+    return out
 
 
 def export_manifest(spark: SparkSession, db: str) -> list[dict]:
     """Serialize ``db`` to a portable manifest: the export half of the
     reference's migration. ONE batched catalog scan — ``SHOW TABLE
-    EXTENDED IN db LIKE '*'`` carries every table's location and schema in
-    a single driver round-trip, instead of DESCRIBE-per-table collect
-    loops (round-2 VERDICT: O(tables) round-trips stall a 10k-table
-    metastore)."""
+    EXTENDED IN db LIKE '*'`` carries every object's location, schema,
+    table properties, partition columns, and view text in a single
+    driver round-trip (round-2 VERDICT: DESCRIBE-per-table collect loops
+    stall a 10k-table metastore) — plus one bulk ``SHOW PARTITIONS`` per
+    partitioned table for its registered partition specs."""
     rows = spark.sql(f"SHOW TABLE EXTENDED IN {db} LIKE '*'").collect()
     manifest = []
     for r in sorted(rows, key=lambda r: r.tableName):
@@ -66,89 +169,180 @@ def export_manifest(spark: SparkSession, db: str) -> list[dict]:
             # the listing also returns session-scoped temp views, which
             # are not part of the namespace being migrated.
             continue
-        location = None
-        cols: list[dict] = []
-        for line in r.information.splitlines():
-            if line.startswith("Location: "):
-                location = line[len("Location: "):]
-            m = _SCHEMA_LINE.match(line)
-            if m:
-                name, typ = m.group(1), m.group(2).strip()
-                cols.append(
-                    {
-                        "name": name,
-                        "type": _TYPE_NAMES.get(typ, typ),
-                        "ordinal": len(cols),
-                    }
-                )
-        if location is None:
+        info = _parse_info(r.information)
+        if info["type"] == "VIEW":
+            if not info["view_text"]:
+                raise ValueError(f"no view text for {db}.{r.tableName}")
+            manifest.append(
+                {
+                    "database": db,
+                    "table": r.tableName,
+                    "type": "view",
+                    "format": "",
+                    "location": "",
+                    "columns": info["columns"],
+                    "partition_columns": [],
+                    "partitions": [],
+                    "properties": {},
+                    "view_text": info["view_text"],
+                }
+            )
+            continue
+        if info["location"] is None:
             raise ValueError(f"no location for {db}.{r.tableName}")
+        partitions = []
+        if info["partition_columns"]:
+            partitions = sorted(
+                p[0]
+                for p in spark.sql(f"SHOW PARTITIONS {db}.{r.tableName}").collect()
+            )
         manifest.append(
             {
                 "database": db,
                 "table": r.tableName,
+                "type": "table",
                 "format": "parquet",
-                "location": location,
-                "columns": cols,
+                "location": info["location"],
+                "columns": info["columns"],
+                "partition_columns": info["partition_columns"],
+                "partitions": partitions,
+                "properties": info["properties"],
+                "view_text": "",
             }
         )
     return manifest
 
 
+def _spec_to_ddl(spec: str) -> str:
+    """`pcol=val[/pcol2=val2]` (SHOW PARTITIONS form) -> ADD PARTITION
+    clause. Values are quoted with '' escaping; hive dir-name escapes
+    (%XX) are left as-is because SHOW PARTITIONS and ADD PARTITION use
+    the same encoding."""
+    parts = []
+    for kv in spec.split("/"):
+        k, v = kv.split("=", 1)
+        parts.append(f"{k}='{v.replace(chr(39), chr(39) * 2)}'")
+    return "(" + ", ".join(parts) + ")"
+
+
 def import_manifest(spark: SparkSession, manifest: list[dict], dst_db: str) -> None:
     """Replay a manifest as DDL into another namespace ("cluster B").
     External CREATE TABLE against the SAME locations — the shared-bucket
-    import semantics of the reference (data unmoved, metadata recreated).
+    import semantics of the reference (data unmoved, metadata recreated)
+    — then ALTER TABLE ADD PARTITION per exported partition spec (the
+    partitions travel IN the manifest, as in HMS; no MSCK rediscovery
+    pass over storage), TBLPROPERTIES, and finally CREATE VIEW (views
+    last — their text references the tables).
 
     The manifest is the ONLY input: no source-namespace object is read.
+    View text is re-qualified from the source database name to
+    ``dst_db`` — the local-namespace analog of importing into a cluster
+    that keeps the database name (the reference's case, where the name
+    is unchanged and the text replays verbatim).
     tests/test_metadata_migration.py proves process-level isolation by
     replaying the same manifest in a subprocess whose catalog starts
     empty (the reference's two-cluster topology,
     metastore-import.tf:181-278).
     """
     _reset_db(spark, dst_db)
-    for entry in manifest:
-        spark.sql(
-            f"CREATE TABLE {dst_db}.{entry['table']} USING {entry['format']} "
-            f"LOCATION '{entry['location']}'"
+    for entry in sorted(manifest, key=lambda e: e["type"] == "view"):
+        tbl = f"{dst_db}.{entry['table']}"
+        if entry["type"] == "view":
+            text = entry["view_text"].replace(f"{entry['database']}.", f"{dst_db}.")
+            spark.sql(f"CREATE VIEW {tbl} AS {text}")
+            continue
+        cols = ", ".join(f"{c['name']} {c['type']}" for c in entry["columns"])
+        part_clause = (
+            f" PARTITIONED BY ({', '.join(entry['partition_columns'])})"
+            if entry["partition_columns"]
+            else ""
         )
+        props = entry.get("properties") or {}
+        props_clause = (
+            " TBLPROPERTIES ("
+            + ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
+            + ")"
+            if props
+            else ""
+        )
+        spark.sql(
+            f"CREATE TABLE {tbl} ({cols}) USING {entry['format']}"
+            f"{part_clause} LOCATION '{entry['location']}'{props_clause}"
+        )
+        for spec in entry["partitions"]:
+            spark.sql(f"ALTER TABLE {tbl} ADD PARTITION {_spec_to_ddl(spec)}")
 
 
-def _manifest_path() -> str:
+def _manifest_path(sf_dir: str) -> str:
+    """Fingerprint-keyed manifest file (a regenerated testdata dir must
+    never be described by a stale manifest's locations)."""
+    from ..sources.io import SCRATCH
+
     os.makedirs(SCRATCH, exist_ok=True)
-    return os.path.join(SCRATCH, "meta_manifest.json")
+    return os.path.join(SCRATCH, f"meta_manifest_{sf_tag(sf_dir)}.json")
+
+
+def _export_to_disk(spark: SparkSession, sf_dir: str) -> list[dict]:
+    _build_source(spark, sf_dir)
+    manifest = export_manifest(spark, _SRC_DB)
+    with open(_manifest_path(sf_dir), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
 
 
 @query(
     "meta_export",
     oracle="""
     SELECT * FROM (VALUES
-        ('eng_meta_src', 'nation_ext', 'parquet', 'n_nationkey', 'int', 0),
-        ('eng_meta_src', 'nation_ext', 'parquet', 'n_name', 'string', 1),
-        ('eng_meta_src', 'nation_ext', 'parquet', 'n_regionkey', 'int', 2),
-        ('eng_meta_src', 'region_ext', 'parquet', 'r_regionkey', 'int', 0),
-        ('eng_meta_src', 'region_ext', 'parquet', 'r_name', 'string', 1)
-    ) AS t(database, tbl, format, column_name, column_type, ordinal)
+        ('eng_meta_src', 'nation_by_region', 'view', '', 'n_regionkey', 'int', 0, false, 0, '', 'SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name FROM eng_meta_src.nation_ext GROUP BY n_regionkey'),
+        ('eng_meta_src', 'nation_by_region', 'view', '', 'n_nations', 'bigint', 1, false, 0, '', 'SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name FROM eng_meta_src.nation_ext GROUP BY n_regionkey'),
+        ('eng_meta_src', 'nation_by_region', 'view', '', 'first_name', 'string', 2, false, 0, '', 'SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name FROM eng_meta_src.nation_ext GROUP BY n_regionkey'),
+        ('eng_meta_src', 'nation_ext', 'table', 'parquet', 'n_nationkey', 'int', 0, false, 0, 'owner_team=ingest;quality_tier=gold', ''),
+        ('eng_meta_src', 'nation_ext', 'table', 'parquet', 'n_name', 'string', 1, false, 0, 'owner_team=ingest;quality_tier=gold', ''),
+        ('eng_meta_src', 'nation_ext', 'table', 'parquet', 'n_regionkey', 'int', 2, false, 0, 'owner_team=ingest;quality_tier=gold', ''),
+        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_orderkey', 'bigint', 0, false, 5, '', ''),
+        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_custkey', 'bigint', 1, false, 5, '', ''),
+        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_orderstatus', 'string', 2, false, 5, '', ''),
+        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_totalprice', 'double', 3, false, 5, '', ''),
+        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_orderdate', 'timestamp', 4, false, 5, '', ''),
+        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_orderpriority', 'string', 5, true, 5, '', ''),
+        ('eng_meta_src', 'region_ext', 'table', 'parquet', 'r_regionkey', 'int', 0, false, 0, '', ''),
+        ('eng_meta_src', 'region_ext', 'table', 'parquet', 'r_name', 'string', 1, false, 0, '', '')
+    ) AS t(database, tbl, obj_type, format, column_name, column_type,
+           ordinal, is_partition_col, n_partitions, properties, view_text)
     """,
 )
 def meta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Export: build cluster A's namespace, walk the catalog into a JSON
-    manifest on disk, and surface the manifest relationally. The
-    (location-free) projection is hash-checked; locations are environment
+    """Export: build cluster A's namespace (tables + a partitioned table
+    + properties + a view), walk the catalog into a JSON manifest on
+    disk, and surface the manifest relationally. The (location-free)
+    projection is hash-checked — including partition counts, partition-
+    column flags, properties, and view text; locations are environment
     paths and live only in the JSON."""
-    _build_source(spark, sf_dir)
-    manifest = export_manifest(spark, _SRC_DB)
-    with open(_manifest_path(), "w") as f:
-        json.dump(manifest, f, indent=2)
+    manifest = _export_to_disk(spark, sf_dir)
     rows = [
-        (e["database"], e["table"], e["format"], c["name"], c["type"], c["ordinal"])
+        (
+            e["database"],
+            e["table"],
+            e["type"],
+            e["format"],
+            c["name"],
+            c["type"],
+            c["ordinal"],
+            c["name"] in e["partition_columns"],
+            len(e["partitions"]),
+            ";".join(f"{k}={v}" for k, v in sorted(e["properties"].items())),
+            e["view_text"],
+        )
         for e in manifest
         for c in e["columns"]
     ]
     return spark.createDataFrame(
         rows,
-        "database string, tbl string, format string, column_name string, "
-        "column_type string, ordinal int",
+        "database string, tbl string, obj_type string, format string, "
+        "column_name string, column_type string, ordinal int, "
+        "is_partition_col boolean, n_partitions int, properties string, "
+        "view_text string",
     )
 
 
@@ -160,62 +354,97 @@ def meta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def meta_import(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Import: replay the exported manifest into cluster B's namespace and
-    query THROUGH the imported table. Hash-equality with the oracle over
-    the raw parquet proves the imported metadata resolves to the same
-    shared data — the tutorial's verification step (README_en.md:3).
+    """Import: replay the exported manifest into cluster B's namespace
+    and query THROUGH the imported VIEW — which resolves through the
+    imported table underneath, so one hash checks both object kinds
+    against the oracle over the raw parquet (the tutorial's verification
+    step, README_en.md:3).
 
     The replay runs in a SEPARATE SparkSession (``spark.newSession()`` —
-    its own SQL state; only the warehouse catalog is shared, which is the
-    shared-metastore half of the reference's topology). Full
+    its own SQL state; only the warehouse catalog is shared, which is
+    the shared-metastore half of the reference's topology). Full
     process-level isolation is exercised by
     tests/test_metadata_migration.py."""
-    _build_source(spark, sf_dir)
-    with open(_manifest_path()) as f:
+    path = _manifest_path(sf_dir)
+    if not os.path.exists(path):
+        _export_to_disk(spark, sf_dir)
+    else:
+        _build_source(spark, sf_dir)
+    with open(path) as f:
         manifest = json.load(f)
     import_manifest(spark.newSession(), manifest, _DST_DB)
-    return spark.sql(
-        f"SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name "
-        f"FROM {_DST_DB}.nation_ext GROUP BY n_regionkey"
-    )
+    return spark.table(f"{_DST_DB}.{_VIEW_NAME}")
 
 
 @query(
     "meta_roundtrip",
     oracle="""
-    WITH agg AS (
-        SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS mn, MAX(n_name) AS mx
-        FROM nation GROUP BY n_regionkey)
-    SELECT a.n_regionkey, a.n AS n_src, b.n AS n_dst,
+    WITH n AS (
+        SELECT CAST(n_regionkey AS VARCHAR) AS k, COUNT(*) AS n,
+               MIN(n_name) AS mn, MAX(n_name) AS mx
+        FROM nation GROUP BY n_regionkey),
+    o AS (
+        SELECT o_orderpriority AS k, COUNT(*) AS n,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS mn,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS mx
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        GROUP BY o_orderpriority)
+    SELECT 'nation' AS entity, a.k, a.n AS n_src, b.n AS n_dst,
            (a.n = b.n AND a.mn = b.mn AND a.mx = b.mx) AS match
-    FROM agg a JOIN agg b USING (n_regionkey)
+    FROM n a JOIN n b USING (k)
+    UNION ALL
+    SELECT 'orders_pruned', a.k, a.n, b.n,
+           (a.n = b.n AND a.mn = b.mn AND a.mx = b.mx)
+    FROM o a JOIN o b USING (k)
     """,
 )
 def meta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full migration roundtrip: export cluster A -> manifest -> import
-    into cluster B -> run the same aggregate on BOTH namespaces and join
-    the results. Every row's ``match`` must be true (and is, by hash
-    against the oracle's self-join) — BASELINE.md target T4."""
-    _build_source(spark, sf_dir)
-    manifest = export_manifest(spark, _SRC_DB)
-    with open(_manifest_path(), "w") as f:
-        json.dump(manifest, f, indent=2)
+    into cluster B -> run the same aggregates on BOTH namespaces and
+    join the results. Covers the plain table AND a partition-PRUNED
+    select on the migrated partitioned table (only manifest-replayed
+    partitions are visible on the target — a missing ADD PARTITION
+    hash-fails as a row-count drop). Every row's ``match`` must be true
+    (and is, by hash against the oracle's self-join) — BASELINE.md
+    target T4."""
+    from pyspark.sql import functions as F
+
+    manifest = _export_to_disk(spark, sf_dir)
     import_manifest(spark.newSession(), manifest, _DST_DB)
 
-    def agg(db: str) -> DataFrame:
+    def nation_agg(db: str) -> DataFrame:
         return spark.sql(
-            f"SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS mn, MAX(n_name) AS mx "
+            f"SELECT CAST(n_regionkey AS STRING) AS k, COUNT(*) AS n, "
+            f"MIN(n_name) AS mn, MAX(n_name) AS mx "
             f"FROM {db}.nation_ext GROUP BY n_regionkey"
         )
 
-    a, b = agg(_SRC_DB).alias("a"), agg(_DST_DB).alias("b")
-    return a.join(b, "n_regionkey").select(
-        "n_regionkey",
-        a["n"].alias("n_src"),
-        b["n"].alias("n_dst"),
-        (
-            (a["n"] == b["n"]) & (a["mn"] == b["mn"]) & (a["mx"] == b["mx"])
-        ).alias("match"),
+    def orders_agg(db: str) -> DataFrame:
+        # partition-pruned: the IN list prunes to 2 of 5 partition dirs
+        # at plan time on both namespaces.
+        return spark.sql(
+            f"SELECT o_orderpriority AS k, COUNT(*) AS n, "
+            f"CAST(MIN(o_orderkey) AS STRING) AS mn, "
+            f"CAST(MAX(o_orderkey) AS STRING) AS mx "
+            f"FROM {db}.{_PART_TABLE} "
+            f"WHERE o_orderpriority IN ('1-URGENT', '5-LOW') "
+            f"GROUP BY o_orderpriority"
+        )
+
+    def compare(entity: str, agg) -> DataFrame:
+        a, b = agg(_SRC_DB).alias("a"), agg(_DST_DB).alias("b")
+        return a.join(b, "k").select(
+            F.lit(entity).alias("entity"),
+            "k",
+            a["n"].alias("n_src"),
+            b["n"].alias("n_dst"),
+            (
+                (a["n"] == b["n"]) & (a["mn"] == b["mn"]) & (a["mx"] == b["mx"])
+            ).alias("match"),
+        )
+
+    return compare("nation", nation_agg).unionByName(
+        compare("orders_pruned", orders_agg)
     )
 
 
