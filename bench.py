@@ -77,6 +77,7 @@ def main() -> int:
         "llm_multimodal",
         "llm_audio_decode",
         "llm_image_decode",
+        "llm_png_decode",
         "llm_tfidf",
         "llm_curation_pipeline",
     )
@@ -84,8 +85,14 @@ def main() -> int:
         if key in queries:
             try:
                 run(queries[key](spark, sf_dir))
-            except Exception:  # noqa: BLE001 — the timed loop reports it
-                pass
+            except Exception as e:  # noqa: BLE001 — the timed loop reports it
+                # Surface prewarm failures (round-4 ADVICE: a swallowed
+                # prewarm exception hides WHICH fixture build broke).
+                print(
+                    f"[bench] prewarm {key}: {type(e).__name__}: {e}"[:300],
+                    file=sys.stderr,
+                    flush=True,
+                )
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -138,7 +145,10 @@ def main() -> int:
         "sf": sf,
     }
     if errors:
+        # Key NAMES are short and diagnostic (round-4 ADVICE); the long
+        # messages stay in BENCH_LOCAL.jsonl to protect the stdout tail.
         result["n_errors"] = len(errors)
+        result["error_keys"] = sorted(errors)
     line = json.dumps(result)
     print(line)
     # Durable local artifact (round-2 VERDICT: BENCH_r01 was empty and

@@ -16,6 +16,7 @@ from yc_data_proc_metadata_import_spark.llm.multimodal import (
     _decode_ppm,
     decode_audio,
     decode_image,
+    encode_png,
 )
 
 
@@ -58,6 +59,47 @@ def test_wav_roundtrip(n, rate, seed, extra_chunk):
     decoded, got_rate = decode_audio(payload)
     assert got_rate == rate
     assert np.array_equal(decoded, samples)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=32),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    data=st.data(),
+)
+def test_png_roundtrip(w, h, seed, data):
+    """Arbitrary images under arbitrary per-scanline filter choices must
+    round-trip byte-exactly — this is what proves all five filter
+    reconstructions (None/Sub/Up/Average/Paeth), not just the ones a
+    fixed fixture happens to hit."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h), label="filters"
+    )
+    decoded = decode_image(encode_png(img, filters), "png")
+    assert decoded.shape == (h, w, 3)
+    assert np.array_equal(decoded, img)
+
+
+def test_png_crc_is_checked():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    payload = bytearray(encode_png(img))
+    payload[40] ^= 0xFF  # corrupt a byte inside IDAT
+    try:
+        decode_image(bytes(payload), "png")
+    except ValueError:
+        return
+    raise AssertionError("corrupted chunk must fail the CRC check")
+
+
+def test_jpeg_still_raises():
+    try:
+        decode_image(b"\xff\xd8\xff", "jpeg")
+    except NotImplementedError:
+        return
+    raise AssertionError("jpeg is the documented external-codec swap point")
 
 
 def test_non_ppm_raises():

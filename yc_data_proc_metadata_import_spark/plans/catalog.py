@@ -329,6 +329,21 @@ def catalog_partition_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     after_add = snap("after_add").localCheckpoint(eager=True)
+    # DROP PARTITION must be metadata-only here: that holds ONLY for
+    # EXTERNAL tables (Spark treats explicit-LOCATION tables as external,
+    # but assert rather than assume — a managed-table default or a purge
+    # flag would make the DROP delete files inside the shared
+    # fingerprint-keyed fixture and corrupt every later run; round-4
+    # ADVICE).
+    ttype = next(
+        r.data_type
+        for r in spark.sql("DESCRIBE TABLE EXTENDED eng_pd_db.orders_parts").collect()
+        if r.col_name == "Type"
+    )
+    if ttype != "EXTERNAL":
+        raise AssertionError(
+            f"orders_parts must be EXTERNAL before DROP PARTITION, got {ttype}"
+        )
     spark.sql(
         "ALTER TABLE eng_pd_db.orders_parts DROP PARTITION (o_orderpriority='5-LOW')"
     )
