@@ -707,3 +707,163 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sat.alias("n_saturated"),
         mse.alias("mse"),
     )
+
+
+# --- k-means semantic clustering (SemDeDup-style) ------------------------
+_KM_K = 8
+_KM_ITERS = 3
+_KM_Q = 1000  # micro-unit quantization: every sum below stays exact int64
+
+# Exactness contract (why this hash-checks at all): embeddings are
+# quantized to integer micro-units, centroids are carried as EXACT
+# integer (sum-vector, count) pairs, and the squared distance to
+# centroid S/n is compared via
+#     CAST(x2 AS DOUBLE) - (2*xs)/n + CAST(s2 AS DOUBLE)/(n*n)
+# where x2=<x,x>, xs=<x,S>, s2=<S,S> are exact int64 (< 2^53). Each
+# division is one correctly-rounded IEEE op on exactly-representable
+# integers, and the three-term sum associates left-to-right in BOTH
+# engines -- bit-identical costs, so argmin (ties broken by smallest
+# cluster id) is identical.
+
+
+def _km_dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _km_oracle() -> str:
+    q_cte = (
+        "q AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_Q} + 0.5) AS BIGINT)) AS qv "
+        "FROM embeddings)"
+    )
+    c0 = (
+        f"c0 AS (SELECT vec_id AS j, qv AS s, CAST(1 AS BIGINT) AS n "
+        f"FROM q WHERE vec_id < {_KM_K})"
+    )
+    ctes = [q_cte, c0]
+    for t in range(_KM_ITERS):
+        cost = (
+            f"CAST({_km_dot_sql('q.qv', 'q.qv')} AS DOUBLE) "
+            f"- (2 * {_km_dot_sql('q.qv', 'c.s')}) / c.n "
+            f"+ CAST({_km_dot_sql('c.s', 'c.s')} AS DOUBLE) / (c.n * c.n)"
+        )
+        ctes.append(
+            f"a{t + 1} AS (SELECT vec_id, j AS cluster FROM ("
+            f"SELECT q.vec_id, c.j, ROW_NUMBER() OVER "
+            f"(PARTITION BY q.vec_id ORDER BY {cost}, c.j) AS rn "
+            f"FROM q CROSS JOIN c{t} c) WHERE rn = 1)"
+        )
+        if t + 1 < _KM_ITERS:
+            ctes.append(
+                f"u{t + 1} AS (SELECT a.cluster, ii.i, "
+                f"SUM(list_extract(qq.qv, ii.i)) AS s "
+                f"FROM a{t + 1} a JOIN q qq USING (vec_id), "
+                f"LATERAL (SELECT unnest(range(1, len(qq.qv) + 1)) AS i) ii "
+                f"GROUP BY a.cluster, ii.i)"
+            )
+            ctes.append(
+                f"n{t + 1} AS (SELECT cluster, COUNT(*) AS n "
+                f"FROM a{t + 1} GROUP BY cluster)"
+            )
+            ctes.append(
+                f"c{t + 1} AS (SELECT u.cluster AS j, list(u.s ORDER BY u.i) AS s, "
+                f"MIN(n.n) AS n FROM u{t + 1} u JOIN n{t + 1} n "
+                f"ON n.cluster = u.cluster GROUP BY u.cluster)"
+            )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a{_KM_ITERS}"
+    )
+
+
+def _km_assign(cents: list) -> F.Column:
+    """Assignment expression against a driver-held centroid list: array of
+    (cost, j) structs -> array_min -> struct ordering = (cost, then j),
+    mirroring the oracle's ROW_NUMBER ... ORDER BY cost, j."""
+    zero = F.lit(0).cast("long")
+    x2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qv"), lambda a, b: a * b),
+        zero,
+        lambda acc, v: acc + v,
+    )
+    entries = []
+    for j, s_vec, n in cents:
+        s_lit = F.array(*[F.lit(int(v)).cast("long") for v in s_vec])
+        xs = F.aggregate(
+            F.zip_with(F.col("qv"), s_lit, lambda a, b: a * b),
+            zero,
+            lambda acc, v: acc + v,
+        )
+        s2 = sum(int(v) * int(v) for v in s_vec)  # exact python int < 2^53
+        cost = (
+            x2.cast("double")
+            - (F.lit(2).cast("long") * xs) / F.lit(n).cast("long")
+            + F.lit(float(s2)) / F.lit(float(n * n))
+        )
+        entries.append(F.struct(cost.alias("cost"), F.lit(j).cast("int").alias("j")))
+    return F.array_min(F.array(*entries))["j"]
+
+
+@query("llm_kmeans_cluster", oracle=_km_oracle())
+def llm_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering over the embedding corpus — the grouping stage
+    of SemDeDup-style semantic dedup and the centroid-training stage IVF
+    (llm_ann_ivf) consumes: fixed K={k}, {iters} Lloyd iterations,
+    deterministic init (centroid j = vector vec_id=j), integer-exact
+    arithmetic so the full iterative algorithm is value-hash-checkable
+    (see the exactness contract above).
+
+    Scale shape per iteration: ASSIGN is map-only — the K x d centroid
+    table is a driver-held literal (K*(d+1) ints, the same metadata-scale
+    codebook llm_ann_ivf broadcasts), so no join, no shuffle; UPDATE is
+    one posexplode + (cluster, dim) hash agg whose partial aggregation
+    shrinks the shuffle to K*d rows per map task. Driver round-trips per
+    iteration: one K*d-row collect — independent of corpus size. At
+    100 TB with huge K (e.g. 65k IVF lists), swap the literal for a
+    broadcast join on the assign side and keep the same update agg;
+    empty clusters abort loudly rather than silently diverging from the
+    oracle's replay.
+    """
+    qv = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * _KM_Q + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+    init = qv.filter(F.col("vec_id") < _KM_K).collect()
+    cents = sorted((int(r["vec_id"]), [int(v) for v in r["qv"]], 1) for r in init)
+    if len(cents) != _KM_K:
+        raise AssertionError(f"init expects vec_id 0..{_KM_K - 1}, got {len(cents)}")
+    assigned = None
+    for it in range(_KM_ITERS):
+        assigned = qv.withColumn("cluster", _km_assign(cents))
+        if it + 1 == _KM_ITERS:
+            break
+        sums = (
+            assigned.select("cluster", F.posexplode("qv").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        by_cluster: dict = {}
+        for r in sums:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim"])] = int(r["s"])
+        counts = {
+            int(r["cluster"]): int(r["count"])
+            for r in assigned.groupBy("cluster").count().collect()
+        }
+        if len(counts) != _KM_K:
+            raise AssertionError(f"empty cluster after iteration {it}: {sorted(counts)}")
+        cents = sorted(
+            (j, [d[i] for i in range(len(d))], counts[j])
+            for j, d in by_cluster.items()
+        )
+    return assigned.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
+llm_kmeans_cluster.__doc__ = llm_kmeans_cluster.__doc__.format(k=_KM_K, iters=_KM_ITERS)

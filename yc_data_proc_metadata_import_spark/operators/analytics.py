@@ -216,3 +216,103 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m
         """
     )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+           {_REV_SQL} AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral shipping volume between two nations by year
+    (fixture nation names; the reference user's cross-nation trade
+    report over the shared tables).
+
+    Scale shape: both nation filters broadcast into supplier/customer
+    BEFORE the fact joins, so the lineitem spine is probed by two tiny
+    build sides; the symmetric (n1,n2)/(n2,n1) predicate rides the same
+    joins — no union of two plans, no second fact scan. The final group
+    key is 2 nations x 2 years, so the aggregate shuffle carries a
+    handful of partial rows per task.
+    """
+    n = load(spark, sf_dir, "nation")
+    pair = ("NATION_3", "NATION_7")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n.filter(F.col("n_name").isin(*pair))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n.filter(F.col("n_name").isin(*pair))),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_revenue("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(l.l_extendedprice AS DECIMAL(19,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(19,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(19,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(19,4))) AS DOUBLE)
+           AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: share of one month's revenue from promo parts.
+
+    The month filter prunes the lineitem scan at the parquet level
+    before the join; part broadcasts (it is the static dimension).
+    Both the promo-conditional and total revenue accumulate as EXACT
+    decimal(38) sums in ONE aggregate pass (conditional sum skips
+    non-matching rows via a NULL-producing CASE, no second scan), and
+    the final percentage is two correctly-rounded double ops — so a
+    global single-row ratio is still bit-reproducible regardless of
+    partitioning.
+    """
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    prod = dec_n("l_extendedprice") * dec_n(F.lit(1.0) - F.col("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", prod)).cast("double")
+    total = F.sum(prod).cast("double")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg((F.lit(100.0) * promo / total).alias("promo_revenue_pct"))
+    )

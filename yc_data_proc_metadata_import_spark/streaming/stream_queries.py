@@ -15,6 +15,16 @@ batch — checkpointed offsets + per-file tracking scale with file count,
 not bytes. Windowed aggregation state is (window x key) sized and evicted
 by watermark; memory sinks here are a test harness stand-in for a real
 table sink (the driver collects results anyway).
+
+Arbitrary-state API note: ``stream_stateful`` uses
+``applyInPandasWithState``; Spark 4.x's successor API
+(``transformWithStateInPandas`` — typed value/list/map state handles +
+timers) was evaluated here but its Python driver worker hard-requires
+the ``protobuf`` package (``google.protobuf`` import in its state-server
+protocol), which this container does not ship — a verified environment
+limitation, not a design choice. On a cluster with protobuf installed
+the stream_stateful processor ports mechanically (init/handleInputRows
+instead of a single update fn).
 """
 
 from __future__ import annotations
@@ -764,3 +774,4 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     )
+
