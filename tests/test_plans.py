@@ -189,3 +189,34 @@ def test_repetition_score_single_exchange(spark, sf_dir):
     nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
     n_exchanges = sum(1 for n in nodes if n == "Exchange")
     assert n_exchanges == 1, f"expected 1 Exchange, found {n_exchanges}\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "key", ["tpch_q7_volume_shipping", "tpch_q14_promo_revenue"]
+)
+def test_new_tpch_dims_broadcast(spark, sf_dir, key):
+    """Q7's nation-filtered supplier/customer sides and Q14's part
+    dimension must broadcast — a shuffle join on a dimension means the
+    hint/shape regressed."""
+    plan = _plan(spark, sf_dir, key)
+    assert "BroadcastHashJoin" in plan, f"{key}: dimension not broadcast\n{plan}"
+
+
+def test_kmeans_assign_is_join_free(spark, sf_dir):
+    """The k-means ASSIGN stage scores against a driver-held literal
+    codebook: the final assignment plan must contain no join at all —
+    a join appearing means the codebook stopped being a literal and the
+    map-only scale shape regressed."""
+    plan = _plan(spark, sf_dir, "llm_kmeans_cluster")
+    for op in ("Join", "CartesianProduct"):
+        assert op not in plan, f"llm_kmeans_cluster: unexpected {op}\n{plan}"
+
+
+def test_incremental_dedup_single_hash_exchange_family(spark, sf_dir):
+    """llm_dedup_incremental: corpus anti-lookup and batch keep-first
+    window both key on the digest; no cartesian/BNL may appear and the
+    join must stay an equi hash/sort-merge join."""
+    plan = _plan(spark, sf_dir, "llm_dedup_incremental")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        f"llm_dedup_incremental: non-equi join shape\n{plan}"
+    )

@@ -398,3 +398,44 @@ def fn_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.unbase64(b64)).alias("b64_roundtrip_len"),
         F.lower(F.hex("p_name")).alias("name_hex"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(NULL AS BIGINT) AS k_missing,
+           'OBJECT<k: BIGINT>' AS v_schema
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface over the events JSON payload: parse once
+    with ``parse_json`` into the binary VARIANT encoding, then typed
+    extraction via ``variant_get`` (error-on-miss) /
+    ``try_variant_get`` (NULL-on-miss) and ``schema_of_variant``
+    introspection.
+
+    Why this matters beyond get_json_object (fn_json): VARIANT stores
+    the parsed tree ONCE in a compact binary form, so N extractions cost
+    one parse instead of N string re-parses, and parquet can store the
+    column shredded — the modern semi-structured path the Hive-era
+    clusters the reference provisions never had. The result surface is
+    fully typed (the raw variant stays internal: its Arrow encoding is
+    engine-specific); the oracle replays extraction with DuckDB's JSON
+    functions and pins the (constant, fixture-determined) variant
+    schema string.
+    """
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_int"),
+        F.expr("variant_get(parse_json(props), '$.k', 'string')").alias("k_str"),
+        F.expr("try_variant_get(parse_json(props), '$.missing', 'bigint')").alias(
+            "k_missing"
+        ),
+        F.schema_of_variant(v).alias("v_schema"),
+    )

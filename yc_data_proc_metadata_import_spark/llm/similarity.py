@@ -733,7 +733,7 @@ def _km_dot_sql(a: str, b: str) -> str:
     )
 
 
-def _km_oracle() -> str:
+def _km_oracle() -> list:
     q_cte = (
         "q AS (SELECT vec_id, list_transform(embedding, "
         f"x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_Q} + 0.5) AS BIGINT)) AS qv "
@@ -773,9 +773,13 @@ def _km_oracle() -> str:
                 f"MIN(n.n) AS n FROM u{t + 1} u JOIN n{t + 1} n "
                 f"ON n.cluster = u.cluster GROUP BY u.cluster)"
             )
+    return ctes
+
+
+def _km_oracle_sql() -> str:
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_km_oracle())
         + f"\n    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster FROM a{_KM_ITERS}"
     )
 
@@ -808,7 +812,7 @@ def _km_assign(cents: list) -> F.Column:
     return F.array_min(F.array(*entries))["j"]
 
 
-@query("llm_kmeans_cluster", oracle=_km_oracle())
+@query("llm_kmeans_cluster", oracle=_km_oracle_sql())
 def llm_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means clustering over the embedding corpus — the grouping stage
     of SemDeDup-style semantic dedup and the centroid-training stage IVF
@@ -828,6 +832,17 @@ def llm_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty clusters abort loudly rather than silently diverging from the
     oracle's replay.
     """
+    return _km_fit(spark, sf_dir).select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    )
+
+
+llm_kmeans_cluster.__doc__ = llm_kmeans_cluster.__doc__.format(k=_KM_K, iters=_KM_ITERS)
+
+
+def _km_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the Lloyd loop; return (vec_id, qv, cluster) after the final
+    assignment (shared by llm_kmeans_cluster and llm_semdedup)."""
     qv = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -863,7 +878,84 @@ def llm_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             (j, [d[i] for i in range(len(d))], counts[j])
             for j, d in by_cluster.items()
         )
-    return assigned.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+    return assigned
 
 
-llm_kmeans_cluster.__doc__ = llm_kmeans_cluster.__doc__.format(k=_KM_K, iters=_KM_ITERS)
+_SEMDEDUP_T = 0.95
+
+
+def _semdedup_oracle() -> str:
+    pair_cos = (
+        f"{_DOT_SQL.format(a='va.emb', b='vb.emb')} / (va.norm * vb.norm)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(
+            [
+                *_km_oracle(),
+                f"v AS ({_VECS_SQL})",
+                f"""pairs AS (
+        SELECT aa.cluster, aa.vec_id AS vec_a, bb.vec_id AS vec_b,
+               {pair_cos} AS cosine
+        FROM a{_KM_ITERS} aa JOIN a{_KM_ITERS} bb
+          ON aa.cluster = bb.cluster AND aa.vec_id < bb.vec_id
+        JOIN v va ON va.vec_id = aa.vec_id
+        JOIN v vb ON vb.vec_id = bb.vec_id)""",
+            ]
+        )
+        + f"""
+    SELECT CAST(cluster AS INTEGER) AS cluster, vec_a, vec_b,
+           round(cosine, 6) AS cosine
+    FROM pairs WHERE cosine >= {_SEMDEDUP_T}
+    """
+    )
+
+
+@query("llm_semdedup", oracle=_semdedup_oracle())
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: k-means clustering (llm_kmeans_cluster's
+    fit, shared code) followed by WITHIN-CLUSTER all-pairs cosine — the
+    two-stage semantic dedup from the SemDeDup line of work: clustering
+    makes the quadratic stage tractable by confining it to cluster-sized
+    blocks. Pairs at cosine >= {t} (upper triangle) are the semantic
+    duplicates a curation pass would drop.
+
+    Scale shape: the pair stage is an EQUI-join on cluster id — never a
+    corpus cartesian; per-cluster work is |cluster|^2 * d, the knob being
+    K (more clusters = smaller blocks = less quadratic work, the same
+    trade the paper tunes). Embedding vectors ride the cluster shuffle
+    once; cosine is the sequential-fold double dot product shared with
+    llm_topk_cosine (oracle-bit-identical), rounded to 6 decimals at the
+    surface.
+    """
+    assigned = _km_fit(spark, sf_dir).select("vec_id", "cluster")
+    v = _vecs(spark, sf_dir)
+    sided = assigned.join(v, "vec_id")
+    a = sided.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = sided.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= _SEMDEDUP_T)
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "vec_a",
+            "vec_b",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+llm_semdedup.__doc__ = llm_semdedup.__doc__.format(t=_SEMDEDUP_T)
