@@ -734,3 +734,148 @@ def llm_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tok_kept"),
     )
+
+
+# --- BPE merge training --------------------------------------------------
+_BPE_STEPS = 3
+
+
+def _bpe_merge_ctes(t: int) -> list:
+    """Oracle CTEs replaying one greedy leftmost-nonoverlapping merge of
+    iteration ``t``'s winning pair over every word spelling, via the
+    gaps-and-islands spelling of the sequential scan: within each maximal
+    run of consecutive pair matches, exactly the even-offset positions
+    merge (runs longer than 1 occur only when the pair is (x, x), where
+    alternating IS the greedy scan), and the position after a selected
+    match is consumed."""
+    a, b = f"(SELECT a FROM m{t})", f"(SELECT b FROM m{t})"
+    return [
+        f"u{t} AS (SELECT word, freq, ii.i, sp[ii.i] AS sym "
+        f"FROM w{t}, LATERAL (SELECT unnest(range(1, len(sp) + 1)) AS i) ii)",
+        f"mm{t} AS (SELECT word, freq, i, sym, "
+        f"COALESCE(sym = {a} AND "
+        f"lead(sym) OVER (PARTITION BY word ORDER BY i) = {b}, false) AS pm "
+        f"FROM u{t})",
+        f"g{t} AS (SELECT word, freq, i, sym, pm, "
+        f"CASE WHEN pm THEN i - ROW_NUMBER() OVER "
+        f"(PARTITION BY word, pm ORDER BY i) END AS grp FROM mm{t})",
+        f"s{t} AS (SELECT word, freq, i, sym, CASE WHEN pm THEN "
+        f"((i - MIN(i) OVER (PARTITION BY word, grp)) % 2 = 0) "
+        f"ELSE false END AS selected FROM g{t})",
+        f"k{t} AS (SELECT word, freq, i, sym, selected, "
+        f"COALESCE(lag(selected) OVER (PARTITION BY word ORDER BY i), false) "
+        f"AS consumed FROM s{t})",
+        f"w{t + 1} AS (SELECT word, freq, "
+        f"list(CASE WHEN selected THEN {a} || {b} ELSE sym END ORDER BY i) AS sp "
+        f"FROM k{t} WHERE selected OR NOT consumed GROUP BY word, freq)",
+    ]
+
+
+def _bpe_oracle() -> str:
+    ctes = [
+        f"tok AS ({_TOKENS_SQL})",
+        "w0 AS (SELECT token AS word, COUNT(*) AS freq, "
+        "string_split(token, '') AS sp FROM tok GROUP BY token)",
+    ]
+    for t in range(_BPE_STEPS):
+        ctes.append(
+            f"p{t} AS (SELECT pr[1] AS a, pr[2] AS b, "
+            f"CAST(SUM(freq) AS BIGINT) AS cnt "
+            f"FROM (SELECT freq, unnest(list_zip(sp[1:len(sp)-1], sp[2:len(sp)])) "
+            f"AS pr FROM w{t}) GROUP BY 1, 2)"
+        )
+        ctes.append(f"m{t} AS (SELECT a, b, cnt FROM p{t} ORDER BY cnt DESC, a, b LIMIT 1)")
+        if t + 1 < _BPE_STEPS:
+            ctes += _bpe_merge_ctes(t)
+    finals = " UNION ALL ".join(
+        f"SELECT {t + 1} AS step, a AS sym_a, b AS sym_b, cnt FROM m{t}"
+        for t in range(_BPE_STEPS)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+def _bpe_pair_counts(w: DataFrame) -> DataFrame:
+    pairs = F.expr(
+        "zip_with(slice(sp, 1, size(sp) - 1), slice(sp, 2, size(sp) - 1), "
+        "(x, y) -> struct(x AS a, y AS b))"
+    )
+    return (
+        w.select("freq", F.explode(pairs).alias("pr"))
+        .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+
+
+def _bpe_apply_merge(w: DataFrame, a: str, b: str) -> DataFrame:
+    """One greedy leftmost scan as a single-pass fold: the accumulator
+    carries (emitted symbols, pending symbol); a pending ``a`` followed
+    by ``b`` emits the merged symbol and clears, anything else flushes
+    pending. Identical semantics to the oracle's islands spelling."""
+    merged = a + b
+    nullstr = F.lit(None).cast("string")
+
+    def step(acc, x):
+        take = acc["pend"].eqNullSafe(F.lit(a)) & (x == F.lit(b))
+        out = (
+            F.when(take, F.concat(acc["out"], F.array(F.lit(merged))))
+            .when(acc["pend"].isNull(), acc["out"])
+            .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+        )
+        return F.struct(
+            out.alias("out"), F.when(take, nullstr).otherwise(x).alias("pend")
+        )
+
+    init = F.struct(
+        F.expr("CAST(array() AS ARRAY<STRING>)").alias("out"), nullstr.alias("pend")
+    )
+    fin = lambda acc: F.when(  # noqa: E731
+        acc["pend"].isNull(), acc["out"]
+    ).otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+    return w.withColumn("sp", F.aggregate(F.col("sp"), init, step, fin))
+
+
+@query("llm_bpe_train", oracle=_bpe_oracle())
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE merge training over the corpus — {n} iterations of the
+    byte-pair-encoding loop every modern tokenizer is built from: count
+    adjacent symbol pairs across word spellings (weighted by word
+    frequency), adopt the most frequent pair (ties broken
+    lexicographically), merge it greedily left-to-right in every
+    spelling, repeat. Returns the learned merge table (step, pair,
+    count) — step N's counts depend on step N-1's merges, so the hash
+    check certifies the whole loop, not just the first count.
+
+    Scale shape per iteration: pair counting is explode + hash agg
+    (map-side partials; the shuffle carries |pair vocabulary| rows);
+    the winner is a 1-row collect (same metadata-scale round-trip as
+    llm_kmeans_cluster's codebook); the merge itself is a map-only
+    higher-order fold over each spelling — no shuffle. Word spellings
+    live on the DISTINCT-word table (|vocab| rows, not corpus rows),
+    which is the standard trainer trick: corpus scale enters only
+    through the initial frequency count. The oracle replays the greedy
+    scan with a gaps-and-islands window construction (DuckDB's
+    list_reduce cannot carry a struct accumulator) — two independent
+    spellings of the same sequential semantics, hash-equal.
+    """
+    w = (
+        tokens(spark, sf_dir)
+        .groupBy(F.col("token").alias("word"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("sp", F.split("word", ""))
+    )
+    out_rows = []
+    for step_no in range(_BPE_STEPS):
+        win = (
+            _bpe_pair_counts(w)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .first()
+        )
+        out_rows.append((step_no + 1, win["a"], win["b"], int(win["cnt"])))
+        if step_no + 1 < _BPE_STEPS:
+            w = _bpe_apply_merge(w, win["a"], win["b"])
+    return spark.createDataFrame(
+        out_rows, "step int, sym_a string, sym_b string, cnt bigint"
+    )
+
+
+llm_bpe_train.__doc__ = llm_bpe_train.__doc__.format(n=_BPE_STEPS)

@@ -599,3 +599,74 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 1)
         .select("name_a", "name_b", dist.alias("edit_dist"))
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS a_s, MAX(ts) AS a_e
+        FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+    b AS (
+        SELECT event_type, date_trunc('hour', ts) AS win_hour,
+               MIN(ts) AS b_s, MAX(ts) AS b_e
+        FROM events GROUP BY 1, 2)
+    SELECT a.user_id, b.event_type, b.win_hour,
+           CAST((epoch_us(least(a.a_e, b.b_e))
+                 - epoch_us(greatest(a.a_s, b.b_s))) // 1000 AS BIGINT)
+               AS overlap_ms
+    FROM a JOIN b ON a.a_s <= b.b_e AND b.b_s <= a.a_e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join — the sibling of ``join_range``
+    (point-in-interval): per-user daily activity spans joined to
+    per-event-type hourly windows wherever the two intervals intersect
+    (sessions x campaigns, outages x jobs — the classic temporal-join
+    shape).
+
+    Spelled the 100 TB way from the start: instead of a non-equi-only
+    condition (which plans as a nested-loop join), both sides are
+    BUCKETIZED to the hour — the activity interval explodes to the hour
+    buckets it covers (``sequence``), the hourly window sits in exactly
+    one bucket — so the join is a plain EQUI-join on the bucket key with
+    the exact overlap predicate as a residual filter. Fan-out is bounded
+    by interval-length/bucket; when BOTH sides span multiple buckets the
+    pattern adds one dropDuplicates on the pair key (not needed here
+    since the B side is single-bucket by construction). Overlap duration
+    comes out in exact integer microseconds floor-divided to ms —
+    bit-identical in both engines.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    a = (
+        ev.filter(F.col("user_id") % 10 == 0)
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.min("ts").alias("a_s"), F.max("ts").alias("a_e"))
+    )
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("win_hour")
+    ).agg(F.min("ts").alias("b_s"), F.max("ts").alias("b_e"))
+    a_buck = a.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "a_s"),
+                F.date_trunc("hour", "a_e"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    b_buck = b.withColumn("bucket", F.date_trunc("hour", "b_s"))
+    joined = (
+        a_buck.join(b_buck, "bucket")
+        .filter((F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e")))
+    )
+    return joined.select(
+        "user_id",
+        "event_type",
+        "win_hour",
+        F.expr(
+            "CAST((unix_micros(CAST(least(a_e, b_e) AS TIMESTAMP)) "
+            "- unix_micros(CAST(greatest(a_s, b_s) AS TIMESTAMP))) div 1000 AS BIGINT)"
+        ).alias("overlap_ms"),
+    )
