@@ -220,3 +220,14 @@ def test_incremental_dedup_single_hash_exchange_family(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
         f"llm_dedup_incremental: non-equi join shape\n{plan}"
     )
+
+
+def test_interval_overlap_is_equi_join(spark, sf_dir):
+    """join_interval_overlap exists to demonstrate the bucketized
+    spelling: the plan must contain a hash/sort-merge EQUI join on the
+    bucket key, never a nested-loop over the raw interval predicate."""
+    plan = _plan(spark, sf_dir, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, (
+        f"join_interval_overlap: interval join fell back to nested loop\n{plan}"
+    )
+    assert "Join" in plan, f"join_interval_overlap: no join at all?\n{plan}"

@@ -879,3 +879,52 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 llm_bpe_train.__doc__ = llm_bpe_train.__doc__.format(n=_BPE_STEPS)
+
+
+_SHUF_SHARDS = 16
+_SHUF_SEED = 7  # epoch number: changing it permutes the whole order
+
+
+@query(
+    "llm_corpus_shuffle",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               ((doc_id + {_SHUF_SEED}) * 2654435761) % 4294967296 AS hv
+        FROM documents)
+    SELECT CAST(hv % {_SHUF_SHARDS} AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY hv % {_SHUF_SHARDS} ORDER BY hv, doc_id
+           ) AS BIGINT) AS pos,
+           doc_id
+    FROM h
+    """,
+)
+def llm_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH SHUFFLE — the reproducible global permutation
+    every training run needs: each document gets a multiplicative-hash
+    value seeded by the epoch number; the hash picks a shard and the
+    (hash, doc_id) sort order within the shard gives the read position.
+    Same seed -> identical order on any cluster, partitioning, or rerun;
+    next epoch -> seed+1 re-permutes everything. This is the
+    hash-shuffle trick that avoids materializing a global ORDER BY
+    RAND() (not reproducible) or a total sort (one global exchange).
+
+    Scale shape: one hash exchange on the shard key + per-shard local
+    sort — shards sized to executors, no global ordering ever built.
+    Exact integer hash arithmetic (Knuth multiplicative, the
+    reshape_sample convention) is bit-identical in both engines.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    hv = ((F.col("doc_id") + F.lit(_SHUF_SEED)) * F.lit(2654435761)) % F.lit(
+        4294967296
+    )
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        d.withColumn("hv", hv)
+        .withColumn("shard", (F.col("hv") % _SHUF_SHARDS).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("shard", "pos", "doc_id")
+    )

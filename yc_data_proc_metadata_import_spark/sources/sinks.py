@@ -395,3 +395,45 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _fixture_dir("compact_orders", sf_dir)
     spark.read.parquet(frag).repartition(n_out).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+@query(
+    "sink_codec_zstd",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    """,
+)
+def sink_codec_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec control on the parquet sink: the same slice of
+    lineitem written twice — zstd and uncompressed — read back from the
+    zstd copy (hash-checked; losslessness is the point), with a sanity
+    assert that the zstd bytes actually undercut the uncompressed bytes.
+
+    At 100 TB the codec choice IS a capacity decision: zstd typically
+    halves storage vs snappy at similar scan speed (parquet pages
+    decompress per-column, so scans stay vectorized), and it's set per
+    WRITE — this is how a curation pipeline pins its output format.
+    Sizes are environment-dependent, so they feed an assertion, not the
+    hashed result surface.
+    """
+    cols = ("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    li = load(spark, sf_dir, "lineitem").select(*cols)
+    outs = {}
+    for codec in ("zstd", "uncompressed"):
+        out = _fixture_dir(f"sink_codec_{codec}", sf_dir)
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            li.write.mode("overwrite").option("compression", codec).parquet(out)
+        outs[codec] = out
+
+    def nbytes(d: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    z, u = nbytes(outs["zstd"]), nbytes(outs["uncompressed"])
+    if z >= u:
+        raise AssertionError(f"zstd ({z}B) did not compress vs uncompressed ({u}B)")
+    return spark.read.parquet(outs["zstd"])
