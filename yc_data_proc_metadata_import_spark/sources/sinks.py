@@ -437,3 +437,58 @@ def sink_codec_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     if z >= u:
         raise AssertionError(f"zstd ({z}B) did not compress vs uncompressed ({u}B)")
     return spark.read.parquet(outs["zstd"])
+
+
+@query(
+    "sink_dynamic_overwrite",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+)
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — the no-lakehouse backfill: rewrite
+    ONE partition of a partitioned table in place while every other
+    partition's files stay untouched. Static overwrite mode would drop
+    the whole table; ``partitionOverwriteMode=dynamic`` replaces exactly
+    the partitions present in the incoming frame — how a 100 TB
+    pipeline reprocesses yesterday without touching a year of history.
+
+    Sequence (both steps run every call — the op under test mutates the
+    table, so a cached end-state would hide a broken overwrite): full
+    baseline write, then an overwrite of only the 'F' partition with
+    doubled prices (exact: doubling a double is exponent arithmetic).
+    The read-back proves 'F' changed and the untouched partitions
+    survived byte-for-byte.
+    """
+    out = _fixture_dir("sink_dynover", sf_dir)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            orders.repartition("o_orderstatus", "o_orderkey")
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(out)
+        )
+        backfill = orders.filter(F.col("o_orderstatus") == "F").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        (
+            backfill.repartition("o_orderstatus", "o_orderkey")
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.parquet(out).select(
+        "o_orderkey",
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        "o_totalprice",
+    )
