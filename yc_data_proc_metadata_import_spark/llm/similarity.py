@@ -856,9 +856,22 @@ def llm_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 llm_kmeans_cluster.__doc__ = llm_kmeans_cluster.__doc__.format(k=_KM_K, iters=_KM_ITERS)
 
 
+# Fit result cached per (session, source fingerprint): the Lloyd loop's
+# per-iteration collects are the expensive part, and llm_kmeans_cluster +
+# llm_semdedup would otherwise each run the full loop. Fingerprint-keyed
+# so a testdata regeneration invalidates (same contract as _fixture_dir).
+_KM_CACHE: dict = {}
+
+
 def _km_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the Lloyd loop; return (vec_id, qv, cluster) after the final
     assignment (shared by llm_kmeans_cluster and llm_semdedup)."""
+    from ..sources.io import sf_tag
+
+    cache_key = (id(spark), sf_tag(sf_dir))
+    cached = _KM_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     qv = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -894,6 +907,7 @@ def _km_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (j, [d[i] for i in range(len(d))], counts[j])
             for j, d in by_cluster.items()
         )
+    _KM_CACHE[cache_key] = assigned
     return assigned
 
 

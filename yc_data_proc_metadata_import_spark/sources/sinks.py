@@ -194,6 +194,28 @@ def bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flagged the previous _SUCCESS-only guard as a stale-serve hazard).
     tag = sf_tag(sf_dir)
     to, tl = f"{db}.orders_b_{tag}", f"{db}.lineitem_b_{tag}"
+    # Stale-fingerprint copies live under the warehouse (outside .scratch,
+    # so _fixture_dir's sibling cleanup doesn't reach them): delete
+    # same-prefix dirs whose fingerprint suffix differs — testdata
+    # regenerates every round and dead bucketed copies are the largest
+    # scratch artifacts in the repo.
+    wh_db = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), f"{db}.db"
+    )
+    base, fp = tag.rsplit("_", 1)
+    for prefix in (f"orders_b_{base}_", f"lineitem_b_{base}_"):
+        try:
+            for entry in os.listdir(wh_db):
+                rest = entry[len(prefix):]
+                from .io import _FP_SUFFIX
+
+                if entry.startswith(prefix) and _FP_SUFFIX.match(rest) and rest != fp:
+                    import shutil
+
+                    spark.sql(f"DROP TABLE IF EXISTS {db}.{entry}")
+                    shutil.rmtree(os.path.join(wh_db, entry), ignore_errors=True)
+        except OSError:
+            pass
     for t, src, key in ((to, "orders", "o_orderkey"), (tl, "lineitem", "l_orderkey")):
         if not spark.catalog.tableExists(t):
             wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
