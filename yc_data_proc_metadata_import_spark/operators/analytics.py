@@ -316,3 +316,43 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg((F.lit(100.0) * promo / total).alias("promo_revenue_pct"))
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                  * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue gain from hypothetically eliminating small
+    discounts — a pure scan-filter-aggregate with no join at all, which
+    makes it the canonical PREDICATE-PUSHDOWN benchmark: all three
+    filters (date range, discount band, quantity cap) reach the parquet
+    reader as row-group statistics filters, so at 100 TB the scan skips
+    whole row groups and the aggregate reduces each surviving partition
+    to one partial row. Revenue accumulates as an exact decimal(38)
+    product-sum (order-independent), surfaced as double.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec_n("l_extendedprice") * dec_n("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
