@@ -80,6 +80,9 @@ def main() -> int:
         "llm_png_decode",
         "llm_tfidf",
         "llm_curation_pipeline",
+        "sink_codec_zstd",
+        # prewarming the fit also serves llm_semdedup (shared _KM_CACHE)
+        "llm_kmeans_cluster",
     )
     for key in fixture_keys:
         if key in queries:
