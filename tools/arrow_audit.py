@@ -20,12 +20,15 @@ Usage: python tools/arrow_audit.py [sf_dir] [key ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import duckdb
 
-import yc_data_proc_metadata_import_spark as engine
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import yc_data_proc_metadata_import_spark as engine  # noqa: E402
 from yc_data_proc_metadata_import_spark.session import get_spark
 from yc_data_proc_metadata_import_spark.sources.io import TABLES, table_path
 

@@ -16,6 +16,9 @@ import time
 
 import duckdb
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import yc_data_proc_metadata_import_spark as engine
 from yc_data_proc_metadata_import_spark.session import get_spark
 from yc_data_proc_metadata_import_spark.sources.io import TABLES, table_path

@@ -13,6 +13,9 @@ import io
 import re
 import sys
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import yc_data_proc_metadata_import_spark as engine
 from yc_data_proc_metadata_import_spark.session import get_spark
 
