@@ -395,3 +395,57 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_value",
         F.last("raw_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@query(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT event_id, user_id, ts,
+               (ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) = 1) AS is_new
+        FROM events)
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_distinct_types
+    FROM flagged
+    """,
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE DISTINCT count — per user, how many distinct event
+    types have been seen up to and including each event. COUNT(DISTINCT)
+    isn't a supported window aggregate in either engine, so it is spelled
+    as the standard two-window decomposition: flag each (user, type)'s
+    FIRST occurrence with a row_number, then running-sum the flags over
+    the per-user event order (ties broken by event_id so both engines
+    order identically).
+
+    Scale shape: two window shuffles — (user_id, event_type) then
+    (user_id). Both keys scale with the user population, and at 100 TB
+    the second window can reuse the first's exchange by pre-partitioning
+    on user_id alone (one wider sort instead of a second shuffle); the
+    two-key spelling here is the clearer default. State per row is one
+    boolean — no per-window distinct set is ever materialized, which is
+    the whole point of the decomposition.
+    """
+    e = load(spark, sf_dir, "events")
+    first_seen = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("is_new", F.row_number().over(first_seen) == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+            .over(running)
+            .cast("long")
+            .alias("cum_distinct_types"),
+        )
+    )
