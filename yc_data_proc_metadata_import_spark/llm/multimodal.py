@@ -854,3 +854,95 @@ def llm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_samples long, sample_rate long, duration_us long, "
         "mean_amp double, rms double",
     )
+
+
+_BINFILE_MOD = 20  # one loose file per 20th doc keeps the fixture small
+
+
+def _ppm_files_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Loose .ppm FILES on disk (not parquet rows) — the input shape raw
+    media actually arrives in. Same pixel generator as _ppm_fixture, so
+    the oracle recomputes byte lengths arithmetically. Driver-side build
+    is fine: it's fixture prep for the SOURCE under test, and payloads
+    are a pure function of doc_id."""
+    import numpy as np
+
+    from ..sources.io import _fixture_dir, load
+
+    out = _fixture_dir("ppm_files", sf_dir)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    ids = [
+        int(r["doc_id"])
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _BINFILE_MOD == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    tmp = out + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    for doc_id in ids:
+        w = 8 + doc_id % 9
+        h = 8 + (3 * doc_id) % 9
+        x = np.arange(w, dtype=np.int64)
+        y = np.arange(h, dtype=np.int64)
+        c = np.arange(3, dtype=np.int64)
+        v = (
+            doc_id * 7
+            + 3 * x[None, :, None]
+            + 5 * y[:, None, None]
+            + 11 * c[None, None, :]
+        ) % 256
+        payload = f"P6\n{w} {h}\n255\n".encode() + v.astype(np.uint8).tobytes()
+        with open(os.path.join(tmp, f"doc_{doc_id}.ppm"), "wb") as f:
+            f.write(payload)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(tmp, out)
+    return out
+
+
+@query(
+    "scan_binary_file",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(3 + length(CAST(8 + doc_id % 9 AS VARCHAR))
+              + 1 + length(CAST(8 + (3 * doc_id) % 9 AS VARCHAR))
+              + 1 + 4
+              + 3 * (8 + doc_id % 9) * (8 + (3 * doc_id) % 9) AS BIGINT)
+               AS n_bytes,
+           true AS magic_ok
+    FROM documents WHERE doc_id % {_BINFILE_MOD} = 0
+    """,
+)
+def scan_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` SOURCE — how raw media enters a pipeline before it
+    ever becomes a parquet binary column: whole files scanned as
+    (path, modificationTime, length, content) rows with a glob filter.
+    The surfaced doc_id is parsed from the file name, the byte length is
+    hash-checked against the oracle's arithmetic replay of the PPM
+    header + pixel payload size, and the magic check proves content
+    actually arrived.
+
+    Scale notes: one row per FILE — fine for media blobs (each row is
+    the transfer unit anyway); for millions of tiny files the fix is
+    upstream consolidation into parquet binary columns
+    (llm_multimodal's shape), because file listing, not bytes, becomes
+    the bottleneck. ``pathGlobFilter`` prunes at listing time.
+    """
+    src = _ppm_files_fixture(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(src)
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.ppm$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        (F.substring(F.col("content"), 1, 2).cast("string") == "P6").alias("magic_ok"),
+    )

@@ -542,3 +542,61 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS BIGINT)) AS sx,
+               SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+               SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+               SUM(CAST(l_quantity AS BIGINT)
+                   * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+           CAST(sxx AS BIGINT) AS sxx, CAST(sxy AS BIGINT) AS sxy,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents
+    FROM s
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares slope per group (price-cents per unit of
+    quantity) — the regr_slope/regr_intercept family spelled through its
+    sufficient statistics instead of the built-ins, because the
+    built-ins accumulate running means whose float rounding depends on
+    partitioning. Here every sum (n, Σx, Σy, Σx², Σxy) is an EXACT
+    int64 (quantity is integral; price quantized to cents) aggregated
+    in any order, and the slope is four correctly-rounded IEEE ops over
+    exactly-representable integers with the same association order in
+    both engines — bit-identical, partitioning-independent.
+
+    Scale shape: one map-side-combined hash aggregate (5 integer
+    accumulators per group cross the shuffle), then per-group scalar
+    math — the sufficient-statistics pattern that makes ANY moment-based
+    model (variance, covariance, OLS, PCA moments) a single exact pass
+    at 100 TB.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    return s.select(
+        "l_returnflag", "n", "sx", "sy", "sxx", "sxy", slope.alias("slope_cents")
+    )
