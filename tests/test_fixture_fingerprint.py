@@ -124,3 +124,19 @@ def test_fingerprint_covers_nested_files(tmp_path):
     fp1 = _sf_fingerprint(str(d))
     (sub / "part-1.parquet").write_bytes(b"b")
     assert _sf_fingerprint(str(d)) != fp1
+
+
+def test_bucketed_warehouse_stale_cleanup(spark, sf_dir):
+    """bucketed_join_noshuffle must delete warehouse table copies whose
+    fingerprint suffix is stale (they live outside .scratch, so the
+    fixture-dir sibling cleanup can't reach them)."""
+    from yc_data_proc_metadata_import_spark.sources.io import sf_tag
+
+    base, _fp = sf_tag(sf_dir).rsplit("_", 1)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    wh_db = os.path.join(wh, "bucketed_db.db")
+    os.makedirs(wh_db, exist_ok=True)
+    stale = os.path.join(wh_db, f"orders_b_{base}_{'0' * 10}")
+    os.makedirs(stale, exist_ok=True)
+    QUERIES["bucketed_join_noshuffle"](spark, sf_dir).count()
+    assert not os.path.exists(stale), "stale bucketed warehouse copy not cleaned"
