@@ -84,3 +84,38 @@ def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber
         """
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4.0's ``|>`` operator chain) — the
+    linear-dataflow SQL dialect where each stage reads top-to-bottom
+    like the DataFrame API. Semantically identical to the classic
+    SELECT (the oracle) and compiled to the same logical plan, so the
+    pruned scan / partial agg / sort shapes are unchanged — the point
+    of the key is that the ENTRY surface exists and resolves; nothing
+    about execution differs.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n, sum_qty
+        |> ORDER BY l_returnflag
+        """
+    )
