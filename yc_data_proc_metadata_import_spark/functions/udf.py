@@ -137,3 +137,78 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, t.pos, t.token FROM udtf_docs d, LATERAL engine_tokenize(d.text) t"
     )
+
+
+def _order_lines_merge(key, orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame):
+    """Cogrouped merge: one output row per order of this key with its
+    line stats (exact integer-cent sums — order-independent)."""
+    if orders_pdf.empty:
+        return pd.DataFrame(
+            columns=["o_orderkey", "price_cents", "n_lines", "qty_sum"]
+        )
+    import numpy as np
+
+    qty = np.int64(0)
+    n = 0
+    if not lines_pdf.empty:
+        qty = lines_pdf["l_quantity"].astype("int64").sum()
+        n = len(lines_pdf)
+    row = orders_pdf.iloc[0]
+    return pd.DataFrame(
+        {
+            "o_orderkey": [row["o_orderkey"]],
+            "price_cents": [
+                int(np.floor(row["o_totalprice"] * 100 + 0.5))
+            ],
+            "n_lines": [n],
+            "qty_sum": [int(qty)],
+        }
+    )
+
+
+@query(
+    "udf_cogrouped",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+           CAST(COALESCE(SUM(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT) AS qty_sum
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 10 = 0
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED pandas API — the last piece of the pandas-UDF surface
+    (SS2.12) after scalar / grouped-agg / grouped-map / mapInPandas:
+    ``df.groupBy(k).cogroup(df2.groupBy(k)).applyInPandas(fn)`` hands
+    the function BOTH sides' Arrow batches for each key — the escape
+    hatch for per-key logic no join expresses (custom as-of matching,
+    per-entity reconciliation, trajectory alignment).
+
+    Here the merge itself is deliberately join-expressible (order
+    header + its line stats) so the full result hash-checks against a
+    plain LEFT JOIN oracle; orders with no lines prove the empty-side
+    path. Scale shape: one co-partitioning shuffle on the key for each
+    side, then embarrassingly parallel per-key Python with Arrow
+    transfer — identical cost model to applyInPandas.
+    """
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    lines = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    lines = lines.join(
+        orders.select(F.col("o_orderkey").alias("k")),
+        lines.l_orderkey == F.col("k"),
+        "left_semi",
+    )
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(lines.groupBy("l_orderkey"))
+        .applyInPandas(
+            _order_lines_merge,
+            "o_orderkey long, price_cents long, n_lines long, qty_sum long",
+        )
+    )

@@ -430,3 +430,72 @@ def scan_ignore_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
         .select("r_regionkey", "r_name")
     )
+
+
+_SYNTH_PARTS = 4
+_SYNTH_TICKS = 250
+
+
+def _make_synth_datasource():
+    """Spark 4 PYTHON DATA SOURCE: a custom connector implemented
+    entirely in Python (``pyspark.sql.datasource``) — the extension API
+    for sources Spark lacks a JVM connector for (internal REST feeds,
+    bespoke binary formats, queue snapshots). Partition planning happens
+    driver-side (``partitions()``); each ``read(partition)`` runs in an
+    executor Python worker, so throughput scales with partitions exactly
+    like a JVM source. Readings are pure modular arithmetic so the
+    oracle replays them in SQL."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_parts = int(options.get("partitions", _SYNTH_PARTS))
+            self.ticks = int(options.get("ticks", _SYNTH_TICKS))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.n_parts)]
+
+        def read(self, partition):
+            sensor = partition.value
+            for tick in range(self.ticks):
+                yield (sensor, tick, (sensor * 1000003 + tick * 7919) % 1000000)
+
+    class SynthSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "engine_synth"
+
+        def schema(self):
+            return "sensor_id int, tick int, reading bigint"
+
+        def reader(self, schema):
+            return SynthReader(self.options)
+
+    return SynthSource
+
+
+@query(
+    "scan_python_datasource",
+    oracle=f"""
+    SELECT CAST(s.i AS INTEGER) AS sensor_id,
+           CAST(t.t AS INTEGER) AS tick,
+           CAST((s.i * 1000003 + t.t * 7919) % 1000000 AS BIGINT) AS reading
+    FROM range(0, {_SYNTH_PARTS}) s(i), range(0, {_SYNTH_TICKS}) t(t)
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through a registered custom PYTHON data source (Spark 4.x
+    ``spark.dataSource.register``): one InputPartition per synthetic
+    sensor, each generating its tick series executor-side. The oracle
+    replays the generator arithmetic, so partition planning, option
+    plumbing, worker-side execution, and row assembly are all under the
+    hash. This is the template for wrapping any Python-only system as a
+    first-class ``spark.read.format(...)`` source — the connector gap
+    the reference's Hive-era clusters could only fill with JVM code."""
+    spark.dataSource.register(_make_synth_datasource())
+    return (
+        spark.read.format("engine_synth")
+        .option("partitions", _SYNTH_PARTS)
+        .option("ticks", _SYNTH_TICKS)
+        .load()
+    )
