@@ -212,3 +212,49 @@ def udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey long, price_cents long, n_lines long, qty_sum long",
         )
     )
+
+
+def _arrow_doc_stats(it):
+    """Arrow-native batch transform: byte/char lengths computed with
+    pyarrow.compute kernels — no pandas materialization at all."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in it:
+        text = batch.column("text")
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.cast(pc.utf8_length(text), pa.int64()),
+                pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+            ],
+            ["doc_id", "n_chars_arrow", "n_bytes_arrow"],
+        )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_arrow,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_arrow
+    FROM documents
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-conversion sibling of mapInPandas: the
+    function receives raw ``pyarrow.RecordBatch``es and answers with
+    RecordBatches, skipping the Arrow->pandas->Arrow round-trip
+    entirely. That conversion is the dominant per-batch cost for
+    wide/binary rows (pandas materializes python objects for strings),
+    so arrow-native is the right default for byte-level media/text
+    work; columns here are computed with pyarrow.compute kernels (C++,
+    vectorized). Map-only — partition-parallel, no shuffle."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInArrow(
+            _arrow_doc_stats,
+            "doc_id long, n_chars_arrow long, n_bytes_arrow long",
+        )
+    )

@@ -600,3 +600,41 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", "n", "sx", "sy", "sxx", "sxy", slope.alias("slope_cents")
     )
+
+
+@query(
+    "agg_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_units,
+           CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+               AS n_discounted
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def agg_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Observation`` metrics — data-quality counters collected DURING
+    another query's single pass (``df.observe``), not by a second scan:
+    the production pattern for row counts, null rates, and guardrail
+    sums on a 100 TB pipeline where re-reading the input to audit it
+    would double the cost. The observed frame here is driven by a noop
+    sink (full plan executes, nothing collected); the metrics row is
+    then surfaced relationally and hash-checked against an oracle that
+    recomputes the same aggregates — integer-exact, so the observation
+    path must agree bit-for-bit."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    obs = Observation("quality_gate")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_units"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["qty_units"]), int(m["n_discounted"]))],
+        "n_rows bigint, qty_units bigint, n_discounted bigint",
+    )

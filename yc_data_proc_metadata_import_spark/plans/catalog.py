@@ -348,3 +348,65 @@ def catalog_partition_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ALTER TABLE eng_pd_db.orders_parts DROP PARTITION (o_orderpriority='5-LOW')"
     )
     return after_add.unionByName(snap("after_drop"))
+
+
+@query(
+    "catalog_analyze_stats",
+    oracle="""
+    SELECT 'nation_stats' AS tbl,
+           (SELECT COUNT(*) FROM nation) AS row_count,
+           (SELECT COUNT(DISTINCT n_regionkey) FROM nation) AS rk_distinct,
+           (SELECT COUNT(*) - COUNT(n_regionkey) FROM nation) AS rk_nulls,
+           CAST((SELECT MIN(n_regionkey) FROM nation) AS VARCHAR) AS rk_min,
+           CAST((SELECT MAX(n_regionkey) FROM nation) AS VARCHAR) AS rk_max
+    """,
+)
+def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE ... COMPUTE STATISTICS (table + FOR COLUMNS) and
+    read the stats BACK FROM THE CATALOG — the metadata the cost-based
+    optimizer uses for join reordering/broadcast decisions, and part of
+    the HMS payload the reference migrates (table/column statistics are
+    table parameters in the metastore). The hash-checked surface is the
+    catalog's answer (DESCRIBE EXTENDED), not a recomputation: row
+    count, and the n_regionkey column's distinct/null/min/max.
+    sizeInBytes is deliberately excluded (file-layout dependent).
+
+    At 100 TB: ANALYZE is one scan (columns add a distinct sketch per
+    analyzed column); stale stats mislead the CBO, so production runs it
+    after large loads — exactly the post-migration step the tutorial's
+    target cluster would need."""
+    _reset_db(spark, "eng_st_db")
+    _ext_table(spark, "eng_st_db", "nation_stats", sf_dir, "nation")
+    spark.sql("ANALYZE TABLE eng_st_db.nation_stats COMPUTE STATISTICS")
+    spark.sql(
+        "ANALYZE TABLE eng_st_db.nation_stats "
+        "COMPUTE STATISTICS FOR COLUMNS n_regionkey"
+    )
+    rows = spark.sql(
+        "DESCRIBE TABLE EXTENDED eng_st_db.nation_stats n_regionkey"
+    ).collect()
+    col_stats = {r["info_name"]: r["info_value"] for r in rows}
+    tbl_rows = next(
+        r["data_type"]
+        for r in spark.sql("DESCRIBE TABLE EXTENDED eng_st_db.nation_stats").collect()
+        if r["col_name"] == "Statistics"
+    )
+    import re as _re
+
+    m = _re.search(r"(\d+) rows", tbl_rows)
+    if not m:
+        raise AssertionError(f"no row count in catalog statistics: {tbl_rows!r}")
+    return spark.createDataFrame(
+        [
+            (
+                "nation_stats",
+                int(m.group(1)),
+                int(col_stats["distinct_count"]),
+                int(col_stats["num_nulls"]),
+                col_stats["min"],
+                col_stats["max"],
+            )
+        ],
+        "tbl string, row_count bigint, rk_distinct bigint, rk_nulls bigint, "
+        "rk_min string, rk_max string",
+    )
