@@ -928,3 +928,50 @@ def llm_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("shard", "pos", "doc_id")
     )
+
+
+@query(
+    "llm_dataset_split",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang, n_chars,
+               ((doc_id + 13) * 2654435761) % 4294967296 AS hv
+        FROM documents)
+    SELECT CASE WHEN hv < 3435973837 THEN 'train'
+                WHEN hv < 3865470566 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM h GROUP BY 1, 2
+    """,
+)
+def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TRAIN/VAL/TEST split (80/10/10) — the assignment
+    every training pipeline must make exactly once and never change: a
+    seeded multiplicative hash on the document key buckets each doc, so
+    the split is reproducible across reruns, partitionings, and engines,
+    composes with joins (hash the same key in related tables and rows
+    stay split-consistent), and pushes down as a plain predicate when
+    materializing one split. The surfaced per-(split, lang) counts and
+    exact char sums are what a split-audit dashboard shows — and what
+    catches the classic bug of a split drifting between runs.
+
+    Scale: the hash is a row-local expression (no sampling pass, no
+    state); the audit is one map-side-combined aggregation.
+    """
+    d = load(spark, sf_dir, "documents")
+    hv = ((F.col("doc_id") + F.lit(13)) * F.lit(2654435761)) % F.lit(4294967296)
+    split = (
+        F.when(hv < F.lit(3435973837), "train")  # 0.80 * 2^32
+        .when(hv < F.lit(3865470566), "val")  # 0.90 * 2^32
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

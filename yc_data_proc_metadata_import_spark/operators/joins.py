@@ -670,3 +670,99 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "- unix_micros(CAST(greatest(a_s, b_s) AS TIMESTAMP))) div 1000 AS BIGINT)"
         ).alias("overlap_ms"),
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH cl AS (
+        SELECT user_id, ts AS c_ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'),
+    c AS (SELECT user_id, c_ts FROM cl WHERE rn = 1),
+    p AS (
+        SELECT event_id, user_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           (SELECT MAX(c.c_ts) FROM c
+            WHERE c.user_id = p.user_id
+              AND c.c_ts <= p.p_ts
+              AND c.c_ts >= p.p_ts - INTERVAL 15 MINUTES) AS last_click_ts,
+           (SELECT MIN(c.c_ts) FROM c
+            WHERE c.user_id = p.user_id
+              AND c.c_ts > p.p_ts
+              AND c.c_ts <= p.p_ts + INTERVAL 15 MINUTES) AS next_click_ts
+    FROM p
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with TOLERANCE and BOTH directions (the pandas
+    merge_asof surface join_asof lacks): for each purchase, the latest
+    click at-or-before it AND the next click strictly after it — each
+    only if within 15 minutes, else NULL (a stale match is worse than
+    no match in attribution).
+
+    Same scale-safe spelling as join_asof — one union + one (user_id)
+    window shuffle, no non-equi join: the backward match is
+    last-non-null over the preceding frame, the forward match
+    first-non-null over the following frame (equal-timestamp clicks
+    sort before purchases, so backward sees them and forward is
+    strictly-after), and tolerance is a row-local NULL-out after the
+    window. The oracle replays it as correlated non-equi subqueries —
+    an independent spelling of the same semantics.
+    """
+    e = load(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"), "event_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "c_ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "c_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    tagged = clicks.select(
+        "user_id",
+        F.col("c_ts").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("c_ts"),
+        F.lit(0).alias("is_purchase"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            F.col("p_ts").alias("ts"),
+            "event_id",
+            F.lit(None).cast("timestamp").alias("c_ts"),
+            F.lit(1).alias("is_purchase"),
+        )
+    )
+    order = [F.col("ts").asc(), F.col("is_purchase").asc()]
+    bwd_w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd_w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    tol = F.expr("INTERVAL 15 MINUTES")
+    enriched = (
+        tagged.withColumn("bwd", F.last("c_ts", ignorenulls=True).over(bwd_w))
+        .withColumn("fwd", F.first("c_ts", ignorenulls=True).over(fwd_w))
+        .filter(F.col("is_purchase") == 1)
+    )
+    return enriched.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("bwd") >= F.col("ts") - tol, F.col("bwd")).alias("last_click_ts"),
+        F.when(F.col("fwd") <= F.col("ts") + tol, F.col("fwd")).alias("next_click_ts"),
+    )
