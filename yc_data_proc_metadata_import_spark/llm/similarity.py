@@ -911,7 +911,12 @@ def _km_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
-_SEMDEDUP_T = 0.95
+# The fixture embeddings are near-orthogonal (max within-cluster cosine
+# ~0.51 at every sf), so a production-style 0.95 cutoff returns the
+# empty set and the hash check degenerates to schema-only. 0.45 keeps
+# the semantics identical while the pair stage provably fires (the
+# result carries real pairs whose cosines the oracle must reproduce).
+_SEMDEDUP_T = 0.45
 
 
 def _semdedup_oracle() -> str:
@@ -948,7 +953,8 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-stage semantic dedup from the SemDeDup line of work: clustering
     makes the quadratic stage tractable by confining it to cluster-sized
     blocks. Pairs at cosine >= {t} (upper triangle) are the semantic
-    duplicates a curation pass would drop.
+    duplicates a curation pass would drop (threshold fixture-tuned —
+    see _SEMDEDUP_T note; swap in ~0.95 for a real corpus).
 
     Scale shape: the pair stage is an EQUI-join on cluster id — never a
     corpus cartesian; per-cluster work is |cluster|^2 * d, the knob being
