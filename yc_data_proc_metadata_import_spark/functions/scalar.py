@@ -439,3 +439,54 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.schema_of_variant(v).alias("v_schema"),
     )
+
+
+@query(
+    "fn_sql_udf",
+    oracle="""
+    WITH agg AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS disc_e6
+        FROM lineitem GROUP BY l_returnflag),
+    tf AS (SELECT n_name, n_nationkey FROM nation WHERE n_regionkey = 0)
+    SELECT tf.n_name, tf.n_nationkey, agg.l_returnflag, agg.n, agg.disc_e6
+    FROM agg CROSS JOIN tf
+    """,
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DEFINED FUNCTIONS (Spark 4.x ``CREATE FUNCTION ... RETURN``):
+    a scalar SQL UDF (exact integer-unit discounted price — body is a
+    pure SQL expression, so it inlines into codegen with NO Python
+    boundary, unlike udf_scalar) and a SQL TABLE function (parameterized
+    nation lookup) driving the FROM clause. These are the catalog-
+    managed reusable business definitions HMS-era warehouses kept as
+    Hive UDFs-in-jars; SQL-defined bodies migrate as text instead of
+    classfiles. Both kinds exercise in one result: the scalar UDF
+    aggregates per returnflag, the table function fans the region-0
+    nations across it.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("sqludf_lineitem")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("sqludf_nation")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_e6(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(p * 100 + 0.5) AS BIGINT) "
+        "* (10000 - CAST(floor(d * 10000 + 0.5) AS BIGINT))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION region_nations(rk INT) "
+        "RETURNS TABLE(n_name STRING, n_nationkey INT) "
+        "RETURN SELECT n_name, n_nationkey FROM sqludf_nation WHERE n_regionkey = rk"
+    )
+    return spark.sql(
+        """
+        WITH agg AS (
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(disc_e6(l_extendedprice, l_discount)) AS BIGINT)
+                       AS disc_e6
+            FROM sqludf_lineitem GROUP BY l_returnflag)
+        SELECT tf.n_name, tf.n_nationkey, agg.l_returnflag, agg.n, agg.disc_e6
+        FROM agg CROSS JOIN region_nations(0) tf
+        """
+    )
