@@ -766,3 +766,78 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("bwd") >= F.col("ts") - tol, F.col("bwd")).alias("last_click_ts"),
         F.when(F.col("fwd") <= F.col("ts") + tol, F.col("fwd")).alias("next_click_ts"),
     )
+
+
+@query(
+    "merge_scd2_apply",
+    oracle="""
+    WITH batch AS (
+        SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+        FROM customer WHERE c_custkey % 7 = 0)
+    SELECT c.c_custkey, c.c_acctbal AS acctbal,
+           DATE '2024-01-01' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to, true AS is_current
+    FROM customer c LEFT JOIN batch b USING (c_custkey)
+    WHERE b.c_custkey IS NULL
+    UNION ALL
+    SELECT c.c_custkey, c.c_acctbal,
+           DATE '2024-01-01', DATE '2024-06-01', false
+    FROM customer c JOIN batch b USING (c_custkey)
+    UNION ALL
+    SELECT b.c_custkey, b.new_bal, DATE '2024-06-01',
+           CAST(NULL AS DATE), true
+    FROM batch b
+    """,
+)
+def merge_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 MERGE — apply a change batch to a versioned dimension
+    without a lakehouse MERGE INTO: matched OPEN rows are CLOSED
+    (valid_to = effective date, is_current=false), the batch inserts new
+    open versions, unmatched rows pass through — history is never
+    updated in place, only appended. This is the companion to
+    merge_upsert (SCD1: updates win) and scd2_history (derive intervals
+    from events); together they cover the dimension-maintenance triangle
+    a warehouse on plain parquet needs.
+
+    Scale shape: ONE left join on the merge key serves both the
+    close-matched and pass-through branches (the join output is
+    filtered twice, not recomputed — same exchange); the insert branch
+    is the (small) batch itself. At 100 TB the rewrite is confined by
+    partitioning the dimension on a stable key range and replacing only
+    affected partitions (sink_dynamic_overwrite's mechanism).
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    batch = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + F.lit(100.0)).alias("new_bal"))
+    )
+    joined = c.join(
+        batch.select(F.col("c_custkey").alias("b_key"), "new_bal"),
+        c.c_custkey == F.col("b_key"),
+        "left",
+    ).localCheckpoint(eager=False)
+    d0 = F.lit("2024-01-01").cast("date")
+    d1 = F.lit("2024-06-01").cast("date")
+    nulldate = F.lit(None).cast("date")
+    untouched = joined.filter(F.col("b_key").isNull()).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        d0.alias("valid_from"),
+        nulldate.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = joined.filter(F.col("b_key").isNotNull()).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        d0.alias("valid_from"),
+        d1.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = batch.select(
+        "c_custkey",
+        F.col("new_bal").alias("acctbal"),
+        d1.alias("valid_from"),
+        nulldate.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return untouched.unionByName(closed).unionByName(opened)
