@@ -231,3 +231,31 @@ def test_interval_overlap_is_equi_join(spark, sf_dir):
         f"join_interval_overlap: interval join fell back to nested loop\n{plan}"
     )
     assert "Join" in plan, f"join_interval_overlap: no join at all?\n{plan}"
+
+
+def test_sql_udf_scalar_inlines(spark, sf_dir):
+    """fn_sql_udf's scalar function body is pure SQL, so it must inline
+    into codegen — a BatchEvalPython/ArrowEvalPython node appearing
+    means the definition fell back to a Python boundary."""
+    plan = _plan(spark, sf_dir, "fn_sql_udf")
+    assert "EvalPython" not in plan, f"SQL UDF fell back to Python\n{plan}"
+
+
+def test_python_datasource_partition_planning(spark, sf_dir):
+    """scan_python_datasource plans one InputPartition per synthetic
+    sensor — reader parallelism must follow partitions()."""
+    from yc_data_proc_metadata_import_spark.sources.io import _SYNTH_PARTS
+
+    df = QUERIES["scan_python_datasource"](spark, sf_dir)
+    assert df.rdd.getNumPartitions() == _SYNTH_PARTS
+
+
+def test_scd2_apply_single_join(spark, sf_dir):
+    """merge_scd2_apply: the close and pass-through branches must share
+    ONE join on the merge key (localCheckpoint reuse) — a second
+    Join node means the branches recompute it."""
+    import re
+
+    plan = _plan(spark, sf_dir, "merge_scd2_apply")
+    n_joins = len(re.findall(r"\bJoin\w*\b", plan))
+    assert n_joins <= 1, f"merge_scd2_apply: expected <=1 join, got {n_joins}\n{plan}"
