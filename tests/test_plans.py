@@ -259,3 +259,18 @@ def test_scd2_apply_single_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "merge_scd2_apply")
     n_joins = len(re.findall(r"\bJoin\w*\b", plan))
     assert n_joins <= 1, f"merge_scd2_apply: expected <=1 join, got {n_joins}\n{plan}"
+
+
+def test_fuzzy_join_is_blocked_equi_join(spark, sf_dir):
+    """join_fuzzy_levenshtein must plan the deletion-neighborhood
+    blocking as an EQUI join on the variant key (round-5 VERDICT item
+    3) — a BroadcastNestedLoopJoin/CartesianProduct means the blocking
+    regressed to the O(n^2) theta join that dies at scale."""
+    plan = _plan(spark, sf_dir, "join_fuzzy_levenshtein")
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"join_fuzzy_levenshtein: nested-loop join!\n{plan}"
+    )
+    assert "CartesianProduct" not in plan, (
+        f"join_fuzzy_levenshtein: cartesian product!\n{plan}"
+    )
+    assert "Join" in plan, f"join_fuzzy_levenshtein: no join at all?\n{plan}"

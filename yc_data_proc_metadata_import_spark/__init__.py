@@ -97,6 +97,16 @@ _FAMILY_RANK = (
 )
 
 
+# Keys whose IMPLEMENTATION changed after their recorded green — a stale
+# verdict no longer covers the shipped code, so they re-enter the fresh
+# window regardless of CORRECTNESS history. Remove entries once the
+# post-change round records them green again.
+_FORCE_FRONT = {
+    # r3 green predates the deletion-neighborhood blocking (round-6).
+    "join_fuzzy_levenshtein",
+}
+
+
 def _front_rank(key: str) -> int:
     for rank, prefixes in enumerate(_FAMILY_RANK):
         if any(key.startswith(p) for p in prefixes):
@@ -138,6 +148,8 @@ def queries():
     load_all()
     q = dict(registry.QUERIES)
     green = _adjudicated_green()
+    for k in _FORCE_FRONT:
+        green.pop(k, None)
     # Stable sort: family stakes first, registration order within a family.
     fresh = sorted((k for k in q if k not in green), key=_front_rank)
     # Greens ordered STALEST-RECORDING first: once fresh keys drop below
