@@ -140,3 +140,20 @@ def test_bucketed_warehouse_stale_cleanup(spark, sf_dir):
     os.makedirs(stale, exist_ok=True)
     QUERIES["bucketed_join_noshuffle"](spark, sf_dir).count()
     assert not os.path.exists(stale), "stale bucketed warehouse copy not cleaned"
+
+
+def test_fixture_version_forces_rebuild(regen_sf):
+    """Bumping a builder's version constant must re-key (and therefore
+    rebuild) exactly that fixture, and reap the old-version dir — the
+    stale-by-CODE hazard (round-5 VERDICT item 7)."""
+    v1 = _fixture_dir("fpver_kind", regen_sf)
+    v2 = _fixture_dir("fpver_kind", regen_sf, version="2")
+    assert v1 != v2
+    assert _fixture_dir("fpver_kind", regen_sf, version="2") == v2
+    other = _fixture_dir("fpother_kind", regen_sf)
+    os.makedirs(v1, exist_ok=True)
+    os.makedirs(other, exist_ok=True)
+    _fixture_dir("fpver_kind", regen_sf, version="2")
+    assert not os.path.exists(v1), "old-version fixture dir not reaped"
+    assert os.path.exists(other), "unrelated fixture wrongly reaped"
+    shutil.rmtree(other, ignore_errors=True)

@@ -121,3 +121,34 @@ def test_manifest_imports_into_pristine_process(spark, sf_dir, tmp_path):
     ).fetchone()[0]
     assert got["urgent"] == want_urgent, (got["urgent"], want_urgent)
     assert os.path.isdir(SCRATCH) or True  # parent-side scratch untouched invariant
+
+
+def test_spec_to_ddl_unescapes_hive_path_encoding():
+    """SHOW PARTITIONS returns path-ESCAPED specs; ADD PARTITION takes
+    literal values (round-5 ADVICE — verbatim replay double-escapes)."""
+    from yc_data_proc_metadata_import_spark.plans.metadata import _spec_to_ddl
+
+    assert _spec_to_ddl("p=1-URGENT") == "(p='1-URGENT')"
+    assert _spec_to_ddl("p=6-SPECIAL %25PCT") == "(p='6-SPECIAL %PCT')"
+    assert _spec_to_ddl("p=a b%3Ac") == "(p='a b:c')"
+    assert _spec_to_ddl("p=x%2Fy/q=7") == "(p='x/y', q='7')"
+    # a quote inside the value is doubled for the SQL literal
+    assert _spec_to_ddl("p=o%27neil") == "(p='o''neil')"
+
+
+def test_view_requalification_is_identifier_boundary():
+    """Only identifier-boundary occurrences of 'src_db.' re-qualify —
+    embedded lookalikes and string literals survive (round-5 ADVICE)."""
+    from yc_data_proc_metadata_import_spark.plans.metadata import (
+        _requalify_view_text,
+    )
+
+    src, dst = "eng_meta_src", "eng_meta_dst"
+    sub = lambda text: _requalify_view_text(text, src, dst)
+    assert sub("SELECT * FROM eng_meta_src.t") == "SELECT * FROM eng_meta_dst.t"
+    assert sub("JOIN my_eng_meta_src.t") == "JOIN my_eng_meta_src.t"
+    assert sub("WHERE c = 'x eng_meta_srcX.t'") == "WHERE c = 'x eng_meta_srcX.t'"
+    assert (
+        sub("FROM eng_meta_src.a JOIN eng_meta_src.b")
+        == "FROM eng_meta_dst.a JOIN eng_meta_dst.b"
+    )

@@ -784,7 +784,7 @@ def _km_oracle_sql() -> str:
     )
 
 
-def _km_assign(cents: list) -> F.Column:
+def _km_assign(cents: list, max_abs_qv: int) -> F.Column:
     """Assignment expression against a driver-held centroid list: ONE
     higher-order ``transform`` over an array-of-centroid-structs literal
     computes every (cost, j) pair, then ``array_min`` picks the argmin —
@@ -800,13 +800,41 @@ def _km_assign(cents: list) -> F.Column:
         zero,
         lambda acc, v: acc + v,
     )
+    # Exactness contract guards (round-5 ADVICE): the cost arithmetic is
+    # only bit-identical to the oracle while (a) s2 = <S,S> renders
+    # exactly as a double literal, i.e. |s2| < 2^53, and (b) the int64
+    # row-side sums xs = <qv,S> and x2 = <qv,qv> cannot overflow.  On a
+    # larger corpus/dim these degrade SILENTLY into a one-ULP argmin
+    # divergence at cost ties — fail loudly instead.
+    for j, s_vec, n in cents:
+        s2_int = sum(int(v) * int(v) for v in s_vec)
+        if abs(s2_int) >= 2**53:
+            raise AssertionError(
+                f"k-means exactness contract violated: centroid {j} has "
+                f"s2={s2_int} >= 2^53; F.lit(float(s2)) would round and "
+                f"the engine/oracle argmin can diverge at cost ties. "
+                f"Reduce _KM_Q or split the corpus."
+            )
+        max_s = max((abs(int(v)) for v in s_vec), default=0)
+        d = len(s_vec)
+        if d * max_s * max(max_abs_qv, 1) >= 2**63:
+            raise AssertionError(
+                f"k-means exactness contract violated: centroid {j} xs "
+                f"bound d*max|s|*max|qv| = {d}*{max_s}*{max_abs_qv} "
+                f">= 2^63 — int64 dot products could overflow."
+            )
+    if len(cents) and max_abs_qv**2 * len(cents[0][1]) >= 2**63:
+        raise AssertionError(
+            "k-means exactness contract violated: x2 bound "
+            f"d*max|qv|^2 >= 2^63 (max|qv|={max_abs_qv})."
+        )
     cent_lit = F.array(
         *[
             F.struct(
                 F.lit(j).cast("int").alias("j"),
                 F.array(*[F.lit(int(v)).cast("long") for v in s_vec]).alias("s"),
                 F.lit(int(n)).cast("long").alias("n"),
-                # exact: python-int square sum < 2^53 renders exactly
+                # exact: python-int square sum < 2^53 (guarded above)
                 F.lit(float(sum(int(v) * int(v) for v in s_vec))).alias("s2"),
             )
             for j, s_vec, n in cents
@@ -856,10 +884,15 @@ def llm_kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 llm_kmeans_cluster.__doc__ = llm_kmeans_cluster.__doc__.format(k=_KM_K, iters=_KM_ITERS)
 
 
-# Fit result cached per (session, source fingerprint): the Lloyd loop's
-# per-iteration collects are the expensive part, and llm_kmeans_cluster +
-# llm_semdedup would otherwise each run the full loop. Fingerprint-keyed
-# so a testdata regeneration invalidates (same contract as _fixture_dir).
+# Fit result cached per (application, source fingerprint): the Lloyd
+# loop's per-iteration collects are the expensive part, and
+# llm_kmeans_cluster + llm_semdedup would otherwise each run the full
+# loop. Keyed on sparkContext.applicationId — stable for the life of the
+# context, never reused across restarts — NOT id(spark) (round-5 ADVICE:
+# CPython reuses object ids, so a new session at a dead session's address
+# could be served a DataFrame bound to the stopped session). Entries from
+# other application ids are evicted on insert — they reference dead
+# contexts and would otherwise leak.
 _KM_CACHE: dict = {}
 
 
@@ -868,7 +901,8 @@ def _km_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment (shared by llm_kmeans_cluster and llm_semdedup)."""
     from ..sources.io import sf_tag
 
-    cache_key = (id(spark), sf_tag(sf_dir))
+    app_id = spark.sparkContext.applicationId
+    cache_key = (app_id, sf_tag(sf_dir))
     cached = _KM_CACHE.get(cache_key)
     if cached is not None:
         return cached
@@ -883,9 +917,18 @@ def _km_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = sorted((int(r["vec_id"]), [int(v) for v in r["qv"]], 1) for r in init)
     if len(cents) != _KM_K:
         raise AssertionError(f"init expects vec_id 0..{_KM_K - 1}, got {len(cents)}")
+    # One metadata-scale max over the corpus feeds the overflow guards in
+    # _km_assign (the xs/x2 int64 bounds need the true max|qv|, not an
+    # assumed quantization range).
+    max_abs_qv = int(
+        qv.select(
+            F.max(F.array_max(F.transform("qv", lambda v: F.abs(v)))).alias("m")
+        ).collect()[0]["m"]
+        or 0
+    )
     assigned = None
     for it in range(_KM_ITERS):
-        assigned = qv.withColumn("cluster", _km_assign(cents))
+        assigned = qv.withColumn("cluster", _km_assign(cents, max_abs_qv))
         if it + 1 == _KM_ITERS:
             break
         sums = (
@@ -907,6 +950,8 @@ def _km_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (j, [d[i] for i in range(len(d))], counts[j])
             for j, d in by_cluster.items()
         )
+    for k in [k for k in _KM_CACHE if k[0] != app_id]:
+        del _KM_CACHE[k]  # dead-context entries (stopped applications)
     _KM_CACHE[cache_key] = assigned
     return assigned
 

@@ -665,7 +665,13 @@ def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MIX_BUDGET = 800  # target whitespace tokens per source domain
-_MIX_HASH = "(doc_id * 2654435761) % 4294967296"
+# Knuth multiplicative hash with the key masked to 31 bits BEFORE the
+# multiply (round-5 ADVICE): unmasked, doc_id above ~3.47e9 overflows
+# int64 mid-product — Spark (non-ANSI) wraps silently while DuckDB
+# errors/promotes, so the engines diverge exactly at the claimed 100 TB
+# scale. Masked, the product is < 2^31 * 2654435761 < 2^63 in both
+# engines, and values are UNCHANGED for keys < 2^31.
+_MIX_HASH = "((doc_id % 2147483648) * 2654435761) % 4294967296"
 
 
 @query(
@@ -890,7 +896,8 @@ _SHUF_SEED = 7  # epoch number: changing it permutes the whole order
     oracle=f"""
     WITH h AS (
         SELECT doc_id,
-               ((doc_id + {_SHUF_SEED}) * 2654435761) % 4294967296 AS hv
+               (((doc_id + {_SHUF_SEED}) % 2147483648) * 2654435761)
+                   % 4294967296 AS hv
         FROM documents)
     SELECT CAST(hv % {_SHUF_SHARDS} AS INTEGER) AS shard,
            CAST(ROW_NUMBER() OVER (
@@ -918,9 +925,13 @@ def llm_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents").select("doc_id")
-    hv = ((F.col("doc_id") + F.lit(_SHUF_SEED)) * F.lit(2654435761)) % F.lit(
-        4294967296
-    )
+    # 31-bit mask before the multiply keeps the product < 2^63 (see
+    # _MIX_HASH) — identical values for doc_id + seed < 2^31, exact
+    # cross-engine behavior for the full int64 doc_id domain.
+    hv = (
+        ((F.col("doc_id") + F.lit(_SHUF_SEED)) % F.lit(2147483648))
+        * F.lit(2654435761)
+    ) % F.lit(4294967296)
     w = Window.partitionBy("shard").orderBy("hv", "doc_id")
     return (
         d.withColumn("hv", hv)
@@ -935,7 +946,7 @@ def llm_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
         SELECT doc_id, lang, n_chars,
-               ((doc_id + 13) * 2654435761) % 4294967296 AS hv
+               (((doc_id + 13) % 2147483648) * 2654435761) % 4294967296 AS hv
         FROM documents)
     SELECT CASE WHEN hv < 3435973837 THEN 'train'
                 WHEN hv < 3865470566 THEN 'val'
@@ -961,7 +972,9 @@ def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     state); the audit is one map-side-combined aggregation.
     """
     d = load(spark, sf_dir, "documents")
-    hv = ((F.col("doc_id") + F.lit(13)) * F.lit(2654435761)) % F.lit(4294967296)
+    hv = (
+        ((F.col("doc_id") + F.lit(13)) % F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(4294967296)
     split = (
         F.when(hv < F.lit(3435973837), "train")  # 0.80 * 2^32
         .when(hv < F.lit(3865470566), "val")  # 0.90 * 2^32

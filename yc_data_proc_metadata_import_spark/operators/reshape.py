@@ -84,8 +84,12 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Knuth multiplicative hash over the key — exact BIGINT arithmetic both
-# engines evaluate identically, uniform enough for rate control.
-_SAMPLE_HASH = "(o_orderkey * 2654435761) % 4294967296"
+# engines evaluate identically, uniform enough for rate control. The key
+# is masked to 31 bits BEFORE the multiply so the product stays < 2^63
+# for the full int64 key domain (round-5 ADVICE: unmasked, keys above
+# ~3.47e9 overflow — Spark wraps silently, DuckDB errors/promotes);
+# values are unchanged for keys < 2^31.
+_SAMPLE_HASH = "((o_orderkey % 2147483648) * 2654435761) % 4294967296"
 _SAMPLE_KEEP = 429496730  # ~10%
 
 
@@ -107,7 +111,9 @@ def reshape_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     referential integrity). The sampling audit pattern used by
     llm_dedup_embedding, surfaced as a first-class operator."""
     o = load(spark, sf_dir, "orders")
-    h = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    h = ((F.col("o_orderkey") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
+        4294967296
+    )
     return o.filter(h < _SAMPLE_KEEP).select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
@@ -125,7 +131,7 @@ _STRATA_DEFAULT_KEEP = 2147483648  # 50%
     oracle=f"""
     SELECT doc_id, lang, source
     FROM documents
-    WHERE (doc_id * 2654435761) % 4294967296 <
+    WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
           CASE lang
                WHEN 'en' THEN {_STRATA_KEEP["en"]}
                WHEN 'de' THEN {_STRATA_KEEP["de"]}
@@ -145,7 +151,9 @@ def reshape_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is therefore one scan-bound filter.
     """
     d = load(spark, sf_dir, "documents")
-    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    h = ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(
+        4294967296
+    )
     keep = F.lit(_STRATA_DEFAULT_KEEP)
     for lang, thr in _STRATA_KEEP.items():
         keep = F.when(F.col("lang") == lang, F.lit(thr)).otherwise(keep)

@@ -33,6 +33,43 @@ def _reset_db(spark: SparkSession, db: str) -> None:
     spark.sql(f"CREATE DATABASE {db}")
 
 
+# Bump whenever the parts_orders derivation below changes — re-keys the
+# fixture dir so a _SUCCESS-complete dir built by older logic rebuilds.
+_PARTS_VERSION = "2"  # v2: added the escape-pinning SPECIAL partition
+
+# A partition VALUE containing a space and a '%' — '%' is in Hive's
+# escapePathName set, so its directory name and SHOW PARTITIONS spec read
+# '6-SPECIAL %25PCT'. Any code that replays the escaped spec verbatim
+# double-escapes the value and pruned queries on the real value silently
+# return nothing (round-5 ADVICE, pinned by plans/metadata._spec_to_ddl).
+SPECIAL_PRIO = "6-SPECIAL %PCT"
+# Deterministic, SF-independent membership rule for the synthetic
+# partition's rows, reproducible in pure SQL for the oracles.
+SPECIAL_PRED = "o_orderkey % 1000 = 0"
+
+
+def parts_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Hive-partitioned orders layout shared by catalog_partition_ddl,
+    catalog_recover_partitions, and the metadata-migration keys: the five
+    real o_orderpriority partitions plus one SYNTHETIC partition
+    (``SPECIAL_PRIO``) populated from ``SPECIAL_PRED`` rows, whose value
+    exercises Hive path-escaping end-to-end."""
+    from pyspark.sql import functions as F
+
+    def write(p: str) -> None:
+        base = load(spark, sf_dir, "orders")
+        special = base.filter(F.expr(SPECIAL_PRED)).withColumn(
+            "o_orderpriority", F.lit(SPECIAL_PRIO)
+        )
+        base.unionByName(special).write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(p)
+
+    return _materialize(
+        write, _fixture_dir("parts_orders", sf_dir, version=_PARTS_VERSION)
+    )
+
+
 def _ext_table(spark: SparkSession, db: str, name: str, sf_dir: str, src: str) -> None:
     """Register an external parquet table over the shared-storage path."""
     spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
@@ -154,26 +191,26 @@ def catalog_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_orders
     FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT '6-SPECIAL %PCT', COUNT(*) FROM orders WHERE o_orderkey % 1000 = 0
     """,
 )
 def catalog_recover_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-layout partition discovery: write orders partitioned by
     o_orderpriority (one-time fixture, _SUCCESS-marker cached), register
     an external PARTITIONED table over it, MSCK REPAIR to discover the
-    partition directories, then aggregate through the table.
+    partition directories, then aggregate through the table.  The fixture
+    includes the escape-pinning SPECIAL partition (space + '%' in the
+    value, dir name 'o_orderpriority=6-SPECIAL %25PCT'): MSCK must
+    UNescape the directory name into the real value for its group to
+    count correctly here.
 
     At 100 TB this is the canonical "register yesterday's landed
     partitions" op: MSCK lists directories (metadata-scale work) and adds
     partitions to the catalog — no data pass at all. The count-by-
     partition-column readback proves pruned partition scans see every row.
     """
-    src = _materialize(
-        lambda p: load(spark, sf_dir, "orders")
-        .write.mode("overwrite")
-        .partitionBy("o_orderpriority")
-        .parquet(p),
-        _fixture_dir("parts_orders", sf_dir),
-    )
+    src = parts_orders_fixture(spark, sf_dir)
     _reset_db(spark, "eng_rp_db")
     spark.sql(
         "CREATE TABLE eng_rp_db.orders_parts "
@@ -302,13 +339,7 @@ def catalog_partition_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     listings resolve at execution time, so a lazy first snapshot would
     silently observe the post-drop catalog. Metadata-plane only: ADD and
     DROP touch the catalog, never the files."""
-    src = _materialize(
-        lambda p: load(spark, sf_dir, "orders")
-        .write.mode("overwrite")
-        .partitionBy("o_orderpriority")
-        .parquet(p),
-        _fixture_dir("parts_orders", sf_dir),
-    )
+    src = parts_orders_fixture(spark, sf_dir)
     _reset_db(spark, "eng_pd_db")
     spark.sql(
         "CREATE TABLE eng_pd_db.orders_parts "

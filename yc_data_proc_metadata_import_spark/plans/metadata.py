@@ -68,16 +68,12 @@ _PART_COL = "o_orderpriority"
 
 
 def _parts_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Hive-partitioned orders layout (shared with plans/catalog.py)."""
-    from ..sources.io import _materialize
+    """Hive-partitioned orders layout (shared with plans/catalog.py) —
+    includes the escape-pinning SPECIAL partition (space + '%' in the
+    value), so the manifest replay exercises unescaping end-to-end."""
+    from .catalog import parts_orders_fixture
 
-    return _materialize(
-        lambda p: load(spark, sf_dir, "orders")
-        .write.mode("overwrite")
-        .partitionBy(_PART_COL)
-        .parquet(p),
-        _fixture_dir("parts_orders", sf_dir),
-    )
+    return parts_orders_fixture(spark, sf_dir)
 
 
 def _build_source(spark: SparkSession, sf_dir: str) -> None:
@@ -213,14 +209,39 @@ def export_manifest(spark: SparkSession, db: str) -> list[dict]:
     return manifest
 
 
+# Hive FileUtils.unescapePathName: '%' + 2 hex digits decodes to the
+# escaped char. escapePathName only ever escapes single (ASCII) chars,
+# so chr() of the code point is the exact inverse.
+_PATH_ESCAPE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _unescape_path_name(v: str) -> str:
+    return _PATH_ESCAPE.sub(lambda m: chr(int(m.group(1), 16)), v)
+
+
+def _requalify_view_text(text: str, src_db: str, dst_db: str) -> str:
+    """Re-qualify ONLY identifier-boundary occurrences of the source
+    database qualifier (round-5 ADVICE: a blind string replace corrupts
+    string literals and lookalike identifiers that merely EMBED the
+    prefix — 'my_eng_meta_src.t' or a quoted literal). The qualifier
+    must not be preceded by an identifier char/backtick and must be
+    followed by a dot."""
+    return re.sub(rf"(?<![\w`]){re.escape(src_db)}(?=\.)", dst_db, text)
+
+
 def _spec_to_ddl(spec: str) -> str:
     """`pcol=val[/pcol2=val2]` (SHOW PARTITIONS form) -> ADD PARTITION
-    clause. Values are quoted with '' escaping; hive dir-name escapes
-    (%XX) are left as-is because SHOW PARTITIONS and ADD PARTITION use
-    the same encoding."""
+    clause.  SHOW PARTITIONS returns hive path-ESCAPED values (the
+    directory-name encoding: '%'->%25, '/'->%2F, ...) while ADD
+    PARTITION takes UNescaped literal values — replaying the spec
+    verbatim double-escapes every special character and pruned queries
+    on the real value silently miss rows (round-5 ADVICE, pinned by the
+    SPECIAL_PRIO fixture partition).  Decode %XX before quoting; the
+    quote itself is escaped by doubling."""
     parts = []
     for kv in spec.split("/"):
         k, v = kv.split("=", 1)
+        v = _unescape_path_name(v)
         parts.append(f"{k}='{v.replace(chr(39), chr(39) * 2)}'")
     return "(" + ", ".join(parts) + ")"
 
@@ -248,7 +269,7 @@ def import_manifest(spark: SparkSession, manifest: list[dict], dst_db: str) -> N
     for entry in sorted(manifest, key=lambda e: e["type"] == "view"):
         tbl = f"{dst_db}.{entry['table']}"
         if entry["type"] == "view":
-            text = entry["view_text"].replace(f"{entry['database']}.", f"{dst_db}.")
+            text = _requalify_view_text(entry["view_text"], entry["database"], dst_db)
             spark.sql(f"CREATE VIEW {tbl} AS {text}")
             continue
         cols = ", ".join(f"{c['name']} {c['type']}" for c in entry["columns"])
@@ -300,12 +321,12 @@ def _export_to_disk(spark: SparkSession, sf_dir: str) -> list[dict]:
         ('eng_meta_src', 'nation_ext', 'table', 'parquet', 'n_nationkey', 'int', 0, false, 0, 'owner_team=ingest;quality_tier=gold', ''),
         ('eng_meta_src', 'nation_ext', 'table', 'parquet', 'n_name', 'string', 1, false, 0, 'owner_team=ingest;quality_tier=gold', ''),
         ('eng_meta_src', 'nation_ext', 'table', 'parquet', 'n_regionkey', 'int', 2, false, 0, 'owner_team=ingest;quality_tier=gold', ''),
-        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_orderkey', 'bigint', 0, false, 5, '', ''),
-        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_custkey', 'bigint', 1, false, 5, '', ''),
-        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_orderstatus', 'string', 2, false, 5, '', ''),
-        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_totalprice', 'double', 3, false, 5, '', ''),
-        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_orderdate', 'timestamp', 4, false, 5, '', ''),
-        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_orderpriority', 'string', 5, true, 5, '', ''),
+        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_orderkey', 'bigint', 0, false, 6, '', ''),
+        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_custkey', 'bigint', 1, false, 6, '', ''),
+        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_orderstatus', 'string', 2, false, 6, '', ''),
+        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_totalprice', 'double', 3, false, 6, '', ''),
+        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_orderdate', 'timestamp', 4, false, 6, '', ''),
+        ('eng_meta_src', 'orders_part', 'table', 'parquet', 'o_orderpriority', 'string', 5, true, 6, '', ''),
         ('eng_meta_src', 'region_ext', 'table', 'parquet', 'r_regionkey', 'int', 0, false, 0, '', ''),
         ('eng_meta_src', 'region_ext', 'table', 'parquet', 'r_name', 'string', 1, false, 0, '', '')
     ) AS t(database, tbl, obj_type, format, column_name, column_type,
@@ -388,7 +409,12 @@ def meta_import(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(MIN(o_orderkey) AS VARCHAR) AS mn,
                CAST(MAX(o_orderkey) AS VARCHAR) AS mx
         FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
-        GROUP BY o_orderpriority)
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT '6-SPECIAL %PCT', COUNT(*),
+               CAST(MIN(o_orderkey) AS VARCHAR),
+               CAST(MAX(o_orderkey) AS VARCHAR)
+        FROM orders WHERE o_orderkey % 1000 = 0)
     SELECT 'nation' AS entity, a.k, a.n AS n_src, b.n AS n_dst,
            (a.n = b.n AND a.mn = b.mn AND a.mx = b.mx) AS match
     FROM n a JOIN n b USING (k)
@@ -420,14 +446,21 @@ def meta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def orders_agg(db: str) -> DataFrame:
-        # partition-pruned: the IN list prunes to 2 of 5 partition dirs
-        # at plan time on both namespaces.
+        # partition-pruned: the IN list prunes to 3 of 6 partition dirs
+        # at plan time on both namespaces. SPECIAL_PRIO's value contains
+        # a path-escaped '%': its group only survives the roundtrip if
+        # the manifest replay UNescaped the SHOW PARTITIONS spec — a
+        # verbatim replay registers the wrong value, the pruned query on
+        # the target misses the partition, and the join drops the row
+        # (row-count red, not a silent pass).
+        from .catalog import SPECIAL_PRIO
+
         return spark.sql(
             f"SELECT o_orderpriority AS k, COUNT(*) AS n, "
             f"CAST(MIN(o_orderkey) AS STRING) AS mn, "
             f"CAST(MAX(o_orderkey) AS STRING) AS mx "
             f"FROM {db}.{_PART_TABLE} "
-            f"WHERE o_orderpriority IN ('1-URGENT', '5-LOW') "
+            f"WHERE o_orderpriority IN ('1-URGENT', '5-LOW', '{SPECIAL_PRIO}') "
             f"GROUP BY o_orderpriority"
         )
 

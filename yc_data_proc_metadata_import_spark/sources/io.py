@@ -136,13 +136,26 @@ def scan_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FP_SUFFIX = __import__("re").compile(r"^[0-9a-f]{10}$")
 
 
-def _fixture_dir(kind: str, sf_dir: str) -> str:
+def _fixture_dir(kind: str, sf_dir: str, version: str = "1") -> str:
     """Scratch path for a derived fixture of ``kind`` over ``sf_dir`` —
-    fingerprint-keyed (see ``sf_tag``).  Stale siblings (same kind and sf,
-    different fingerprint) are removed so regenerating testdata each round
-    doesn't accumulate dead fixture copies."""
+    fingerprint-keyed (see ``sf_tag``) AND keyed on the builder's declared
+    logic ``version``.
+
+    ``sf_tag`` alone covers only the SOURCE data: a round that edits a
+    fixture-builder's DDL/transform while a ``_SUCCESS``-complete dir
+    survives would serve stale-by-code data (round-5 VERDICT item 7 — the
+    r3/r4 hazard class, one level up).  Builders therefore bump their
+    ``version`` argument whenever the derivation logic changes; the
+    version is hashed into the fingerprint suffix, so exactly that
+    fixture rebuilds.  Stale siblings (same kind and sf, different
+    fingerprint) are removed so regenerating testdata each round doesn't
+    accumulate dead fixture copies."""
+    import hashlib
+
     tag = sf_tag(sf_dir)
     base, fp = tag.rsplit("_", 1)
+    if version != "1":
+        fp = hashlib.sha256(f"{fp}|v{version}".encode()).hexdigest()[:10]
     prefix = f"{kind}_{base}_"
     try:
         for entry in os.listdir(SCRATCH):
@@ -153,7 +166,7 @@ def _fixture_dir(kind: str, sf_dir: str) -> str:
                 shutil.rmtree(os.path.join(SCRATCH, entry), ignore_errors=True)
     except OSError:
         pass
-    return os.path.join(SCRATCH, f"{kind}_{tag}")
+    return os.path.join(SCRATCH, f"{kind}_{base}_{fp}")
 
 
 def _materialize(writer, out: str) -> str:
