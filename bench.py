@@ -77,6 +77,7 @@ def main() -> int:
         "llm_audio_decode",
         "llm_image_decode",
         "llm_png_decode",
+        "llm_jpeg_decode",
         "llm_tfidf",
         "llm_curation_pipeline",
         "sink_codec_zstd",

@@ -16,6 +16,7 @@ from yc_data_proc_metadata_import_spark.llm.multimodal import (
     _decode_ppm,
     decode_audio,
     decode_image,
+    encode_jpeg,
     encode_png,
 )
 
@@ -94,12 +95,58 @@ def test_png_crc_is_checked():
     raise AssertionError("corrupted chunk must fail the CRC check")
 
 
-def test_jpeg_still_raises():
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_tolerance(w, h, seed):
+    """General lossy path: all-ones quant tables bound the per-pixel
+    error to coefficient-rounding noise (empirically <= 4 over 8-bit
+    inputs); dimensions/crop must be exact."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    dec = decode_image(encode_jpeg(img), "jpeg")
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    d=st.integers(min_value=0, max_value=2**31 - 1),
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+)
+def test_jpeg_block_uniform_gray_is_exact(d, w, h):
+    """The llm_jpeg_decode fixture contract: gray images uniform within
+    each 8x8 block survive the lossy pipeline EXACTLY (DC-only blocks,
+    unit quant, Cb=Cr=128), which is what lets the DuckDB oracle
+    recompute decoded means arithmetically."""
+    bx = np.arange(w) // 8
+    by = np.arange(h) // 8
+    v = (d * 7 + 11 * bx[None, :] + 23 * by[:, None]) % 256
+    img = np.repeat(v[:, :, None], 3, axis=2).astype(np.uint8)
+    assert np.array_equal(decode_image(encode_jpeg(img), "jpeg"), img)
+
+
+def test_jpeg_subset_boundaries_raise():
+    """Out-of-subset inputs fail loudly, never garbage-decode."""
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
     try:
-        decode_image(b"\xff\xd8\xff", "jpeg")
-    except NotImplementedError:
+        decode_image(bytes(payload), "jpeg")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("progressive JPEG must be rejected")
+    try:
+        decode_image(b"\x89PNG\r\n", "jpeg")
+    except ValueError:
         return
-    raise AssertionError("jpeg is the documented external-codec swap point")
+    raise AssertionError("non-JPEG bytes must be rejected")
 
 
 def test_non_ppm_raises():
