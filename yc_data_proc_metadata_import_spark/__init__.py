@@ -104,6 +104,11 @@ _FAMILY_RANK = (
 _FORCE_FRONT = {
     # r3 green predates the deletion-neighborhood blocking (round-6).
     "join_fuzzy_levenshtein",
+    # r5 greens predate the ANALYZE-statistics manifest fields and the
+    # escape-pinning SPECIAL partition (round-6) — output changed.
+    "meta_export",
+    "meta_import",
+    "meta_roundtrip",
 }
 
 
