@@ -490,3 +490,39 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM agg CROSS JOIN region_nations(0) tf
         """
     )
+
+
+@query(
+    "fn_collation_lcase",
+    oracle="""
+    WITH variants AS (
+        SELECT upper(n_name) AS name FROM nation
+        UNION ALL
+        SELECT lower(n_name) AS name FROM nation)
+    SELECT lower(name) AS name_lc, COUNT(*) AS n
+    FROM variants GROUP BY lower(name)
+    """,
+)
+def fn_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String COLLATION surface (Spark 4): grouping under the
+    ``UTF8_LCASE`` collation folds case variants into one group at the
+    COMPARISON level — no lower() rewrite of the data — the engine-native
+    way to reconcile case-mixed catalogs/IDs. The fixture doubles every
+    nation name as UPPER + lower; case-insensitive grouping must land
+    both in one group of 2. The surfaced key is lowercased and cast back
+    to a plain (UTF8_BINARY) string so the result schema is
+    collation-free for the Arrow hash; the oracle spells the same
+    semantics with GROUP BY lower(). Collation compares are
+    codegen'd JVM-side — same scale shape as any hash aggregate."""
+    n = load(spark, sf_dir, "nation")
+    variants = n.select(F.upper("n_name").alias("name")).unionAll(
+        n.select(F.lower("n_name").alias("name"))
+    )
+    return (
+        variants.groupBy(F.collate(F.col("name"), "UTF8_LCASE").alias("name_ci"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lower(F.col("name_ci")).cast("string").alias("name_lc"),
+            "n",
+        )
+    )

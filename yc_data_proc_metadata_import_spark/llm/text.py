@@ -988,3 +988,45 @@ def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@query(
+    "llm_html_strip",
+    oracle="""
+    WITH html AS (
+        SELECT doc_id,
+               '<html><body><h1 class="t">' || lang || '</h1><p>' || text
+                   || '</p><!-- footer --></body></html>' AS markup
+        FROM documents)
+    SELECT doc_id,
+           length(regexp_replace(markup, '<[^>]*>', '', 'g')) AS n_visible,
+           length(markup) AS n_raw
+    FROM html
+    """,
+)
+def llm_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping — the WET-extraction step every
+    web-crawl corpus (Common-Crawl-style) runs before any text curation:
+    drop markup tags/comments, keep visible text. The fixture wraps each
+    document in deterministic markup (so the oracle can rebuild it) and
+    the engine strips it with one regexp_replace — a pattern
+    (``<[^>]*>``) whose semantics are identical in Java regex and RE2,
+    keeping the two engines bit-compatible. Surfaced as visible-vs-raw
+    lengths per doc — the ratio a crawl-quality dashboard tracks.
+
+    Scale shape: map-only row-local regex in codegen, no shuffle, no
+    Python; a 100 TB crawl strips at scan speed."""
+    d = load(spark, sf_dir, "documents")
+    markup = F.concat(
+        F.lit('<html><body><h1 class="t">'),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><!-- footer --></body></html>"),
+    )
+    stripped = F.regexp_replace(markup, "<[^>]*>", "")
+    return d.select(
+        "doc_id",
+        F.length(stripped).cast("long").alias("n_visible"),
+        F.length(markup).cast("long").alias("n_raw"),
+    )

@@ -638,3 +638,45 @@ def agg_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_rows"]), int(m["qty_units"]), int(m["n_discounted"]))],
         "n_rows bigint, qty_units bigint, n_discounted bigint",
     )
+
+
+@query(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_exact,
+           true AS within_bounds
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL aggregate (``hll_sketch_agg`` /
+    ``hll_sketch_estimate``) — the mergeable fixed-size distinct-count
+    sketch a 100 TB pipeline uses when the exact distinct is too
+    expensive to carry: each task folds its partition into a <= 2^lgK
+    register array, the shuffle moves ONE sketch per group per task
+    (KB, not the value set), and sketches merge associatively — the
+    same shape as datasketches rollups in Druid/BigQuery.
+
+    The estimate itself is probabilistic, so the hash-checked surface
+    pins (a) the EXACT distinct count computed in the same pass and
+    (b) a boolean that the sketch landed within 5x its configured
+    standard error (lgK=14 -> ~0.8%) — a sketch-math regression flips
+    the boolean and hash-fails without making the test flaky."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_exact"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", 14)).alias("est"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_exact",
+            (
+                F.abs(F.col("est") - F.col("n_exact"))
+                / F.col("n_exact").cast("double")
+                < F.lit(0.05)
+            ).alias("within_bounds"),
+        )
+    )

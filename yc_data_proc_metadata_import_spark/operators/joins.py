@@ -872,3 +872,37 @@ def merge_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return untouched.unionByName(closed).unionByName(opened)
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT r.r_name, t.n_name, t.n_nationkey
+    FROM region r, LATERAL (
+        SELECT n_name, n_nationkey
+        FROM nation n
+        WHERE n.n_regionkey = r.r_regionkey
+        ORDER BY n_nationkey DESC LIMIT 2) t
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join — the SQL-standard spelling of
+    per-row dependent subqueries (top-N per outer row here), supported
+    natively by Spark's analyzer since 3.2 and by every warehouse the
+    reference's users might come from. Catalyst DECORRELATES the lateral
+    limit into a join + per-group limit (the same physical shape
+    ``topk_per_group`` pins manually), so the declarative spelling costs
+    nothing at 100 TB: no per-outer-row re-execution, one join on the
+    correlation key."""
+    load(spark, sf_dir, "region").createOrReplaceTempView("eng_lat_region")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("eng_lat_nation")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.n_nationkey
+        FROM eng_lat_region r, LATERAL (
+            SELECT n_name, n_nationkey
+            FROM eng_lat_nation n
+            WHERE n.n_regionkey = r.r_regionkey
+            ORDER BY n_nationkey DESC LIMIT 2) t
+        """
+    )
