@@ -274,3 +274,24 @@ def test_fuzzy_join_is_blocked_equi_join(spark, sf_dir):
         f"join_fuzzy_levenshtein: cartesian product!\n{plan}"
     )
     assert "Join" in plan, f"join_fuzzy_levenshtein: no join at all?\n{plan}"
+
+
+def test_lateral_topn_decorrelates(spark, sf_dir):
+    """join_lateral_topn: Catalyst must decorrelate the lateral LIMIT
+    into a join + WindowGroupLimit (the topk_per_group shape) — a
+    nested-loop or per-outer-row re-execution shape would die at scale."""
+    plan = _plan(spark, sf_dir, "join_lateral_topn")
+    assert "WindowGroupLimit" in plan, (
+        f"lateral limit not decorrelated to a group-limit\n{plan}"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, (
+        f"lateral join planned as nested loop\n{plan}"
+    )
+
+
+def test_html_strip_is_map_only(spark, sf_dir):
+    """llm_html_strip must stay a zero-exchange, Python-free projection —
+    boilerplate stripping at 100 TB is scan-bound or it's wrong."""
+    plan = _plan(spark, sf_dir, "llm_html_strip")
+    assert "Exchange" not in plan, f"unexpected shuffle\n{plan}"
+    assert "EvalPython" not in plan, f"unexpected Python boundary\n{plan}"
