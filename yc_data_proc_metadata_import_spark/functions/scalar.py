@@ -526,3 +526,32 @@ def fn_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 7 = 0 THEN NULL
+                ELSE CAST(o_totalprice / (o_custkey % 7) AS DOUBLE) END AS safe_div,
+           CASE WHEN o_orderkey > 9223372036854775807 - 1000000000000000000
+                THEN NULL ELSE o_orderkey + 1000000000000000000 END AS safe_add,
+           TRY_CAST(o_orderpriority AS BIGINT) AS not_a_number
+    FROM orders
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ``try_*`` arithmetic family: ``try_divide`` (NULL on
+    divide-by-zero), ``try_add`` (NULL on int64 overflow), ``try_cast``
+    (NULL on malformed input) — the error-tolerant row-local operators a
+    100 TB ingest uses so one dirty row NULLs out instead of killing the
+    job (or, non-ANSI, silently wrapping — the overflow class the
+    round-5 hash-mask fix guards). The oracle spells each as an explicit
+    guard; all are codegen'd map-only expressions."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 7).alias("safe_div"),
+        F.try_add(F.col("o_orderkey"), F.lit(1000000000000000000)).alias("safe_add"),
+        F.col("o_orderpriority").try_cast("bigint").alias("not_a_number"),
+    )

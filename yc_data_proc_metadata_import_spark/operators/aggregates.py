@@ -680,3 +680,33 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bounds"),
         )
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS names,
+           COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (``listagg ... WITHIN GROUP`` — SQL
+    2016, first-class in Spark 4.0): concatenates each group's values in
+    a DECLARED total order, so the result is deterministic and
+    hash-checkable (an unordered listagg is nondeterministic under
+    parallel aggregation — the classic cross-engine trap this key pins).
+    DuckDB spells it string_agg(... ORDER BY). Scale: sort happens
+    per-group within the hash aggregate; result size is bounded by group
+    payload, so keep it for dimension-scale rollups (here: nation names
+    per region), not billion-row groups."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("eng_listagg_nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS names,
+               COUNT(*) AS n
+        FROM eng_listagg_nation GROUP BY n_regionkey
+        """
+    )
