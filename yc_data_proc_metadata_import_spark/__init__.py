@@ -40,6 +40,7 @@ _OPERATOR_MODULES = (
     "operators.setops",
     "operators.reshape",
     "operators.analytics",
+    "operators.tpch_suite",
     "functions.scalar",
     "functions.udf",
     "plans.catalog",
@@ -112,7 +113,33 @@ _FORCE_FRONT = {
 }
 
 
+# Keys registered AFTER the round-6 fresh window was already exactly full
+# (45 never-adjudicated + the scan_typed_columns red + 4 _FORCE_FRONT =
+# 50 slots).  They rank BEHIND every other fresh key so they cannot
+# displace a key that has waited multiple rounds for adjudication; they
+# enter the window in the next round.  Remove entries once adjudicated.
+_DEFER_FRESH = {
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_sales_opportunity",
+}
+
+
 def _front_rank(key: str) -> int:
+    if key in _DEFER_FRESH:
+        return len(_FAMILY_RANK) + 1
     for rank, prefixes in enumerate(_FAMILY_RANK):
         if any(key.startswith(p) for p in prefixes):
             return rank
