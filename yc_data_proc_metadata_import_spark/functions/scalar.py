@@ -429,15 +429,17 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema string.
     """
     e = load(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
-    return e.select(
+    # Two-step projection so the variant is PARSED ONCE per row and the
+    # four extractions read the binary encoding: CollapseProject refuses
+    # to substitute non-cheap expressions, so parse_json survives as a
+    # single materialized column instead of re-running per extraction.
+    parsed = e.select("event_id", F.parse_json(F.col("props")).alias("v"))
+    return parsed.select(
         "event_id",
-        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_int"),
-        F.expr("variant_get(parse_json(props), '$.k', 'string')").alias("k_str"),
-        F.expr("try_variant_get(parse_json(props), '$.missing', 'bigint')").alias(
-            "k_missing"
-        ),
-        F.schema_of_variant(v).alias("v_schema"),
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k_int"),
+        F.expr("variant_get(v, '$.k', 'string')").alias("k_str"),
+        F.expr("try_variant_get(v, '$.missing', 'bigint')").alias("k_missing"),
+        F.schema_of_variant(F.col("v")).alias("v_schema"),
     )
 
 
