@@ -5,15 +5,19 @@ travels as an opaque ``binary`` column with a typed metadata struct; the
 engine moves/filters/joins it without touching the payload, and decode /
 feature-extraction runs as Arrow-batched Python over ``mapInPandas``.
 
-Decode status (round-3): ``decode_image`` REALLY decodes binary PPM (P6)
-with numpy alone, and ``llm_image_decode`` runs that decode end-to-end
-over genuine PPM bytes (oracle recomputes expected pixel stats from the
-image generator's arithmetic, so a parsing bug hash-fails). Compressed
-codecs (png/jpeg) need PIL/opencv, which this container does not ship —
-for those, decode raises NotImplementedError (the documented swap point)
-and the feature/frame/resize keys run a clearly-marked deterministic
-fake over the raw bytes; their Spark-side plumbing (schema,
-partitioning, batch shape, UDF signature) is real and tested.
+Decode status (round-6, final): ``decode_image`` REALLY decodes all
+three shipped codecs with numpy + stdlib alone — binary PPM (P6), PNG
+(chunk walk, zlib inflate, all five scanline filters), and baseline
+JPEG (T.81 sequential 4:4:4: huffman, dequantize, dezigzag, IDCT,
+YCbCr->RGB) — each exercised end-to-end by its own key
+(``llm_image_decode`` / ``llm_png_decode`` / ``llm_jpeg_decode``) whose
+oracle recomputes expected pixel stats from the generator's arithmetic,
+so a parsing bug hash-fails. The codec scope boundary: progressive
+JPEG and subsampled chroma raise with a clear message (swap in
+libjpeg/PIL in production). The feature/frame/resize keys run a
+clearly-marked deterministic byte-level fake (video codecs are out of
+scope); their Spark-side plumbing (schema, partitioning, batch shape,
+UDF signature) is real and tested.
 
 100 TB notes: binary payloads dominate row size, so the round-trip write
 keeps the source's natural partitioning (no repartition/coalesce funnel)
