@@ -297,6 +297,19 @@ def test_html_strip_is_map_only(spark, sf_dir):
     assert "EvalPython" not in plan, f"unexpected Python boundary\n{plan}"
 
 
+def test_gopher_quality_single_exchange(spark, sf_dir):
+    """llm_gopher_quality: per-doc signals are array expressions (no
+    explode, no Python), so the whole rule battery is map-only; the only
+    exchange is the low-cardinality source rollup."""
+    import re
+
+    plan = _plan(spark, sf_dir, "llm_gopher_quality")
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    n_exchanges = sum(1 for n in nodes if n == "Exchange")
+    assert n_exchanges == 1, f"expected 1 Exchange, found {n_exchanges}\n{plan}"
+    assert "EvalPython" not in plan, f"unexpected Python boundary\n{plan}"
+
+
 _TPCH_SUITE = [
     "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",

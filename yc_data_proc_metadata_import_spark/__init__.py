@@ -119,6 +119,7 @@ _FORCE_FRONT = {
 # displace a key that has waited multiple rounds for adjudication; they
 # enter the window in the next round.  Remove entries once adjudicated.
 _DEFER_FRESH = {
+    "llm_gopher_quality",
     "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",
     "tpch_q8_market_share",

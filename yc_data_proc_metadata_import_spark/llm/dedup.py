@@ -105,14 +105,19 @@ def shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the "build the index once, fan out consumers" split a real pipeline
 # uses. tests/test_plans.py keeps calling the UNCACHED shingled() so the
 # tokenizer-hoisting plan guards still exercise the real pipeline.
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def shingled_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # applicationId key + dead-context eviction, not id(spark) — same
+    # id-reuse hazard and fix as similarity._KM_CACHE (round-5 ADVICE).
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     cached = _SHINGLE_CACHE.get(key)
     if cached is None:
         cached = shingled(spark, sf_dir).localCheckpoint(eager=True)
+        for k in [k for k in _SHINGLE_CACHE if k[0] != app_id]:
+            del _SHINGLE_CACHE[k]
         _SHINGLE_CACHE[key] = cached
     return cached
 

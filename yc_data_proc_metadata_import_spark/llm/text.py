@@ -63,7 +63,7 @@ _LEXICON = [
 # shared intermediate once, fan out consumers" pattern a real curation
 # pipeline uses (persist or write the token table, then run the whole
 # metric battery over it); localCheckpoint keeps it executor-local.
-_TOK_CACHE: dict[tuple[int, str], DataFrame] = {}
+_TOK_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,7 +74,13 @@ def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     Materialized once per session+scale and shared by every consumer
     (see _TOK_CACHE note).
     """
-    key = (id(spark), sf_dir)
+    # Keyed on applicationId, not id(spark): CPython reuses object ids
+    # after GC, so a new session at a dead session's address could be
+    # served a checkpoint bound to the stopped context (round-5 ADVICE,
+    # same fix as similarity._KM_CACHE). Other-app entries are evicted on
+    # insert — they reference dead contexts and would otherwise leak.
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     cached = _TOK_CACHE.get(key)
     if cached is not None:
         return cached
@@ -86,6 +92,8 @@ def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .localCheckpoint(eager=True)
     )
+    for k in [k for k in _TOK_CACHE if k[0] != app_id]:
+        del _TOK_CACHE[k]
     _TOK_CACHE[key] = tok
     return tok
 
@@ -270,6 +278,155 @@ def llm_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1))
             ).alias("long_doc_ratio"),
         )
+    )
+
+
+# Gopher-rule document filter (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", App. A1.1 — public
+# paper). Required-stopword list verbatim from the paper.
+_GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOP_IN = ", ".join(f"'{w}'" for w in _GOPHER_STOP)
+
+
+@query(
+    "llm_gopher_quality",
+    oracle=f"""
+    WITH tok AS ({{tokens_sql}}),
+    per_tok AS (
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(length(token)) AS BIGINT) AS tok_chars,
+               CAST(SUM(CASE WHEN regexp_matches(token, '[a-z]')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+               CAST(COUNT(DISTINCT CASE WHEN token IN ({_GOPHER_STOP_IN})
+                                        THEN token END) AS BIGINT) AS n_stop
+        FROM tok GROUP BY doc_id),
+    ln AS (
+        SELECT doc_id, l.line
+        FROM documents, unnest(string_split(text, chr(10))) AS l(line)
+        WHERE l.line <> ''),
+    per_line AS (
+        SELECT doc_id, COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN substr(line, 1, 1) IN ('-', '*', '•')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet,
+               CAST(SUM(CASE WHEN line LIKE '%...' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ell_end
+        FROM ln GROUP BY doc_id),
+    per_doc AS (
+        SELECT d.source,
+               COALESCE(p.n_words, 0) AS n_words,
+               COALESCE(p.tok_chars, 0) AS tok_chars,
+               COALESCE(p.n_alpha, 0) AS n_alpha,
+               COALESCE(p.n_stop, 0) AS n_stop,
+               COALESCE(l.n_lines, 0) AS n_lines,
+               COALESCE(l.n_bullet, 0) AS n_bullet,
+               COALESCE(l.n_ell_end, 0) AS n_ell_end,
+               length(d.text) - length(replace(d.text, '#', '')) AS n_hash,
+               (length(d.text) - length(replace(d.text, '...', ''))) // 3
+                   AS n_ell
+        FROM documents d
+        LEFT JOIN per_tok p USING (doc_id)
+        LEFT JOIN per_line l USING (doc_id)),
+    flags AS (
+        SELECT source,
+          CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END AS f_wc,
+          CASE WHEN 3 * n_words <= tok_chars AND tok_chars <= 10 * n_words
+               THEN 0 ELSE 1 END AS f_wl,
+          CASE WHEN 10 * (n_hash + n_ell) <= n_words THEN 0 ELSE 1 END AS f_sym,
+          CASE WHEN 10 * n_bullet <= 9 * n_lines THEN 0 ELSE 1 END AS f_bul,
+          CASE WHEN 10 * n_ell_end <= 3 * n_lines THEN 0 ELSE 1 END AS f_ell,
+          CASE WHEN 10 * n_alpha >= 8 * n_words THEN 0 ELSE 1 END AS f_al,
+          CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END AS f_st
+        FROM per_doc)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN f_wc + f_wl + f_sym + f_bul + f_ell + f_al + f_st = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(f_wc) AS BIGINT) AS fail_word_count,
+           CAST(SUM(f_wl) AS BIGINT) AS fail_word_len,
+           CAST(SUM(f_sym) AS BIGINT) AS fail_symbol,
+           CAST(SUM(f_bul) AS BIGINT) AS fail_bullet,
+           CAST(SUM(f_ell) AS BIGINT) AS fail_ellipsis,
+           CAST(SUM(f_al) AS BIGINT) AS fail_alpha,
+           CAST(SUM(f_st) AS BIGINT) AS fail_stopword
+    FROM flags GROUP BY source
+    """.format(tokens_sql=_TOKENS_SQL),
+)
+def llm_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filter (Rae et al. 2021, App. A1.1): the
+    published heuristic battery every large-scale pretraining corpus is
+    screened with — word count in [50, 100k], mean word length in
+    [3, 10], symbol-to-word ratio ('#'/'...') <= 0.1, < 90% of lines
+    bullet-led, <= 30% of lines ellipsis-ended, >= 80% of words
+    containing a letter, and >= 2 distinct required stopwords.
+
+    Every rule is an INTEGER cross-comparison (``3*n_words <=
+    tok_chars`` instead of ``tok_chars/n_words >= 3``): no division
+    exists anywhere, so the result is bit-identical across engines and
+    safe at any corpus size — and zero-word / zero-line documents need
+    no epsilon guards (the comparisons degrade correctly).
+
+    100 TB design: the per-document signals are pure array expressions
+    over the text column (size/filter/aggregate lambdas — JVM codegen,
+    no explode, no Python), so the whole battery is ONE scan-bound
+    map-only pass; the only exchange is the final low-cardinality
+    source rollup, which partial-aggregates map-side. The oracle
+    recomputes the same integers relationally (unnest + group-by) —
+    two independent formulations agreeing on every count is the
+    correctness argument. Plan-pinned single-exchange in
+    tests/test_plans.py.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), _WS), lambda t: t != "")
+    nonblank = F.filter(F.split(F.col("text"), "\n"), lambda ln: ln != "")
+    zero = F.lit(0).cast("long")
+    sig = d.select(
+        "source",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(toks, zero, lambda a, t: a + F.length(t)).alias("tok_chars"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        .cast("long")
+        .alias("n_alpha"),
+        sum(
+            (F.array_contains(toks, w).cast("long") for w in _GOPHER_STOP),
+            start=zero,
+        ).alias("n_stop"),
+        F.size(nonblank).cast("long").alias("n_lines"),
+        F.size(
+            F.filter(nonblank, lambda ln: F.substring(ln, 1, 1).isin("-", "*", "•"))
+        )
+        .cast("long")
+        .alias("n_bullet"),
+        F.size(F.filter(nonblank, lambda ln: ln.like("%...")))
+        .cast("long")
+        .alias("n_ell_end"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+        .cast("long")
+        .alias("n_hash"),
+        F.expr("(length(text) - length(replace(text, '...', ''))) div 3")
+        .cast("long")
+        .alias("n_ell"),
+    )
+    c = F.col
+    fails = {
+        "fail_word_count": ~c("n_words").between(50, 100000),
+        "fail_word_len": ~(
+            (3 * c("n_words") <= c("tok_chars"))
+            & (c("tok_chars") <= 10 * c("n_words"))
+        ),
+        "fail_symbol": ~(10 * (c("n_hash") + c("n_ell")) <= c("n_words")),
+        "fail_bullet": ~(10 * c("n_bullet") <= 9 * c("n_lines")),
+        "fail_ellipsis": ~(10 * c("n_ell_end") <= 3 * c("n_lines")),
+        "fail_alpha": ~(10 * c("n_alpha") >= 8 * c("n_words")),
+        "fail_stopword": ~(c("n_stop") >= 2),
+    }
+    flagged = sig.select(
+        "source", *(expr.cast("long").alias(name) for name, expr in fails.items())
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (sum((c(n) for n in fails), start=F.lit(0)) == 0).cast("long")
+        ).alias("n_pass"),
+        *(F.sum(n).alias(n) for n in fails),
     )
 
 
