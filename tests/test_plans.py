@@ -179,6 +179,55 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     assert n_comp < n_frag / 8, f"compaction left {n_comp} files (from {n_frag})"
 
 
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir):
+    """sink_zorder_cluster's reason to exist: the written files must (a)
+    carry pairwise-disjoint z-ranges (range partition + in-partition sort
+    actually clustered the layout) and (b) each span a NARROW slice of
+    BOTH custkey and orderdate relative to the global span — the footer
+    min/max property that lets a reader filtering on either dimension
+    skip most files. A single-column sort would pass (b) only for its
+    leading column; an unsorted write would fail both."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from yc_data_proc_metadata_import_spark.sources.io import _fixture_dir
+
+    QUERIES["sink_zorder_cluster"](spark, sf_dir).count()
+    d = _fixture_dir("zorder_orders", sf_dir)
+    files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) >= 8, f"expected >=8 range-partitioned files, got {len(files)}"
+
+    stats = []  # per file: (z_min, z_max, ck_min, ck_max, dt_min, dt_max)
+    for path in files:
+        md = pq.read_metadata(path)
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+        mins, maxs = {}, {}
+        for rg in range(md.num_row_groups):
+            for name in ("zval", "o_custkey", "o_orderdate"):
+                st = md.row_group(rg).column(cols[name]).statistics
+                mins[name] = min(mins.get(name, st.min), st.min)
+                maxs[name] = max(maxs.get(name, st.max), st.max)
+        stats.append(
+            (mins["zval"], maxs["zval"], mins["o_custkey"], maxs["o_custkey"],
+             mins["o_orderdate"], maxs["o_orderdate"])
+        )
+
+    stats.sort()
+    for (_, z_hi, *_), (z_lo, *_) in zip(stats, stats[1:]):
+        assert z_hi <= z_lo, "file z-ranges overlap — layout not clustered"
+
+    ck_span = max(s[3] for s in stats) - min(s[2] for s in stats)
+    dt_span = (max(s[5] for s in stats) - min(s[4] for s in stats)).days
+    mean_ck = sum(s[3] - s[2] for s in stats) / len(stats)
+    mean_dt = sum((s[5] - s[4]).days for s in stats) / len(stats)
+    assert mean_ck < 0.6 * ck_span, f"custkey not clustered: {mean_ck}/{ck_span}"
+    assert mean_dt < 0.6 * dt_span, f"orderdate not clustered: {mean_dt}/{dt_span}"
+
+
 def test_repetition_score_single_exchange(spark, sf_dir):
     """llm_repetition_score: one explicit doc_id repartition must serve
     BOTH aggregations (hash(doc_id) clusters (doc_id, token) and doc_id

@@ -505,3 +505,135 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
         "o_totalprice",
     )
+
+
+# --- Z-order clustered layout -------------------------------------------
+
+# 16-bit Morton interleave of two filter dimensions (customer key, days
+# since 1992-01-01). Each dimension is first min/max-scaled to the full
+# 16-bit domain — WITHOUT this, the wider dimension's high bits dominate
+# the interleave and the narrower one degenerates to a minor sort key
+# (z-order only clusters dimensions of comparable bit width; lakehouse
+# OPTIMIZE does the same stats-based normalization). The Spark and DuckDB
+# expressions are generated from one loop so the engines cannot drift;
+# every term is int64-exact, and all scaled values are >= 0 so Spark's
+# truncating `div` and DuckDB's flooring `//` agree.
+_Z_DAYS_SPARK = "datediff(o_orderdate, date'1992-01-01')"
+_Z_DAYS_DUCK = "date_diff('day', DATE '1992-01-01', o_orderdate)"
+
+
+def _scale16(col: str, lo: str, span: str) -> str:
+    return f"cast((({col} - {lo}) * 65535) {{div}} {span} as bigint)"
+
+
+def _morton_sql(x: str, y: str, spark_side: bool) -> str:
+    terms = []
+    for i in range(16):
+        if spark_side:
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_DUCK = _morton_sql(
+    _scale16("o_custkey", "b.ck_min", "b.ck_span").format(div="//"),
+    _scale16(_Z_DAYS_DUCK, "b.d_min", "b.d_span").format(div="//"),
+    spark_side=False,
+)
+
+
+@query(
+    "sink_zorder_cluster",
+    oracle=f"""
+    WITH b AS (
+        SELECT MIN(o_custkey) AS ck_min,
+               GREATEST(1, MAX(o_custkey) - MIN(o_custkey)) AS ck_span,
+               MIN({_Z_DAYS_DUCK}) AS d_min,
+               GREATEST(1, MAX({_Z_DAYS_DUCK}) - MIN({_Z_DAYS_DUCK})) AS d_span
+        FROM orders),
+    z AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               {_Z_DUCK} AS zval
+        FROM orders, b)
+    SELECT zval // 268435456 AS z_bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(zval) AS BIGINT) AS z_sum,
+           MIN(zval) AS z_min, MAX(zval) AS z_max,
+           MIN(o_custkey) AS custkey_min, MAX(o_custkey) AS custkey_max,
+           MIN(o_orderdate) AS date_min, MAX(o_orderdate) AS date_max
+    FROM z GROUP BY 1
+    """,
+)
+def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered write: min/max-scale two filter columns
+    (customer key, order date) to a common 16-bit domain, interleave
+    their bits into one Morton code, range-partition and sort the table
+    by it, and write Parquet. Because z-order preserves locality in BOTH
+    dimensions, every file's row-group min/max stats span a narrow range
+    of custkey AND of orderdate simultaneously — so readers filtering on
+    either column (or both) skip most files, which plain single-column
+    sorting only achieves for its one leading column. This is the
+    layout-maintenance pass (OPTIMIZE ... ZORDER BY in lakehouse
+    engines) that keeps multi-dimensional point/range lookups prunable
+    on a 100 TB fact table.
+
+    Scale shape: one metadata-scale aggregate collects the 4 scaling
+    bounds (O(1) driver state, the codebook/broadcast shape); the z code
+    itself is a map-only integer expression; repartitionByRange samples
+    z to build balanced range bounds, then each task sorts its slice and
+    writes — no global sort. tests/test_plans.py asserts the written
+    files' z-ranges are pairwise disjoint AND that per-file custkey/date
+    spans are narrow vs the global span (the pruning property itself).
+    The returned rollup buckets z by its top 4 bits — FIXED boundaries,
+    so the result is deterministic even though the range partitioner's
+    sampled bounds are not; z_sum/min/max per bucket hash-pin every bit
+    of the scale + interleave against the oracle's independent
+    formulation (scalar-subquery bounds, operator-built Morton).
+    """
+    out = _fixture_dir("zorder_orders", sf_dir)
+    orders = load(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_custkey").alias("ck_min"),
+        F.greatest(
+            F.lit(1), (F.max("o_custkey") - F.min("o_custkey"))
+        ).alias("ck_span"),
+        F.min(F.expr(_Z_DAYS_SPARK)).alias("d_min"),
+        F.greatest(
+            F.lit(1),
+            F.max(F.expr(_Z_DAYS_SPARK)) - F.min(F.expr(_Z_DAYS_SPARK)),
+        ).alias("d_span"),
+    ).first()
+    z_expr = _morton_sql(
+        _scale16("o_custkey", str(b["ck_min"]), str(b["ck_span"])).format(div="div"),
+        _scale16(_Z_DAYS_SPARK, str(b["d_min"]), str(b["d_span"])).format(div="div"),
+        spark_side=True,
+    )
+    z = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.expr(z_expr).alias("zval"),
+    )
+    (
+        z.repartitionByRange(16, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.expr("zval div 268435456").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("zval").alias("z_sum"),
+        F.min("zval").alias("z_min"),
+        F.max("zval").alias("z_max"),
+        F.min("o_custkey").alias("custkey_min"),
+        F.max("o_custkey").alias("custkey_max"),
+        F.min("o_orderdate").alias("date_min"),
+        F.max("o_orderdate").alias("date_max"),
+    )
