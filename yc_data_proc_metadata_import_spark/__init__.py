@@ -120,6 +120,7 @@ _FORCE_FRONT = {
 # enter the window in the next round.  Remove entries once adjudicated.
 _DEFER_FRESH = {
     "llm_gopher_quality",
+    "llm_quality_resample",
     "sink_zorder_cluster",
     "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",

@@ -899,6 +899,68 @@ def llm_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_quality_resample",
+    oracle=f"""
+    WITH counted AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    t -> t <> '')) AS BIGINT) AS n_tok
+        FROM documents),
+    tagged AS (
+        SELECT source, n_tok,
+               ({_MIX_HASH}) * 500 < 4294967296 * least(500, n_tok) AS kept
+        FROM counted)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+           CAST(SUM(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept
+    FROM tagged GROUP BY source
+    """,
+)
+def llm_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-WEIGHTED (importance) resampling: each document is kept
+    with probability proportional to its own quality score — here the
+    cheap proxy min(token_count, 500)/500 — by comparing a per-doc
+    deterministic hash against the score-scaled threshold:
+    ``hash(doc_id) * 500 < 2^32 * min(500, n_tok)``. This is the
+    per-document counterpart to llm_dataset_mixture's per-SOURCE budget
+    threshold: mixture reweights corpora, importance resampling
+    reweights individual documents (the DataComp/DCLM-style pass that
+    keeps high-quality documents at full rate and drops low-quality
+    ones proportionally), and chaining any real scorer in place of the
+    token-count proxy is a one-expression swap.
+
+    Exactness: the hash is the masked multiplicative mix shared with
+    corpus_shuffle (< 2^32, int64-safe after the *500), the compare is
+    pure integers, and acceptance is a pure function of doc_id — so the
+    sample is reproducible across engines, partitionings, and reruns
+    (seeded-hash Bernoulli, never rand()). Scale shape: map-only score
+    + hash + compare, one low-cardinality source rollup — a 100 TB
+    corpus resamples in a single scan with zero data shuffled.
+    """
+    counted = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.lower(F.col("text")), _WS), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    tagged = counted.withColumn(
+        "kept",
+        F.expr(f"({_MIX_HASH}) * 500 < 4294967296 * least(500, n_tok)"),
+    )
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum("n_tok").alias("tok_total"),
+        F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tok_kept"),
+    )
+
+
 # --- BPE merge training --------------------------------------------------
 _BPE_STEPS = 3
 
