@@ -157,3 +157,16 @@ def test_fixture_version_forces_rebuild(regen_sf):
     assert not os.path.exists(v1), "old-version fixture dir not reaped"
     assert os.path.exists(other), "unrelated fixture wrongly reaped"
     shutil.rmtree(other, ignore_errors=True)
+
+
+def test_fixture_version_alternation_raises(regen_sf):
+    """Two live call sites disagreeing on a kind's version would reap
+    each other's dirs on every access; returning to a previously-used
+    version is that signature and must fail loudly (code-review round 6).
+    A forward bump (the legitimate mechanism) stays allowed."""
+    import pytest
+
+    _fixture_dir("fpalt_kind", regen_sf, version="1")
+    _fixture_dir("fpalt_kind", regen_sf, version="2")  # forward bump: fine
+    with pytest.raises(AssertionError, match="alternating"):
+        _fixture_dir("fpalt_kind", regen_sf, version="1")

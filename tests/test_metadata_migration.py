@@ -152,3 +152,56 @@ def test_view_requalification_is_identifier_boundary():
         sub("FROM eng_meta_src.a JOIN eng_meta_src.b")
         == "FROM eng_meta_dst.a JOIN eng_meta_dst.b"
     )
+
+
+def test_view_requalification_handles_backtick_qualifier():
+    """Backtick-quoted database qualifiers re-qualify too (code-review
+    round 6: the bare-form lookbehind/lookahead both reject the quoted
+    spelling, so `src`.t replayed verbatim into the wrong namespace)."""
+    from yc_data_proc_metadata_import_spark.plans.metadata import (
+        _requalify_view_text,
+    )
+
+    src, dst = "eng_meta_src", "eng_meta_dst"
+    sub = lambda text: _requalify_view_text(text, src, dst)
+    assert sub("SELECT * FROM `eng_meta_src`.t") == "SELECT * FROM `eng_meta_dst`.t"
+    assert (
+        sub("FROM `eng_meta_src`.a JOIN eng_meta_src.b")
+        == "FROM `eng_meta_dst`.a JOIN eng_meta_dst.b"
+    )
+    # a backticked lookalike that merely embeds the name survives
+    assert sub("FROM `my_eng_meta_src`.t") == "FROM `my_eng_meta_src`.t"
+
+
+def test_manifest_path_reaps_stale_versions(tmp_path, monkeypatch):
+    """A manifest file from an older format version (or the unversioned
+    pre-round-6 name) must be reaped, not replayed: a .scratch surviving
+    a code update would otherwise satisfy meta_import with a
+    stale-by-code manifest (code-review round 6 — the r3/r4 hazard
+    class, at the manifest level)."""
+    from yc_data_proc_metadata_import_spark.plans import metadata as M
+
+    monkeypatch.setattr("yc_data_proc_metadata_import_spark.sources.io.SCRATCH", str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    for stale in ("meta_manifest_sf0_001_deadbeef00.json",
+                  "meta_manifest_v0_sf0_001_deadbeef00.json"):
+        (tmp_path / stale).write_text("[]")
+    path = M._manifest_path(sf)
+    assert f"_v{M._MANIFEST_VERSION}_" in os.path.basename(path)
+    left = [f for f in os.listdir(tmp_path) if f.startswith("meta_manifest_")]
+    assert left == [], f"stale manifests not reaped: {left}"
+
+
+def test_manifest_location_validation():
+    """A manifest naming a vanished table location is not replayable —
+    meta_import must re-export instead of registering tables over a
+    reaped fixture dir."""
+    from yc_data_proc_metadata_import_spark.plans.metadata import (
+        _manifest_locations_exist,
+    )
+
+    assert _manifest_locations_exist([{"location": None}, {"location": ""}])
+    assert _manifest_locations_exist([{"location": f"file:{SCRATCH}"}])
+    assert not _manifest_locations_exist(
+        [{"location": "file:/nonexistent/reaped_fixture_dir"}]
+    )

@@ -109,17 +109,14 @@ _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def shingled_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # applicationId key + dead-context eviction, not id(spark) — same
-    # id-reuse hazard and fix as similarity._KM_CACHE (round-5 ADVICE).
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
-    cached = _SHINGLE_CACHE.get(key)
-    if cached is None:
-        cached = shingled(spark, sf_dir).localCheckpoint(eager=True)
-        for k in [k for k in _SHINGLE_CACHE if k[0] != app_id]:
-            del _SHINGLE_CACHE[k]
-        _SHINGLE_CACHE[key] = cached
-    return cached
+    from ..utils import session_cached
+
+    return session_cached(
+        _SHINGLE_CACHE,
+        spark,
+        sf_dir,
+        lambda: shingled(spark, sf_dir).localCheckpoint(eager=True),
+    )
 
 
 # Oracle pair generation mirrors the Spark inverted-index shape (unnest

@@ -994,8 +994,10 @@ def _decode_jpeg(data: bytes):
         elif marker == 0xDA:
             for ci in range(body[0]):
                 cid, tt = body[1 + 2 * ci], body[2 + 2 * ci]
-                idx = next(i for i, c in enumerate(comps) if c[0] == cid)
-                scomps.append((idx, tt >> 4, tt & 0xF))
+                matches = [i for i, c in enumerate(comps) if c[0] == cid]
+                if not matches:
+                    raise ValueError(f"SOS references component id {cid} absent from SOF0")
+                scomps.append((matches[0], tt >> 4, tt & 0xF))
             break  # entropy-coded data follows
         # APPn / COM segments are skipped
     if w is None or not scomps:

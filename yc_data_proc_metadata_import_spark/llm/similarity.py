@@ -887,12 +887,9 @@ llm_kmeans_cluster.__doc__ = llm_kmeans_cluster.__doc__.format(k=_KM_K, iters=_K
 # Fit result cached per (application, source fingerprint): the Lloyd
 # loop's per-iteration collects are the expensive part, and
 # llm_kmeans_cluster + llm_semdedup would otherwise each run the full
-# loop. Keyed on sparkContext.applicationId — stable for the life of the
-# context, never reused across restarts — NOT id(spark) (round-5 ADVICE:
-# CPython reuses object ids, so a new session at a dead session's address
-# could be served a DataFrame bound to the stopped session). Entries from
-# other application ids are evicted on insert — they reference dead
-# contexts and would otherwise leak.
+# loop. Session identity + dead-context eviction live in
+# utils.session_cached (round-5 ADVICE fix, shared with the token and
+# shingle caches).
 _KM_CACHE: dict = {}
 
 
@@ -900,12 +897,14 @@ def _km_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the Lloyd loop; return (vec_id, qv, cluster) after the final
     assignment (shared by llm_kmeans_cluster and llm_semdedup)."""
     from ..sources.io import sf_tag
+    from ..utils import session_cached
 
-    app_id = spark.sparkContext.applicationId
-    cache_key = (app_id, sf_tag(sf_dir))
-    cached = _KM_CACHE.get(cache_key)
-    if cached is not None:
-        return cached
+    return session_cached(
+        _KM_CACHE, spark, sf_tag(sf_dir), lambda: _km_fit_uncached(spark, sf_dir)
+    )
+
+
+def _km_fit_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -913,19 +912,22 @@ def _km_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * _KM_Q + F.lit(0.5)).cast("long"),
         ).alias("qv"),
     )
-    init = qv.filter(F.col("vec_id") < _KM_K).collect()
-    cents = sorted((int(r["vec_id"]), [int(v) for v in r["qv"]], 1) for r in init)
+    # ONE aggregate job yields both driver-side scalars the loop needs:
+    # the K init centroids (collect_list skips the nulls the when()
+    # leaves for non-init rows) and the corpus-wide max|qv| feeding the
+    # overflow guards in _km_assign (the xs/x2 int64 bounds need the
+    # true max, not an assumed quantization range) — previously two
+    # full scans, now one.
+    head = qv.agg(
+        F.max(F.array_max(F.transform("qv", lambda v: F.abs(v)))).alias("m"),
+        F.collect_list(
+            F.when(F.col("vec_id") < _KM_K, F.struct("vec_id", "qv"))
+        ).alias("init"),
+    ).collect()[0]
+    max_abs_qv = int(head["m"] or 0)
+    cents = sorted((int(r["vec_id"]), [int(v) for v in r["qv"]], 1) for r in head["init"])
     if len(cents) != _KM_K:
         raise AssertionError(f"init expects vec_id 0..{_KM_K - 1}, got {len(cents)}")
-    # One metadata-scale max over the corpus feeds the overflow guards in
-    # _km_assign (the xs/x2 int64 bounds need the true max|qv|, not an
-    # assumed quantization range).
-    max_abs_qv = int(
-        qv.select(
-            F.max(F.array_max(F.transform("qv", lambda v: F.abs(v)))).alias("m")
-        ).collect()[0]["m"]
-        or 0
-    )
     assigned = None
     for it in range(_KM_ITERS):
         assigned = qv.withColumn("cluster", _km_assign(cents, max_abs_qv))
@@ -950,9 +952,6 @@ def _km_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (j, [d[i] for i in range(len(d))], counts[j])
             for j, d in by_cluster.items()
         )
-    for k in [k for k in _KM_CACHE if k[0] != app_id]:
-        del _KM_CACHE[k]  # dead-context entries (stopped applications)
-    _KM_CACHE[cache_key] = assigned
     return assigned
 
 

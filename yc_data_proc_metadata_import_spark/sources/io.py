@@ -135,6 +135,15 @@ def scan_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FP_SUFFIX = __import__("re").compile(r"^[0-9a-f]{10}$")
 
+# Version-alternation guard: two call sites passing DIFFERENT versions
+# for the same kind would reap each other's _SUCCESS-complete dirs on
+# every access (rest != fp both ways) — silent rebuild thrash, and
+# deletion of a directory a live catalog table's LOCATION may point at.
+# A forward version change is legitimate (that IS the bump mechanism);
+# RETURNING to a previously-used version within one process is the
+# alternation signature, so that raises loudly.
+_KIND_VERSIONS: dict = {}
+
 
 def _fixture_dir(kind: str, sf_dir: str, version: str = "1") -> str:
     """Scratch path for a derived fixture of ``kind`` over ``sf_dir`` —
@@ -152,6 +161,16 @@ def _fixture_dir(kind: str, sf_dir: str, version: str = "1") -> str:
     accumulate dead fixture copies."""
     import hashlib
 
+    state = _KIND_VERSIONS.setdefault(kind, {"last": version, "seen": {version}})
+    if version != state["last"]:
+        if version in state["seen"]:
+            raise AssertionError(
+                f"fixture kind {kind!r} alternating between versions "
+                f"{state['last']!r} and {version!r} — call sites of one kind "
+                "must agree on the version or they reap each other's dirs"
+            )
+        state["last"] = version
+        state["seen"].add(version)
     tag = sf_tag(sf_dir)
     base, fp = tag.rsplit("_", 1)
     if version != "1":

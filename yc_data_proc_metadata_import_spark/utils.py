@@ -70,3 +70,25 @@ def sql_dsum_prod(a: str, b: str) -> str:
     return (
         f"CAST(SUM(CAST({a} AS DECIMAL(19,4)) * CAST({b} AS DECIMAL(19,4))) AS DOUBLE)"
     )
+
+
+def session_cached(cache: dict, spark, suffix, build):
+    """Get-or-build a per-(session, suffix) cached value.
+
+    Keys on ``spark.sparkContext.applicationId`` — NEVER ``id(spark)``:
+    CPython reuses object ids after GC, so a new session allocated at a
+    dead session's address could be served a DataFrame bound to the
+    stopped context (round-5 ADVICE). Entries from other application
+    ids are evicted on insert — they reference dead contexts and would
+    otherwise leak. Shared by the token, shingle, and k-means caches so
+    the hazard fix lives in exactly one place.
+    """
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, suffix)
+    cached = cache.get(key)
+    if cached is None:
+        cached = build()
+        for k in [k for k in cache if k[0] != app_id]:
+            del cache[k]
+        cache[key] = cached
+    return cached
