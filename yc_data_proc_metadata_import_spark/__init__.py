@@ -119,6 +119,7 @@ _FORCE_FRONT = {
 # displace a key that has waited multiple rounds for adjudication; they
 # enter the window in the next round.  Remove entries once adjudicated.
 _DEFER_FRESH = {
+    "agg_bitmap_distinct",
     "llm_gopher_quality",
     "llm_quality_resample",
     "sink_zorder_cluster",

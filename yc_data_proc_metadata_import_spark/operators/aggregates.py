@@ -711,3 +711,69 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM eng_listagg_nation GROUP BY n_regionkey
         """
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           COUNT(DISTINCT o_custkey) AS n_distinct_merged,
+           COUNT(DISTINCT CASE WHEN o_custkey >= 1
+                               THEN (o_custkey - 1) // 32768 + 1
+                               ELSE (o_custkey + 32767) // 32768 END)
+               AS n_buckets
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via roaring-style bitmaps
+    (``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``) —
+    the Druid/ClickHouse-scale pattern where COUNT(DISTINCT) over a
+    dense integer key becomes a 4 KB-per-bucket bitmap that merges with
+    bitwise OR instead of shuffling every raw value.
+
+    Two independent paths must agree and both are hash-pinned against
+    the oracle's plain COUNT(DISTINCT):
+    - direct: key -> (bucket, bit position) -> one bitmap per
+      (status, bucket) -> popcount sum per status;
+    - merged: the same bitmaps built at the FINER (status, priority,
+      bucket) grain first, then OR-merged up to status — proving the
+      re-aggregability that makes bitmap cubes work (pre-aggregate
+      once, roll up any dimension later without touching raw data).
+
+    Bucket arithmetic in the oracle replicates Spark's exact
+    bitmap_bucket_number semantics for BOTH sign domains (empirically
+    pinned: v>=1 -> (v-1) floorDiv 32768 + 1; v<=0 -> (v+32767)
+    floorDiv 32768 — the fixture's custkey 0 sits in bucket 0).
+
+    100 TB shape: each exchange carries one 4 KB bitmap per 32768-key
+    range per group instead of the raw key stream (the Expand-based
+    exact COUNT(DISTINCT) carries every distinct value to the shuffle);
+    OR-merge is associative/commutative so partial aggregation is
+    map-side and partitioning-independent. Spark 3.5+ public API.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.bitmap_bucket_number("o_custkey").alias("bkt"),
+        F.bitmap_bit_position("o_custkey").alias("pos"),
+    )
+    direct = (
+        o.groupBy("o_orderstatus", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .groupBy("o_orderstatus")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct"),
+             F.count(F.lit(1)).alias("n_buckets"))
+    )
+    merged = (
+        o.groupBy("o_orderstatus", "o_orderpriority", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .groupBy("o_orderstatus", "bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("o_orderstatus")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct_merged"))
+    )
+    return direct.join(merged, "o_orderstatus").select(
+        "o_orderstatus", "n_distinct", "n_distinct_merged", "n_buckets"
+    )
