@@ -775,3 +775,51 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
     )
 
+
+
+@query(
+    "stream_state_introspect",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+               AS window_end,
+           event_type, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_state_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-STORE INTROSPECTION (Spark 4 State Data Source, public API):
+    run a windowed streaming aggregation to completion, then read the
+    checkpoint's state store DIRECTLY with
+    ``spark.read.format("statestore")`` and reconstruct the aggregate
+    from the raw (key, value) state rows — which must equal the batch
+    aggregate the oracle computes over the same events.
+
+    This is the ops surface a production streaming pipeline needs:
+    inspecting what a stateful operator is actually holding (skewed
+    keys, stuck windows, state bloat) without stopping the query or
+    adding debug sinks. The hash check proves the introspected state is
+    the aggregation state, not an approximation of it.
+
+    100 TB shape: the state source reads each state-store partition
+    independently (partition_id travels in the row) — a cluster-wide
+    state audit is a parallel scan of the checkpoint, never a driver
+    walk; at scale you filter to suspect key ranges and let partition
+    pruning skip the rest.
+    """
+    src = _stream_src(spark, sf_dir)
+    name = "mem_stream_state_introspect"
+    chk = os.path.join(SCRATCH, "checkpoints", name)
+    agg = (
+        _read_stream(spark, src)
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    _run_to_memory(agg, name, "complete")
+    state = spark.read.format("statestore").option("path", chk).load()
+    return state.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.window.end").alias("window_end"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+    )
