@@ -120,6 +120,7 @@ _FORCE_FRONT = {
 # enter the window in the next round.  Remove entries once adjudicated.
 _DEFER_FRESH = {
     "agg_bitmap_distinct",
+    "meta_diff",
     "stream_state_introspect",
     "llm_gopher_quality",
     "llm_quality_resample",

@@ -681,3 +681,124 @@ def meta_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, min_s, max_s)"
     ).orderBy("column_name")
+
+
+_DIFF_DB = "eng_meta_diff"
+
+
+def _canon_entry(entry: dict, requalified_view: str | None = None) -> dict:
+    """Canonical comparable form of one manifest entry: every migrated
+    aspect rendered as a string, so the diff below is a plain dict
+    compare with deterministic values."""
+    props = entry.get("properties") or {}
+    stats = entry.get("statistics") or {}
+    aspects = {
+        "type": entry["type"],
+        "format": entry.get("format") or "",
+        "columns": ", ".join(
+            f"{c['name']}:{c['type']}" for c in entry.get("columns", [])
+        ),
+        "partition_columns": ", ".join(entry.get("partition_columns", [])),
+        "partitions": str(len(entry.get("partitions", []))),
+        "view_text": requalified_view
+        if requalified_view is not None
+        else (entry.get("view_text") or ""),
+        "statistics": json.dumps(stats, sort_keys=True),
+    }
+    for k, v in props.items():
+        aspects[f"property:{k}"] = v
+    return aspects
+
+
+def _diff_manifests(src: list, dst: list, src_db: str, dst_db: str) -> list:
+    """(tbl, aspect, src_value, dst_value) rows for every aspect that
+    differs — presence, schema, partition count, properties, view text
+    (source text requalified to the destination namespace before
+    comparing, the transform import itself applies), statistics."""
+    s = {e["table"]: e for e in src}
+    d = {e["table"]: e for e in dst}
+    rows = []
+    for tbl in sorted(set(s) | set(d)):
+        if tbl not in d:
+            rows.append((tbl, "presence", "present", "absent"))
+            continue
+        if tbl not in s:
+            rows.append((tbl, "presence", "absent", "present"))
+            continue
+        sa = _canon_entry(
+            s[tbl],
+            requalified_view=_requalify_view_text(
+                s[tbl].get("view_text") or "", src_db, dst_db
+            ),
+        )
+        da = _canon_entry(d[tbl])
+        for aspect in sorted(set(sa) | set(da)):
+            sv, dv = sa.get(aspect, ""), da.get(aspect, "")
+            if sv != dv:
+                rows.append((tbl, aspect, sv, dv))
+    return rows
+
+
+@query(
+    "meta_diff",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('nation_ext', 'property:quality_tier', 'gold', 'silver'),
+        ('orders_part', 'partitions', '6', '5'),
+        ('region_ext', 'presence', 'present', 'absent')
+    ) AS t(tbl, aspect, src_value, dst_value)
+    """,
+)
+def meta_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIGRATION VALIDATION: diff the source namespace against an
+    imported copy that has since DRIFTED — the post-migration check the
+    reference's tutorial stops short of (its last step is "run a test
+    query"; a real cutover needs to prove the whole catalog matches).
+
+    A fresh import into a third namespace is followed by three
+    deliberate mutations (dropped partition, changed table property,
+    dropped table); the validator must report EXACTLY those three
+    drifts — any extra row means some aspect (schema, partition specs,
+    view text, statistics, remaining properties) failed to migrate
+    identically, so the hash check simultaneously proves drift
+    DETECTION and migration FIDELITY of everything else.
+
+    Scale shape: manifests are metadata (one batched SHOW TABLE
+    EXTENDED per namespace, O(tables) driver rows — same budget as
+    meta_export); the compare is a dict diff over canonical strings.
+    At a 10k-table metastore this is two catalog scans and a
+    set-difference, not a data read."""
+    path = _manifest_path(sf_dir)
+    if os.path.exists(path):
+        _build_source(spark, sf_dir)
+        with open(path) as f:
+            manifest = json.load(f)
+        if not _manifest_locations_exist(manifest):
+            manifest = _export_to_disk(spark, sf_dir)
+    else:
+        manifest = _export_to_disk(spark, sf_dir)
+    import_manifest(spark.newSession(), manifest, _DIFF_DB)
+    # Controlled drift. DROP PARTITION deregisters metadata only — the
+    # imported tables are EXTERNAL over shared storage (assert, as in
+    # catalog_partition_ddl: a MANAGED drop would delete shared data).
+    info = spark.sql(
+        f"DESCRIBE TABLE EXTENDED {_DIFF_DB}.{_PART_TABLE}"
+    ).collect()
+    assert any(
+        r.col_name == "Type" and r.data_type == "EXTERNAL" for r in info
+    ), f"{_DIFF_DB}.{_PART_TABLE} must be EXTERNAL before DROP PARTITION"
+    spark.sql(
+        f"ALTER TABLE {_DIFF_DB}.{_PART_TABLE} "
+        f"DROP PARTITION ({_PART_COL}='5-LOW')"
+    )
+    spark.sql(
+        f"ALTER TABLE {_DIFF_DB}.nation_ext "
+        "SET TBLPROPERTIES ('quality_tier'='silver')"
+    )
+    spark.sql(f"DROP TABLE {_DIFF_DB}.region_ext")
+    src_m = export_manifest(spark, _SRC_DB)
+    dst_m = export_manifest(spark, _DIFF_DB)
+    rows = _diff_manifests(src_m, dst_m, _SRC_DB, _DIFF_DB)
+    return spark.createDataFrame(
+        rows, "tbl string, aspect string, src_value string, dst_value string"
+    )
