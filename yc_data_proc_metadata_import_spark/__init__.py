@@ -121,6 +121,7 @@ _FORCE_FRONT = {
 _DEFER_FRESH = {
     "agg_bitmap_distinct",
     "meta_diff",
+    "sql_scripting",
     "stream_state_introspect",
     "llm_gopher_quality",
     "llm_quality_resample",

@@ -119,3 +119,68 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_scripting",
+    oracle="""
+    WITH m AS (SELECT MAX(o_totalprice) AS mx FROM orders)
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_totalprice > mx / 8 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_eighth,
+           CAST(SUM(CASE WHEN o_totalprice * 4 > mx THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_quarter
+    FROM orders, m GROUP BY o_orderpriority
+    """,
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING + SESSION VARIABLES (Spark 4 public surface): a
+    BEGIN...END block with local DECLAREd variables, a scalar-subquery
+    SET, and a WHILE loop computes a data-dependent threshold
+    (max/2^3), parameterized further by a session variable set OUTSIDE
+    the script (DECLARE/SET VARIABLE) — the migration path for stored-
+    procedure-style ETL logic that previously needed a driver program.
+
+    Exactness: the loop halves a double three times (pure exponent
+    decrements — no rounding), and ``thr * 8`` recovers the max
+    bit-exactly, so the oracle can express the script's control flow as
+    closed-form arithmetic; the comparisons are identical double
+    compares on both engines. Execution shape is unchanged by the
+    dialect: one scalar aggregate (broadcast), one grouped aggregate —
+    the script only SEQUENCES relational statements, each of which
+    Catalyst plans normally.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("script_orders")
+    prev = spark.conf.get("spark.sql.scripting.enabled", "true")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        spark.sql(
+            "DECLARE OR REPLACE VARIABLE eng_script_factor BIGINT DEFAULT 2"
+        )
+        spark.sql("SET VARIABLE eng_script_factor = 4")
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE thr DOUBLE DEFAULT 0;
+              DECLARE i INT DEFAULT 0;
+              SET thr = (SELECT MAX(o_totalprice) FROM script_orders);
+              WHILE i < 3 DO
+                SET thr = thr / 2;
+                SET i = i + 1;
+              END WHILE;
+              SELECT o_orderpriority,
+                     COUNT(*) AS n_orders,
+                     CAST(SUM(CASE WHEN o_totalprice > thr
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_above_eighth,
+                     CAST(SUM(CASE WHEN o_totalprice * eng_script_factor
+                                        > thr * 8
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_above_quarter
+              FROM script_orders GROUP BY o_orderpriority;
+            END
+            """
+        )
+    finally:
+        spark.conf.set("spark.sql.scripting.enabled", prev)
