@@ -121,6 +121,7 @@ _FORCE_FRONT = {
 _DEFER_FRESH = {
     "agg_bitmap_distinct",
     "meta_diff",
+    "scan_xml",
     "sql_scripting",
     "stream_state_introspect",
     "llm_gopher_quality",

@@ -231,12 +231,25 @@ def _orc_fixture(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def _xml_fixture(spark: SparkSession, sf_dir: str) -> str:
+    return _materialize(
+        lambda p: load(spark, sf_dir, "region")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "regions")
+        .option("rowTag", "region")
+        .save(p),
+        _fixture_dir("xml_region", sf_dir),
+    )
+
+
 def prepare_fixtures(spark: SparkSession, sf_dir: str) -> None:
     """One-time setup: materialize every derived-format fixture so the
     scans themselves (the measured path) are pure reads."""
     _csv_fixture(spark, sf_dir)
     _json_fixture(spark, sf_dir)
     _orc_fixture(spark, sf_dir)
+    _xml_fixture(spark, sf_dir)
 
 
 @query(
@@ -264,6 +277,27 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _json_fixture(spark, sf_dir)
     df = spark.read.json(path, schema="r_regionkey INT, r_name STRING")
     return df.select("r_regionkey", "r_name")
+
+
+@query(
+    "scan_xml",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest (Spark 4's NATIVE xml source — the spark-xml package
+    folded into core): rowTag-delimited records with an explicit schema
+    (no inference pass — inference re-reads the corpus at 100 TB).
+    XML is the interchange format enterprise metadata exports still
+    arrive in; the scan is row-splittable like JSON-lines, so it
+    parallelizes by input split."""
+    path = _xml_fixture(spark, sf_dir)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "region")
+        .schema("r_regionkey INT, r_name STRING")
+        .load(path)
+        .select("r_regionkey", "r_name")
+    )
 
 
 @query(
