@@ -123,6 +123,7 @@ _DEFER_FRESH = {
     "meta_diff",
     "scan_xml",
     "sql_scripting",
+    "stream_rocksdb_state",
     "stream_state_introspect",
     "llm_gopher_quality",
     "llm_quality_resample",

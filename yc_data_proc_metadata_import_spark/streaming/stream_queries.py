@@ -823,3 +823,59 @@ def stream_state_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n_events"),
     )
+
+
+@query(
+    "stream_rocksdb_state",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROCKSDB STATE BACKEND: the same windowed streaming aggregation,
+    but with state held in embedded RocksDB instead of the default
+    HDFS-backed in-heap map — THE production answer for state that
+    outgrows executor memory (the default provider keeps every key in
+    the JVM heap; RocksDB spills to local disk with changelog
+    checkpointing so per-batch uploads ship deltas, not snapshots).
+    Changelog checkpointing is enabled — the knob that makes commit
+    cost proportional to the batch's updates rather than total state.
+
+    The result must be byte-identical to the batch oracle — the
+    backend is an operational choice, never a semantic one; that
+    equivalence is exactly what this key hash-pins.
+    """
+    src = _stream_src(spark, sf_dir)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    changelog_key = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    spark.conf.set(changelog_key, "true")
+    try:
+        agg = (
+            _read_stream(spark, src)
+            .groupBy(F.window("ts", "15 minutes"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "value_sum"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "value_sum",
+            )
+        )
+        _run_to_memory(agg, "mem_stream_rocksdb", "complete")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return spark.table("mem_stream_rocksdb")
