@@ -121,6 +121,7 @@ _FORCE_FRONT = {
 _DEFER_FRESH = {
     "agg_bitmap_distinct",
     "meta_diff",
+    "fn_xpath",
     "scan_xml",
     "sql_scripting",
     "stream_rocksdb_state",

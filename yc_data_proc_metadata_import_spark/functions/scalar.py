@@ -557,3 +557,54 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_add(F.col("o_orderkey"), F.lit(1000000000000000000)).alias("safe_add"),
         F.col("o_orderpriority").try_cast("bigint").alias("not_a_number"),
     )
+
+
+@query(
+    "fn_xpath",
+    oracle="""
+    WITH x AS (
+        SELECT n_nationkey,
+               '<nation><key>' || n_nationkey || '</key><name>' || n_name
+                   || '</name><region>' || n_regionkey
+                   || '</region></nation>' AS xml
+        FROM nation)
+    SELECT n_nationkey,
+           CAST(regexp_extract(xml, '<key>([^<]*)</key>', 1) AS BIGINT)
+               AS key_num,
+           regexp_extract(xml, '<name>([^<]*)</name>', 1) AS name_s,
+           CAST(regexp_extract(xml, '<region>([^<]*)</region>', 1) AS INTEGER)
+               AS region_i,
+           CAST(length(xml) AS INTEGER) AS xml_len
+    FROM x
+    """,
+)
+def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath extraction over an XML string column (``xpath_long`` /
+    ``xpath_string`` / ``xpath_int`` — the Hive-compatible function
+    family the reference's Hive service exposes): values round-trip
+    through a generated XML document and back out via real XPath
+    evaluation. The oracle extracts the same fields with anchored
+    regexes — a deliberately independent formulation (regex vs a real
+    XML parser), which agrees exactly because the generated documents
+    are canonical (no attributes, entities, or nesting ambiguity).
+    Map-only: XML build + xpath both run row-local inside codegen; the
+    fixture names contain no XML-escapable characters (uppercase
+    letters and spaces only), so no entity encoding divergence exists.
+    """
+    n = load(spark, sf_dir, "nation")
+    xml = F.concat(
+        F.lit("<nation><key>"),
+        F.col("n_nationkey").cast("string"),
+        F.lit("</key><name>"),
+        F.col("n_name"),
+        F.lit("</name><region>"),
+        F.col("n_regionkey").cast("string"),
+        F.lit("</region></nation>"),
+    )
+    return n.select(
+        "n_nationkey",
+        F.xpath_long(xml, F.lit("/nation/key")).alias("key_num"),
+        F.xpath_string(xml, F.lit("/nation/name")).alias("name_s"),
+        F.xpath_int(xml, F.lit("/nation/region")).alias("region_i"),
+        F.length(xml).alias("xml_len"),
+    )
