@@ -125,6 +125,7 @@ _DEFER_FRESH = {
     "scan_xml",
     "sql_scripting",
     "stream_rocksdb_state",
+    "udtf_polymorphic",
     "stream_state_introspect",
     "llm_gopher_quality",
     "llm_quality_resample",

@@ -263,3 +263,47 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, n_chars_arrow long, n_bytes_arrow long",
         )
     )
+
+
+@query(
+    "udtf_polymorphic",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           CAST(length(n_name) AS INTEGER) AS name_len
+    FROM nation
+    """,
+)
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF with a TABLE argument (Spark 4): the
+    class's static ``analyze()`` runs at PLAN time and derives the
+    output schema from the incoming table's schema (all input fields +
+    a computed column) — the generic-transform surface that lets one
+    UDTF serve any table, where a plain UDTF's schema is frozen in its
+    decorator. Called as ``SELECT * FROM fn(TABLE(v))``.
+
+    Cost model: Python executes once per row (UDTF contract) — fine on
+    the 25-row dimension used here and for metadata-scale transforms;
+    bulk transforms belong in Arrow-batched mapInPandas (see
+    functions/udf.py module docstring).
+    """
+    from pyspark.sql.functions import udtf
+
+    class AddNameLen:
+        @staticmethod
+        def analyze(t):
+            from pyspark.sql.types import IntegerType, StructType
+            from pyspark.sql.udtf import AnalyzeResult
+
+            schema = StructType(list(t.dataType.fields)).add(
+                "name_len", IntegerType()
+            )
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, row):
+            yield (*row, len(row["n_name"]))
+
+    spark.udtf.register("eng_add_name_len", udtf(AddNameLen))
+    load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).createOrReplaceTempView("udtf_poly_nation")
+    return spark.sql("SELECT * FROM eng_add_name_len(TABLE(udtf_poly_nation))")
