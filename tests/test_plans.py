@@ -434,3 +434,15 @@ def test_tpch_q19_single_join_with_pushdown(spark, sf_dir):
     assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan, (
         f"derived disjunct bounds not pushed to scan\n{plan}"
     )
+
+
+def test_join_hints_are_honored(spark, sf_dir):
+    """join_hint_strategies' reason to exist: SHUFFLE_HASH must produce a
+    ShuffledHashJoin and MERGE a SortMergeJoin — a silently-ignored hint
+    is how a tuned job regresses unnoticed on an engine upgrade."""
+    from yc_data_proc_metadata_import_spark.operators.joins import join_hint_plans
+
+    hash_plan, merge_plan = join_hint_plans(spark, sf_dir)
+    assert "ShuffledHashJoin" in hash_plan, f"SHUFFLE_HASH ignored\n{hash_plan}"
+    assert "SortMergeJoin" in merge_plan, f"MERGE ignored\n{merge_plan}"
+    assert "SortMergeJoin" not in hash_plan

@@ -120,6 +120,7 @@ _FORCE_FRONT = {
 # enter the window in the next round.  Remove entries once adjudicated.
 _DEFER_FRESH = {
     "agg_bitmap_distinct",
+    "join_hint_strategies",
     "meta_diff",
     "fn_xpath",
     "scan_xml",

@@ -906,3 +906,62 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ORDER BY n_nationkey DESC LIMIT 2) t
         """
     )
+
+
+@query(
+    "join_hint_strategies",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+           {sql_dsum('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_hint_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-STRATEGY HINTS: the same fact-fact join executed under an
+    explicit ``SHUFFLE_HASH`` hint, with a ``MERGE``-hinted twin built
+    alongside and count-checked for agreement — the optimizer-override
+    surface that matters at 100 TB when statistics mislead (a hash join
+    avoids sorting both sides but must hold one side's partition in
+    memory; sort-merge spills gracefully). tests/test_plans.py asserts
+    each hint is HONORED (ShuffledHashJoin vs SortMergeJoin in the
+    respective plans) — a hint silently ignored is how a tuned job
+    regresses unnoticed on an engine upgrade.
+
+    Both strategies shuffle both sides on the join key identically —
+    the hint changes only the per-partition algorithm, never the
+    result, which is exactly what the single oracle hash pins.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    hash_joined = li.hint("SHUFFLE_HASH").join(
+        o, li.l_orderkey == o.o_orderkey
+    )
+    merge_joined = li.hint("MERGE").join(o, li.l_orderkey == o.o_orderkey)
+    agg = lambda j: (
+        j.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_extendedprice", "revenue"))
+    )
+    result = agg(hash_joined)
+    # The merge-hinted twin must agree — executed (cheaply, 5 rows) so a
+    # strategy-dependent bug cannot hide behind the unexecuted plan.
+    assert agg(merge_joined).count() == result.count()
+    return result
+
+
+def join_hint_plans(spark: SparkSession, sf_dir: str):
+    """(hash_plan, merge_plan) strings for the plan-assert test."""
+    import contextlib
+    import io
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    plans = []
+    for hint in ("SHUFFLE_HASH", "MERGE"):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            li.hint(hint).join(o, li.l_orderkey == o.o_orderkey).explain(
+                "formatted"
+            )
+        plans.append(buf.getvalue())
+    return plans
