@@ -120,6 +120,7 @@ _FORCE_FRONT = {
 # enter the window in the next round.  Remove entries once adjudicated.
 _DEFER_FRESH = {
     "agg_bitmap_distinct",
+    "agg_mode_countif",
     "join_hint_strategies",
     "meta_diff",
     "fn_xpath",

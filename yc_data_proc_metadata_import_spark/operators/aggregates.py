@@ -777,3 +777,48 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return direct.join(merged, "o_orderstatus").select(
         "o_orderstatus", "n_distinct", "n_distinct_merged", "n_buckets"
     )
+
+
+@query(
+    "agg_mode_countif",
+    oracle="""
+    WITH counted AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+        FROM orders GROUP BY o_orderstatus, o_orderpriority),
+    ranked AS (
+        SELECT o_orderstatus, o_orderpriority AS priority_mode,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY c DESC, o_orderpriority) AS rn
+        FROM counted),
+    base AS (
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+        FROM orders GROUP BY o_orderstatus)
+    SELECT b.o_orderstatus, r.priority_mode, b.n_orders, b.n_urgent
+    FROM base b JOIN ranked r ON b.o_orderstatus = r.o_orderstatus
+    WHERE r.rn = 1
+    """,
+)
+def agg_mode_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC MODE + COUNT_IF: ``mode(col, true)`` (Spark 4's
+    deterministic form — ties resolve to the LOWEST value, so the
+    result is partitioning-independent and hash-checkable, where the
+    default mode is free to return any tied value) alongside
+    ``count_if`` for conditional counting without a CASE expression.
+    The oracle rebuilds deterministic mode relationally: count per
+    value, rank by (count DESC, value), take rank 1 — the exact
+    tie-break contract, independently formulated.
+
+    One hash aggregate with map-side partials; mode's state is a
+    per-group value->count map, bounded by the column's cardinality
+    (5 priorities here) — the same per-group state bound that makes it
+    safe at scale for low-cardinality columns and a deliberate
+    anti-pattern for high-cardinality ones (use topk_per_group there).
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.mode("o_orderpriority", True).alias("priority_mode"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+    )
