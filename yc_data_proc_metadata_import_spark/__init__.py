@@ -119,6 +119,13 @@ _FORCE_FRONT = {
 # displace a key that has waited multiple rounds for adjudication; they
 # enter the window in the next round.  Remove entries once adjudicated.
 _DEFER_FRESH = {
+    "agg_weighted_median",
+    "dq_expectations",
+    "graph_pagerank",
+    "scan_file_metadata",
+    "sql_parameterized",
+    "ts_gap_fill",
+    "win_funnel",
     "agg_bitmap_distinct",
     "agg_mode_countif",
     "join_hint_strategies",

@@ -822,3 +822,78 @@ def agg_mode_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH d AS (
+        SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS wq
+        FROM lineitem),
+    c AS (
+        SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber, wq,
+               SUM(wq) OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(wq) OVER (PARTITION BY l_returnflag) AS total
+        FROM d),
+    q AS (
+        SELECT l_returnflag, l_extendedprice, total,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey,
+                                           l_linenumber) AS rn
+        FROM c WHERE 2 * cum >= total)
+    SELECT l_returnflag,
+           l_extendedprice AS weighted_median_price,
+           CAST(total AS BIGINT) AS total_qty
+    FROM q WHERE rn = 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WEIGHTED MEDIAN per group: the price at which half the total
+    shipped QUANTITY lies on each side — the classic inventory/pricing
+    statistic that ``percentile`` cannot express (it weights rows, not
+    quantities).  Algorithm: one window pass computes the running quantity
+    (cumulative sum) and the group total, then the first row (in the same
+    total order) whose doubled running weight reaches the total is the
+    weighted median.
+
+    Determinism: weights are cast to BIGINT (quantities are integral) so
+    every cumulative sum is exact integer arithmetic — no float
+    accumulation order to drift; the ordering carries the unique
+    (price, orderkey, linenumber) tiebreaker; the selected price itself is
+    surfaced unmodified, so no arithmetic touches a double.  Scale: one
+    shuffle on l_returnflag serves both window frames; the group count is
+    tiny but the per-group sort is the same single range-sort Spark runs
+    for any window — at 100 TB swap the partition key for a
+    higher-cardinality group (e.g. part) with the identical plan.  The
+    oracle casts its totals to BIGINT (DuckDB SUM(BIGINT) widens to
+    HUGEINT, the round-2 agg_bool Arrow-dtype lesson)."""
+    li = load(spark, sf_dir, "lineitem")
+    order_cols = [
+        F.col("l_extendedprice").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    ]
+    w_order = Window.partitionBy("l_returnflag").orderBy(*order_cols)
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("l_returnflag")
+    d = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("wq"),
+    )
+    c = d.withColumn("cum", F.sum("wq").over(w_cum)).withColumn(
+        "total", F.sum("wq").over(w_all)
+    )
+    q = c.where(2 * F.col("cum") >= F.col("total")).withColumn(
+        "rn", F.row_number().over(w_order)
+    )
+    return q.where(F.col("rn") == 1).select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("weighted_median_price"),
+        F.col("total").alias("total_qty"),
+    )

@@ -356,3 +356,220 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+def _pagerank_oracle() -> str:
+    """Unroll the 3 integer-PageRank iterations as chained CTEs (DuckDB
+    has no mutable state; the recursion is finite and tiny, so unrolling
+    IS the relational formulation).  Kept in a builder so the Spark loop
+    and the SQL text share one iteration count."""
+    cte = [
+        """
+    WITH edges AS (
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey),
+    deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY src),
+    n AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        cte.append(
+            f""",
+    c{i} AS (
+        SELECT e.dst, SUM(r.rank // d.outdeg) AS s
+        FROM edges e
+        JOIN r{i - 1} r ON r.node = e.src
+        JOIN deg d      ON d.src  = e.src
+        GROUP BY e.dst),
+    r{i} AS (
+        SELECT n.node,
+               CAST(150000 + (85 * COALESCE(c{i}.s, 0)) // 100 AS BIGINT)
+                   AS rank
+        FROM n LEFT JOIN c{i} ON c{i}.dst = n.node)"""
+        )
+    cte.append(
+        f"""
+    SELECT node AS n_nationkey, rank AS pagerank FROM r{_PR_ITERS}"""
+    )
+    return "".join(cte)
+
+
+_PR_ITERS = 3
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE GRAPH COMPUTATION — PageRank over the nation-level trade
+    graph (supplier nation -> customer nation edges derived from the
+    lineitem/orders fact spine).  Demonstrates the loop-of-DataFrames
+    pattern Spark uses for any fixed-point algorithm: each iteration is a
+    join + aggregate whose OUTPUT feeds the next iteration's plan; no
+    driver-side data movement, only plan composition.
+
+    Integer-exact by construction: ranks are scaled integers (1e6 total
+    mass per node), contributions use integer division (Spark ``div`` ==
+    DuckDB ``//`` on non-negative values), and the damping update is
+    ``150000 + 85*contrib div 100`` — so every engine computes bit-equal
+    ranks and the result is hash-checkable, where float PageRank would
+    drift with aggregation order.  Dangling-node mass is dropped
+    (deterministically) rather than redistributed.
+
+    Scale: the expensive step is the ONE edge-derivation pipeline (fact
+    joins + DISTINCT, all key-partitioned); it materializes ONCE
+    (localCheckpoint — lineage truncation, the iterative-Spark idiom) and
+    the iterations then run on the aggregated edge list — nodes^2 at
+    most, here <= 625 rows — with the rank side broadcast.  At 100 TB the
+    same split holds: derive once, iterate on the small aggregate; for
+    billion-node graphs drop the broadcast hints and the same joins shard
+    on src/dst."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Lineage truncation — THE iterative-Spark idiom (and this package's
+    # established pattern, llm/dedup.py): the edge derivation pipeline is
+    # expensive and loop-invariant, so it materializes ONCE; without this
+    # every iteration would replay the 4-way fact join (plan census showed
+    # 23 exchanges), and at iteration k the lineage would be k pipelines
+    # deep.  The checkpointed aggregate is nodes^2-bounded, never the
+    # fact data.
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("node")
+    )
+    ranks = nodes.select("node", F.lit(1000000).cast("bigint").alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges_deg.join(F.broadcast(ranks), edges_deg.src == ranks.node)
+            .select("dst", F.expr("rank div outdeg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = nodes.join(F.broadcast(contrib), nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(150000)
+                + F.expr("85 * coalesce(s, 0L) div 100")
+            ).cast("bigint").alias("rank"),
+        )
+    return ranks.select(F.col("node").alias("n_nationkey"), F.col("rank").alias("pagerank"))
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    WITH w AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS v_null,
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+               CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                             OR l_shipdate >= TIMESTAMP '1999-01-01'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_ship,
+               CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
+               CAST(COUNT(*) - (SELECT COUNT(*) FROM (
+                   SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+                    AS BIGINT) AS v_pk
+        FROM lineitem),
+    fk AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v_fk
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+    SELECT r.rule, w.n_rows, r.n_violations,
+           CASE WHEN r.n_violations = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+    FROM w, fk, LATERAL (VALUES
+        ('not_null_l_orderkey', w.v_null),
+        ('range_l_quantity_1_50', w.v_qty),
+        ('range_l_discount_0_0.1', w.v_disc),
+        ('bounds_l_shipdate_1992_1998', w.v_ship),
+        ('domain_l_returnflag_ANR', w.v_flag),
+        ('unique_orderkey_linenumber', w.v_pk),
+        ('fk_l_orderkey_in_orders', fk.v_fk)) AS r(rule, n_violations)
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY EXPECTATION SUITE — the audit a pipeline runs before
+    promoting a snapshot: not-null, range, domain, date-bounds,
+    composite-key uniqueness, and referential-integrity checks over
+    lineitem, reported one row per rule with violation counts and a
+    PASS/FAIL status.
+
+    Cost shape is the whole point: the six single-table rules compute in
+    ONE full scan (a single hash-aggregate of conditional counts — adding
+    a rule adds a column, not a pass), the uniqueness rule rides the same
+    scan's distinct count, and only referential integrity needs a second
+    input (LEFT ANTI join against orders on the join key — at 100 TB
+    that's the one shuffle, and it prunes to the key column only).  The
+    per-rule rows come from ``stack`` over the one-row audit summary —
+    never a per-rule UNION of full scans, which is how naive DQ
+    frameworks turn 7 rules into 7 table scans."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_orderkey").isNull()).alias("v_null"),
+        F.count_if(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+        ).alias("v_qty"),
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("v_disc"),
+        F.count_if(
+            (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp_ntz"))
+            | (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
+        ).alias("v_ship"),
+        F.count_if(~F.col("l_returnflag").isin("A", "N", "R")).alias("v_flag"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("v_pk"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(
+            load(spark, sf_dir, "orders").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v_fk"))
+    )
+    audit = wide.crossJoin(orphans)
+    rules = audit.select(
+        "n_rows",
+        F.expr(
+            "stack(7,"
+            " 'not_null_l_orderkey', v_null,"
+            " 'range_l_quantity_1_50', v_qty,"
+            " 'range_l_discount_0_0.1', v_disc,"
+            " 'bounds_l_shipdate_1992_1998', v_ship,"
+            " 'domain_l_returnflag_ANR', v_flag,"
+            " 'unique_orderkey_linenumber', v_pk,"
+            " 'fk_l_orderkey_in_orders', v_fk"
+            ") AS (rule, n_violations)"
+        ),
+    )
+    return rules.select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        F.when(F.col("n_violations") == 0, "PASS").otherwise("FAIL").alias("status"),
+    )

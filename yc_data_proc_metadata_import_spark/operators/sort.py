@@ -184,3 +184,39 @@ def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (Spark 4 named-parameter binding): the query text
+    carries ``:threshold`` / ``:status`` placeholders and a ``{orders}``
+    DataFrame template reference; values bind at parse time through
+    ``spark.sql(..., args=...)`` — the injection-safe way a service layer
+    runs user-supplied filters (string concatenation into SQL is the
+    anti-pattern this API exists to kill).  Binding happens before
+    Catalyst sees the plan, so the bound literals participate in constant
+    folding and parquet predicate pushdown exactly like hand-written
+    ones."""
+    orders = load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               MAX(o_totalprice) AS max_price
+        FROM {orders}
+        WHERE o_totalprice > :threshold AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"threshold": 150000.0, "status": "O"},
+        orders=orders,
+    )

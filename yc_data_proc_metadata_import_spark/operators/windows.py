@@ -449,3 +449,161 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_distinct_types"),
         )
     )
+
+
+@query(
+    "win_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM events GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, s1.t1,
+               MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1
+                        THEN e.ts END) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        GROUP BY e.user_id, s1.t1),
+    s3 AS (
+        SELECT e.user_id, s2.t1, s2.t2,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2
+                        THEN e.ts END) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        GROUP BY e.user_id, s2.t1, s2.t2),
+    a AS (
+        SELECT COUNT(*) AS n_users, COUNT(t1) AS n1, COUNT(t2) AS n2,
+               COUNT(t3) AS n3
+        FROM s3)
+    SELECT 1 AS stage, 'view' AS stage_name, n1 AS n_users FROM a
+    UNION ALL
+    SELECT 2 AS stage, 'click' AS stage_name, n2 AS n_users FROM a
+    UNION ALL
+    SELECT 3 AS stage, 'purchase' AS stage_name, n3 AS n_users FROM a
+    """,
+)
+def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED FUNNEL (view -> click -> purchase): how many users complete
+    each stage IN ORDER — the product-analytics staple.  Stage k's
+    timestamp is the earliest qualifying event strictly AFTER stage k-1's
+    timestamp, so out-of-order events (a click before any view) don't
+    count; a user whose chain breaks carries NULL forward automatically
+    (ts > NULL is NULL, MIN over empties is NULL — identical three-valued
+    logic in both engines).
+
+    Plan: three conditional-min aggregations, each re-joining events on
+    user_id.  All three shuffles hash on the SAME key, so on a real
+    cluster the exchanges reuse one partitioning (and events could be
+    bucketed by user_id to eliminate them entirely); per-stage state is
+    one timestamp per user — no event list is ever materialized, which is
+    what keeps this linear at 100 TB where per-user event arrays OOM."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+    )
+    a = s3.agg(
+        F.count(F.col("t1")).alias("n1"),
+        F.count(F.col("t2")).alias("n2"),
+        F.count(F.col("t3")).alias("n3"),
+    )
+    return a.select(
+        F.expr(
+            "stack(3, 1, 'view', n1, 2, 'click', n2, 3, 'purchase', n3) "
+            "AS (stage, stage_name, n_users)"
+        )
+    )
+
+
+@query(
+    "ts_gap_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               MAX(value) AS day_max,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    span AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY user_id),
+    spine AS (
+        SELECT user_id,
+               CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM span)
+    SELECT s.user_id, s.day,
+           d.day_max AS raw_max,
+           last_value(d.day_max IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS UNBOUNDED PRECEDING) AS filled_max,
+           COALESCE(d.n, CAST(0 AS BIGINT)) AS n_events
+    FROM spine s
+    LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SERIES GAP FILL (resample to a daily calendar spine): every
+    user gets one row per calendar day between their first and last
+    event; days with no events appear with n_events = 0 and carry the
+    most recent observed daily max forward (LOCF) — the canonical
+    feature-store densification step before any rolling computation.
+
+    The spine is GENERATED, not joined from a calendar table:
+    ``sequence(d0, d1, interval 1 day)`` + explode runs per user inside
+    the same task that computed the span — no driver-side date loop, no
+    broadcast calendar.  Scale: spine size is users x days (bounded by
+    retention, not by event count); the left join hashes on
+    (user_id, day) and the fill window re-shuffles only the spine.
+    Determinism: MAX carries no accumulation order, counts are integer,
+    and the filled value is a carried original double — nothing is
+    arithmetically recombined."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.max("value").alias("day_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.col("day_max").alias("raw_max"),
+        F.last("day_max", ignorenulls=True).over(w).alias("filled_max"),
+        F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events"),
+    )

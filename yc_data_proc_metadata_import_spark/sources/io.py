@@ -565,3 +565,42 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("ticks", _SYNTH_TICKS)
         .load()
     )
+
+
+@query(
+    "scan_file_metadata",
+    oracle="""
+    SELECT 'orders.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS first_row_index,
+           CAST(COUNT(*) - 1 AS BIGINT) AS last_row_index,
+           MIN(o_orderkey) AS min_orderkey,
+           MAX(o_orderkey) AS max_orderkey
+    FROM orders
+    """,
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN FILE-METADATA COLUMNS: Spark exposes per-row provenance on
+    every file scan via the reserved ``_metadata`` struct — file name and
+    the row's ordinal within its file — without the source carrying any
+    lineage columns.  This is the scale-out building block for stable row
+    identity (``hash(file_name, row_index)`` gives a reproducible doc_id
+    across reruns at 100 TB) and for blast-radius analysis (which files
+    fed a bad aggregate) — all computed inside the scan, no extra pass.
+
+    The audit groups by file: per-file row count, row-index bounds, and
+    key min/max — the same per-file profile a compaction planner reads.
+    The fixture tables are single parquet files, so the oracle states the
+    expected profile relationally (row_index is 0..count-1 by the parquet
+    spec's row ordering; the basename is the table file itself)."""
+    df = spark.read.parquet(table_path(sf_dir, "orders"))
+    return (
+        df.groupBy(F.col("_metadata.file_name").alias("file_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_metadata.row_index").alias("first_row_index"),
+            F.max("_metadata.row_index").alias("last_row_index"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+    )
