@@ -446,3 +446,55 @@ def test_join_hints_are_honored(spark, sf_dir):
     assert "ShuffledHashJoin" in hash_plan, f"SHUFFLE_HASH ignored\n{hash_plan}"
     assert "SortMergeJoin" in merge_plan, f"MERGE ignored\n{merge_plan}"
     assert "SortMergeJoin" not in hash_plan
+
+
+def test_pagerank_iterates_on_checkpointed_edges(spark, sf_dir):
+    """graph_pagerank: the 4-way edge-derivation pipeline must NOT appear
+    in the returned plan — iterations read the localCheckpointed edge
+    aggregate (lineage truncation), so the plan contains no parquet scan
+    of lineitem/orders and only the per-iteration groupBy exchanges
+    (without truncation the census showed 23 exchanges)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "graph_pagerank")
+    for fact in ("lineitem.parquet", "orders.parquet", "customer.parquet",
+                 "supplier.parquet"):
+        assert fact not in plan, (
+            f"graph_pagerank: iteration lineage re-derives {fact}\n{plan}"
+        )
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    n_exchanges = sum(1 for n in nodes if n == "Exchange")
+    assert n_exchanges <= 4, f"expected <=4 Exchanges, found {n_exchanges}\n{plan}"
+
+
+def test_dq_expectations_single_fact_aggregate(spark, sf_dir):
+    """dq_expectations: the six single-table rules must ride ONE
+    conditional-count aggregate — exactly two scans of lineitem may
+    appear (the audit scan + the FK anti-join probe), never one scan per
+    rule."""
+    plan = _plan(spark, sf_dir, "dq_expectations")
+    n_li_scans = plan.count("lineitem.parquet")
+    assert n_li_scans <= 2, f"expected <=2 lineitem scans, found {n_li_scans}\n{plan}"
+
+
+def test_weighted_median_single_shuffle(spark, sf_dir):
+    """agg_weighted_median: both window frames and the post-filter
+    row_number must reuse the one l_returnflag hash partitioning — a
+    single Exchange in the plan."""
+    import re
+
+    plan = _plan(spark, sf_dir, "agg_weighted_median")
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    n_exchanges = sum(1 for n in nodes if n == "Exchange")
+    assert n_exchanges == 1, f"expected 1 Exchange, found {n_exchanges}\n{plan}"
+
+
+def test_funnel_no_event_collection(spark, sf_dir):
+    """win_funnel: per-user state must stay scalar (conditional MIN
+    aggregates) — no collect_list/sort-based event assembly and no
+    nested-loop join may appear."""
+    plan = _plan(spark, sf_dir, "win_funnel")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        f"win_funnel: non-equi join shape\n{plan}"
+    )
+    assert "collect_list" not in plan, f"win_funnel: event array assembled\n{plan}"
