@@ -119,6 +119,8 @@ _FORCE_FRONT = {
 # displace a key that has waited multiple rounds for adjudication; they
 # enter the window in the next round.  Remove entries once adjudicated.
 _DEFER_FRESH = {
+    "llm_cdc_chunking",
+    "win_streaks",
     "agg_weighted_median",
     "dq_expectations",
     "graph_pagerank",

@@ -1243,3 +1243,130 @@ def llm_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(stripped).cast("long").alias("n_visible"),
         F.length(markup).cast("long").alias("n_raw"),
     )
+
+
+# Content-defined chunking parameters: an 8-char polynomial rolling
+# window (base 31) marks a boundary wherever hash % 64 == 0, giving
+# ~64-char expected chunks.  All arithmetic stays below 2^53
+# (127 * 31^7 * 8 < 2.8e13), so Spark BIGINT and DuckDB HUGEINT agree
+# bit-exactly.  Powers are spelled as literals so both engines evaluate
+# the identical 8-term polynomial.
+_CDC_W = 8
+_CDC_POWS = [31**k for k in range(_CDC_W)]
+_CDC_DIV = 64
+
+
+def _cdc_hash_terms(at: str, idx) -> str:
+    """The 8 explicit polynomial terms for the window ending at index
+    ``idx`` (1-based) over the char-code array ``at``."""
+    return " + ".join(
+        f"element_at({at}, {idx} - {k}) * {p}L"
+        for k, p in enumerate(_CDC_POWS)
+    )
+
+
+def _cdc_hash_terms_duck(at: str, idx: str) -> str:
+    # unicode() yields INT32; widen before multiplying (31^5 * 127
+    # already overflows INT32, which DuckDB raises on rather than wraps).
+    return " + ".join(
+        f"CAST({at}[{idx} - {k}] AS BIGINT) * {p}"
+        for k, p in enumerate(_CDC_POWS)
+    )
+
+
+@query(
+    "llm_cdc_chunking",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text AS t, length(text) AS n
+        FROM documents WHERE length(text) >= 1),
+    coded AS (
+        SELECT doc_id, t, n,
+               list_transform(string_split(t, ''), c -> unicode(c)) AS cs
+        FROM base),
+    marked AS (
+        SELECT doc_id, t, n,
+               list_sort(list_distinct(list_concat(list_concat(
+                   [CAST(0 AS BIGINT)],
+                   list_filter(range({_CDC_W}, n + 1),
+                               i -> ({_cdc_hash_terms_duck('cs', 'i')})
+                                    % {_CDC_DIV} = 0)),
+                   [CAST(n AS BIGINT)]))) AS bounds
+        FROM coded),
+    idx AS (
+        SELECT doc_id, t, bounds,
+               UNNEST(range(1, len(bounds))) AS j
+        FROM marked)
+    SELECT doc_id,
+           CAST(j - 1 AS INTEGER) AS chunk_idx,
+           CAST(bounds[j] AS INTEGER) AS chunk_start,
+           CAST(bounds[j + 1] - bounds[j] AS INTEGER) AS chunk_len,
+           md5(substring(t, CAST(bounds[j] + 1 AS INTEGER),
+                         CAST(bounds[j + 1] - bounds[j] AS INTEGER)))
+               AS chunk_md5
+    FROM idx
+    """,
+)
+def llm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING (rolling-hash boundaries, the FastCDC /
+    rsync family): chunk borders fall where a windowed polynomial hash of
+    the text hits a modulus class, so INSERTING OR DELETING text only
+    moves the boundaries near the edit — every downstream chunk hash
+    stays stable, which is what makes chunk-level dedup robust to
+    shifted content where fixed windows (llm_doc_chunking) resynchronize
+    never.  Emits per chunk: offset, length, and an md5 fingerprint —
+    join chunk_md5 across snapshots to measure shared content.
+
+    Execution is map-only codegen: char codes via one array transform,
+    boundary positions via a filter over index space evaluating the
+    8-term polynomial explicitly (exact integer arithmetic < 2^53, so
+    the DuckDB replay is bit-identical), chunks exploded from adjacent
+    boundary pairs.  Nothing shuffles; at 100 TB this chunks at scan
+    speed and the md5 column feeds the exact-dedup shuffle
+    (llm_dedup_exact) at ~1/64th the input bytes."""
+    d = load(spark, sf_dir, "documents").where(F.length("text") >= 1)
+    coded = d.select(
+        "doc_id",
+        F.col("text").alias("t"),
+        F.length("text").alias("n"),
+        F.expr(
+            "transform(split(text, ''), c -> ascii(c))"
+        ).alias("cs"),
+    )
+    marked = coded.select(
+        "doc_id",
+        "t",
+        F.expr(
+            f"""array_sort(array_distinct(concat(
+                array(0L),
+                transform(
+                    filter(sequence({_CDC_W}, n),
+                           i -> ({_cdc_hash_terms('cs', 'i')})
+                                % {_CDC_DIV} = 0),
+                    x -> cast(x as bigint)),
+                array(cast(n as bigint)))))"""
+        ).alias("bounds"),
+    )
+    chunks = marked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                """transform(sequence(1, size(bounds) - 1), j -> struct(
+                    cast(j - 1 as int) AS chunk_idx,
+                    cast(element_at(bounds, j) as int) AS chunk_start,
+                    cast(element_at(bounds, j + 1) - element_at(bounds, j)
+                         as int) AS chunk_len,
+                    substring(t, cast(element_at(bounds, j) + 1 as int),
+                              cast(element_at(bounds, j + 1)
+                                   - element_at(bounds, j) as int))
+                        AS chunk_text))"""
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_start").alias("chunk_start"),
+        F.col("c.chunk_len").alias("chunk_len"),
+        F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
+    )

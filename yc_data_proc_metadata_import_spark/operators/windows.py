@@ -607,3 +607,75 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("day_max", ignorenulls=True).over(w).alias("filled_max"),
         F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events"),
     )
+
+
+@query(
+    "win_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    isl AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS INTEGER)
+                   AS anchor
+        FROM days),
+    streaks AS (
+        SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS len,
+               MIN(day) AS start
+        FROM isl GROUP BY user_id, anchor),
+    ranked AS (
+        SELECT user_id, len, start,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, start ASC) AS rk
+        FROM streaks),
+    agg AS (
+        SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks
+        FROM streaks GROUP BY user_id)
+    SELECT a.user_id, a.n_active_days, a.n_streaks,
+           r.len AS longest_streak, r.start AS longest_start
+    FROM agg a JOIN ranked r ON a.user_id = r.user_id AND r.rk = 1
+    """,
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS: per-user consecutive-day activity streaks — the
+    retention metric every engagement dashboard carries.  The classic
+    relational trick: subtracting each active day's per-user row_number
+    (in day order) from the day itself yields a constant "anchor" within
+    any run of consecutive days, so one groupBy on (user, anchor) turns
+    runs into rows — no self-join, no iterative pass, no per-user array.
+
+    Ties for the longest streak resolve to the EARLIEST streak (rank
+    ordered len DESC, start ASC) so the result is hash-deterministic.
+    Scale: distinct + two windows + two aggregates, ALL partitioned by
+    user_id — one logical key partitioning end to end; per-user state is
+    bounded by active days, never raw events."""
+    e = load(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start")
+    )
+    ranked = streaks.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("len").desc(), F.col("start").asc()
+            )
+        ),
+    )
+    agg = streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+    return agg.join(ranked.where(F.col("rk") == 1), "user_id").select(
+        "user_id",
+        "n_active_days",
+        "n_streaks",
+        F.col("len").alias("longest_streak"),
+        F.col("start").alias("longest_start"),
+    )
