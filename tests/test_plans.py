@@ -498,3 +498,26 @@ def test_funnel_no_event_collection(spark, sf_dir):
         f"win_funnel: non-equi join shape\n{plan}"
     )
     assert "collect_list" not in plan, f"win_funnel: event array assembled\n{plan}"
+
+
+def test_cdc_chunking_map_only(spark, sf_dir):
+    """llm_cdc_chunking: rolling-hash boundary detection + chunk
+    explode must stay inside the scan stage — zero exchanges, zero
+    Python workers (pure codegen HOFs)."""
+    plan = _plan(spark, sf_dir, "llm_cdc_chunking")
+    assert "Exchange" not in plan, f"unexpected shuffle\n{plan}"
+    assert "Python" not in plan, f"unexpected Python boundary\n{plan}"
+
+
+def test_streaks_single_key_partitioning(spark, sf_dir):
+    """win_streaks: distinct, both windows, and both aggregates all key
+    on user_id — nothing may plan a nested-loop join, and the exchange
+    count stays at the 4 the shape needs (distinct, window, streak agg
+    reuse, final join)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "win_streaks")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    n_exchanges = sum(1 for n in nodes if n == "Exchange")
+    assert n_exchanges <= 4, f"expected <=4 Exchanges, found {n_exchanges}\n{plan}"
