@@ -521,3 +521,15 @@ def test_streaks_single_key_partitioning(spark, sf_dir):
     nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
     n_exchanges = sum(1 for n in nodes if n == "Exchange")
     assert n_exchanges <= 4, f"expected <=4 Exchanges, found {n_exchanges}\n{plan}"
+
+
+def test_bfs_iterates_on_checkpointed_edges(spark, sf_dir):
+    """graph_shortest_path: same lineage-truncation contract as
+    PageRank — the returned plan reads the checkpointed edge aggregate,
+    never the fact tables."""
+    plan = _plan(spark, sf_dir, "graph_shortest_path")
+    for fact in ("lineitem.parquet", "orders.parquet", "customer.parquet",
+                 "supplier.parquet"):
+        assert fact not in plan, (
+            f"graph_shortest_path: iteration lineage re-derives {fact}\n{plan}"
+        )

@@ -358,19 +358,54 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trade_edges(spark: SparkSession, sf_dir: str, min_price: float | None = None):
+    """Nation-level trade edge list (supplier nation -> customer nation)
+    derived from the lineitem/orders fact spine — the shared input of the
+    iterative graph operators (PageRank, BFS).  ``min_price`` keeps only
+    edges witnessed by a line item above the threshold (a sparser graph,
+    used by the shortest-path key so multi-hop structure exists).  All
+    joins are key-partitioned; DISTINCT collapses the fact volume to a
+    nodes^2-bounded aggregate before any iteration touches it."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    if min_price is not None:
+        li = li.where(F.col("l_extendedprice") > min_price)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+
+
+def _edges_sql(min_price: float | None = None) -> str:
+    """DuckDB twin of ``_trade_edges`` for the graph oracles."""
+    pred = (
+        f" WHERE l.l_extendedprice > {min_price}" if min_price is not None else ""
+    )
+    return f"""
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey{pred}"""
+
+
 def _pagerank_oracle() -> str:
     """Unroll the 3 integer-PageRank iterations as chained CTEs (DuckDB
     has no mutable state; the recursion is finite and tiny, so unrolling
     IS the relational formulation).  Kept in a builder so the Spark loop
     and the SQL text share one iteration count."""
     cte = [
-        """
-    WITH edges AS (
-        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
-        FROM lineitem l
-        JOIN orders o   ON l.l_orderkey = o.o_orderkey
-        JOIN customer c ON o.o_custkey  = c.c_custkey
-        JOIN supplier s ON l.l_suppkey  = s.s_suppkey),
+        f"""
+    WITH edges AS ({_edges_sql()}),
     deg AS (
         SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
         FROM edges GROUP BY src),
@@ -427,19 +462,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     same split holds: derive once, iterate on the small aggregate; for
     billion-node graphs drop the broadcast hints and the same joins shard
     on src/dst."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .select(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
-        )
-        .distinct()
-    )
+    edges = _trade_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # Lineage truncation — THE iterative-Spark idiom (and this package's
     # established pattern, llm/dedup.py): the edge derivation pipeline is
@@ -573,3 +596,83 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         F.when(F.col("n_violations") == 0, "PASS").otherwise("FAIL").alias("status"),
     )
+
+
+_BFS_ITERS = 3
+_BFS_MIN_PRICE = 104500.0  # sparsifies the trade graph so multi-hop paths exist
+_BFS_SOURCE = 0
+
+
+def _bfs_oracle() -> str:
+    """Unrolled multi-hop BFS (Bellman-Ford relaxation with unit weights)
+    as chained CTEs — the relational formulation of the Spark loop."""
+    cte = [
+        f"""
+    WITH edges AS ({_edges_sql(_BFS_MIN_PRICE)}),
+    n AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+    d0 AS (SELECT node,
+                  CASE WHEN node = {_BFS_SOURCE} THEN 0 END AS dist
+           FROM n)"""
+    ]
+    for i in range(1, _BFS_ITERS + 1):
+        cte.append(
+            f""",
+    c{i} AS (
+        SELECT e.dst, MIN(d.dist) + 1 AS nd
+        FROM edges e JOIN d{i - 1} d ON d.node = e.src
+        WHERE d.dist IS NOT NULL GROUP BY e.dst),
+    d{i} AS (
+        SELECT n.node, LEAST(d.dist, c{i}.nd) AS dist
+        FROM n JOIN d{i - 1} d ON d.node = n.node
+        LEFT JOIN c{i} ON c{i}.dst = n.node)"""
+        )
+    cte.append(
+        f"""
+    SELECT node AS n_nationkey, CAST(dist AS INTEGER) AS dist
+    FROM d{_BFS_ITERS}"""
+    )
+    return "".join(cte)
+
+
+@query("graph_shortest_path", oracle=_bfs_oracle())
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-HOP SHORTEST PATH (unit-weight BFS from nation 0 over the
+    high-value trade graph): per-round frontier relaxation —
+    ``dist'(v) = least(dist(v), min over edges u->v of dist(u)+1)`` —
+    unrolled a fixed number of hops; nodes beyond the horizon stay NULL.
+    The price threshold sparsifies the graph (an unfiltered trade graph
+    is near-complete and every node is 1 hop away); at sf0.01 the
+    distance profile is genuinely multi-hop (depths 0..3).
+
+    Same iterative discipline as graph_pagerank: the edge derivation
+    materializes once (localCheckpoint), iterations are broadcast joins
+    + a MIN aggregate on the nodes^2-bounded edge list, distances are
+    pure integers so every engine agrees exactly, and LEAST's
+    NULL-ignoring semantics (identical in Spark and DuckDB) encode
+    "unvisited" without sentinel values.  At billion-node scale the same
+    loop runs with the broadcasts dropped and per-round frontier
+    filtering — the standard Pregel-style BFS — but the operator shape
+    (join frontier to edges, MIN-aggregate, LEAST-merge) is unchanged."""
+    edges = _trade_edges(spark, sf_dir, _BFS_MIN_PRICE).localCheckpoint(
+        eager=True
+    )
+    nodes = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("node")
+    )
+    d = nodes.select(
+        "node",
+        F.when(F.col("node") == _BFS_SOURCE, 0).cast("int").alias("dist"),
+    )
+    for _ in range(_BFS_ITERS):
+        frontier = d.where(F.col("dist").isNotNull()).select(
+            F.col("node").alias("fnode"), "dist"
+        )
+        nbr = (
+            edges.join(F.broadcast(frontier), edges.src == frontier.fnode)
+            .groupBy("dst")
+            .agg((F.min("dist") + F.lit(1)).alias("nd"))
+        )
+        d = d.join(F.broadcast(nbr), d.node == nbr.dst, "left").select(
+            "node", F.least("dist", "nd").cast("int").alias("dist")
+        )
+    return d.select(F.col("node").alias("n_nationkey"), "dist")
