@@ -120,6 +120,9 @@ _FORCE_FRONT = {
 # enter the window in the next round.  Remove entries once adjudicated.
 _DEFER_FRESH = {
     "graph_shortest_path",
+    "llm_ngram_novelty",
+    "scan_option_recursive",
+    "win_transition_matrix",
     "llm_cdc_chunking",
     "win_streaks",
     "agg_weighted_median",

@@ -679,3 +679,62 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("len").alias("longest_streak"),
         F.col("start").alias("longest_start"),
     )
+
+
+@query(
+    "win_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+    p AS (
+        SELECT prev AS prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY prev, event_type),
+    t AS (
+        SELECT prev_type, CAST(SUM(n_transitions) AS BIGINT) AS tot
+        FROM p GROUP BY prev_type)
+    SELECT p.prev_type, p.next_type, p.n_transitions,
+           CAST(p.n_transitions AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+    FROM p JOIN t ON p.prev_type = t.prev_type
+    """,
+)
+def win_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT TRANSITION MATRIX (first-order Markov estimate): for every
+    ordered pair of consecutive events within a user's stream, count the
+    prev -> next transitions and the conditional probability
+    P(next | prev) — the session-flow summary behind "what do users do
+    after X" product questions.
+
+    LAG over (user_id, ts, event_id) builds the bigram stream in the one
+    user-keyed shuffle; the transition counts then aggregate on the
+    (prev, next) pair — a types² matrix, tiny at any scale.  The
+    probability is ONE division of two exact BIGINTs cast to double, so
+    both engines produce bit-identical IEEE results (division is exact
+    to 0.5 ulp and deterministic — it is float ACCUMULATION order this
+    package avoids, not float arithmetic)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    ).where(F.col("prev").isNotNull())
+    p = seq.groupBy(
+        F.col("prev").alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    t = p.groupBy("prev_type").agg(F.sum("n_transitions").alias("tot"))
+    return p.join(t, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double") / F.col("tot").cast("double")
+        ).alias("p"),
+    )

@@ -604,3 +604,50 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_orderkey"),
         )
     )
+
+
+def _nested_nation_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Nation split across ARBITRARILY nested directories (one subtree per
+    region, files two levels deep) plus non-parquet decoy files — the
+    messy lake layout recursive ingestion has to cope with."""
+
+    def write(tmp: str) -> None:
+        n = load(spark, sf_dir, "nation")
+        for rk in [r[0] for r in n.select("n_regionkey").distinct().collect()]:
+            n.where(F.col("n_regionkey") == rk).write.mode("overwrite").parquet(
+                os.path.join(tmp, f"region={rk}", "deep")
+            )
+        # decoys the glob filter must skip
+        with open(os.path.join(tmp, "README.txt"), "w") as f:
+            f.write("not data\n")
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+
+    return _materialize(write, _fixture_dir("nested_nation", sf_dir))
+
+
+@query(
+    "scan_option_recursive",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_option_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE FILE INGESTION: ``recursiveFileLookup`` walks every
+    subdirectory under the input path (ignoring partition-directory
+    semantics) while ``pathGlobFilter`` admits only ``*.parquet`` — the
+    combination that ingests a historically-grown lake prefix whose
+    files sit at inconsistent depths with stray non-data files mixed in.
+    The fixture scatters nation across per-region subtrees two levels
+    deep with decoy text files; the scan must reassemble exactly the
+    source table (the oracle reads the canonical copy).
+
+    At 100 TB the file LISTING is the scale risk, not the read: Spark
+    parallelizes the recursive listing across the cluster
+    (spark.sql.sources.parallelPartitionDiscovery.threshold), after
+    which split planning is identical to any parquet scan."""
+    path = _nested_nation_fixture(spark, sf_dir)
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
