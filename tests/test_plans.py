@@ -533,3 +533,10 @@ def test_bfs_iterates_on_checkpointed_edges(spark, sf_dir):
         assert fact not in plan, (
             f"graph_shortest_path: iteration lineage re-derives {fact}\n{plan}"
         )
+
+
+def test_cache_table_scans_memory(spark, sf_dir):
+    """catalog_cache_table: the query through the cached view must read
+    the in-memory columnar relation, not re-scan parquet."""
+    plan = _plan(spark, sf_dir, "catalog_cache_table")
+    assert "InMemory" in plan, f"no in-memory relation in plan\n{plan}"

@@ -119,6 +119,7 @@ _FORCE_FRONT = {
 # displace a key that has waited multiple rounds for adjudication; they
 # enter the window in the next round.  Remove entries once adjudicated.
 _DEFER_FRESH = {
+    "catalog_cache_table",
     "graph_shortest_path",
     "llm_ngram_novelty",
     "scan_option_recursive",

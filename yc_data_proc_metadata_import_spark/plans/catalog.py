@@ -441,3 +441,47 @@ def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tbl string, row_count bigint, rk_distinct bigint, rk_nulls bigint, "
         "rk_min string, rk_max string",
     )
+
+
+@query(
+    "catalog_cache_table",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def catalog_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-MEMORY TABLE CACHE lifecycle: register a view, ``cacheTable``
+    it (lazy — the columnar cache materializes on first use), and query
+    THROUGH the cache; the physical plan swaps the parquet scan for an
+    InMemoryTableScan (plan-asserted in tests/test_plans.py) while the
+    results stay identical to the cold path — caching is an execution
+    concern, never a semantic one.
+
+    The session-level cache is the tool for REUSED intermediates (a hot
+    dimension, an expensive pre-aggregate queried many times); at 100 TB
+    you cache the distilled table, never the fact spine — the columnar
+    cache is memory-bounded per executor and spills to disk at
+    MEMORY_AND_DISK, but a cache that doesn't fit mostly evicts.  Each
+    call uncaches the previous entry first, so repeated runs hold ONE
+    copy (cache entries are keyed by plan, and a replaced temp view
+    would otherwise strand its predecessor's storage)."""
+    from pyspark.sql import functions as F
+
+    name = "eng_cached_orders"
+    try:
+        spark.catalog.uncacheTable(name)
+    except Exception:  # noqa: BLE001 — first run: nothing cached yet
+        pass
+    load(spark, sf_dir, "orders").createOrReplaceTempView(name)
+    spark.catalog.cacheTable(name)
+    return (
+        spark.table(name)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
