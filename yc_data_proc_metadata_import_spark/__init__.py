@@ -120,6 +120,10 @@ _FORCE_FRONT = {
 # enter the window in the next round.  Remove entries once adjudicated.
 _DEFER_FRESH = {
     "catalog_cache_table",
+    "join_data_diff",
+    "merge_cdc_delete",
+    "set_union_by_name",
+    "win_rolling_dau",
     "graph_shortest_path",
     "llm_ngram_novelty",
     "scan_option_recursive",

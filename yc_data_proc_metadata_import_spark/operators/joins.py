@@ -965,3 +965,181 @@ def join_hint_plans(spark: SparkSession, sf_dir: str):
             )
         plans.append(buf.getvalue())
     return plans
+
+
+@query(
+    "join_data_diff",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    tgt AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 103 = 0),
+    joined AS (
+        SELECT s.o_orderkey AS sk, t.o_orderkey AS tk,
+               s.o_totalprice AS sp, t.o_totalprice AS tp
+        FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey),
+    classed AS (
+        SELECT CASE WHEN tk IS NULL THEN 'missing_in_target'
+                    WHEN sk IS NULL THEN 'missing_in_source'
+                    WHEN sp <> tp   THEN 'value_drift'
+                    ELSE 'match' END AS diff_class
+        FROM joined)
+    SELECT diff_class, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM classed GROUP BY diff_class
+    """,
+)
+def join_data_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA RECONCILIATION DIFF — the row-level counterpart of
+    meta_diff's namespace comparison, and the check every migration
+    cutover runs: FULL OUTER join source vs target on the key, classify
+    each key as match / missing_in_target / missing_in_source /
+    value_drift, and count per class.  The fixture perturbs a copy of
+    orders deterministically (drop every 97th key, drift every 101st
+    price, inject every 103rd as a target-only key) so exactly those
+    three defect classes MUST surface — one hash proves the diff finds
+    planted defects AND reports clean matches for everything else.
+
+    Scale shape: one key-partitioned full outer join (both sides shuffle
+    on the key once) + a tiny class aggregate; at 100 TB add a
+    per-partition pre-filter on changed-partition watermarks to skip
+    provably-identical partitions, but the join itself is already the
+    linear-cost spelling — never a collect-and-compare."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    tgt = (
+        o.where(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    joined = o.alias("s").join(
+        tgt.alias("t"),
+        F.col("s.o_orderkey") == F.col("t.o_orderkey"),
+        "full_outer",
+    )
+    classed = joined.select(
+        F.when(F.col("t.o_orderkey").isNull(), "missing_in_target")
+        .when(F.col("s.o_orderkey").isNull(), "missing_in_source")
+        .when(
+            F.col("s.o_totalprice") != F.col("t.o_totalprice"), "value_drift"
+        )
+        .otherwise("match")
+        .alias("diff_class")
+    )
+    return classed.groupBy("diff_class").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@query(
+    "merge_cdc_delete",
+    oracle="""
+    WITH feed AS (
+        SELECT c_custkey AS k, 'D' AS op,
+               CAST(NULL AS DOUBLE) AS new_bal, CAST(NULL AS VARCHAR) AS nm
+        FROM customer WHERE c_custkey % 11 = 0
+        UNION ALL
+        SELECT c_custkey, 'U', c_acctbal + 100.0, c_name
+        FROM customer WHERE c_custkey % 11 <> 0 AND c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'I', c_acctbal, c_name || '_new'
+        FROM customer WHERE c_custkey % 5 = 0),
+    kept AS (
+        SELECT b.c_custkey, 
+               COALESCE(f.new_bal, b.c_acctbal) AS c_acctbal,
+               b.c_name
+        FROM customer b
+        LEFT JOIN feed f ON f.k = b.c_custkey
+        WHERE f.op IS NULL OR f.op = 'U'),
+    inserted AS (
+        SELECT k AS c_custkey, new_bal AS c_acctbal, nm AS c_name
+        FROM feed WHERE op = 'I')
+    SELECT c_custkey, c_acctbal, c_name FROM kept
+    UNION ALL
+    SELECT c_custkey, c_acctbal, c_name FROM inserted
+    """,
+)
+def merge_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL CDC APPLY (inserts + updates + DELETES): one pass applies a
+    change feed carrying op codes I/U/D onto a snapshot — the complement
+    of merge_upsert (no deletes) and merge_scd2_apply (history-keeping):
+    a D row removes the key, a U row overwrites tracked columns, an I
+    row appends a new key.  The whole merge is ONE left join on the key
+    (survivors + updates in a single pass — delete is `op IS NULL OR op
+    = 'U'` retention, update is COALESCE) plus the insert union; the
+    feed is built deterministically from customer (every 11th key
+    deleted, every 7th surviving key updated, every 5th key re-inserted
+    under a shifted id) so the applied snapshot is hash-checkable.
+
+    At 100 TB this is exactly the foreachBatch MERGE shape
+    (stream_foreach_upsert) with the delete branch added: the join
+    shuffles on the merge key, state is bounded by key cardinality, and
+    the feed side is the small one (broadcast when it fits)."""
+    b = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_name"
+    )
+    feed = (
+        b.where(F.col("c_custkey") % 11 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("double").alias("new_bal"),
+            F.lit(None).cast("string").alias("nm"),
+        )
+        .unionByName(
+            b.where(
+                (F.col("c_custkey") % 11 != 0) & (F.col("c_custkey") % 7 == 0)
+            ).select(
+                F.col("c_custkey").alias("k"),
+                F.lit("U").alias("op"),
+                (F.col("c_acctbal") + 100.0).alias("new_bal"),
+                F.col("c_name").alias("nm"),
+            )
+        )
+        .unionByName(
+            b.where(F.col("c_custkey") % 5 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("k"),
+                F.lit("I").alias("op"),
+                F.col("c_acctbal").alias("new_bal"),
+                F.concat(F.col("c_name"), F.lit("_new")).alias("nm"),
+            )
+        )
+    )
+    kept = (
+        b.join(feed, b.c_custkey == feed.k, "left")
+        .where(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("new_bal"), F.col("c_acctbal")).alias(
+                "c_acctbal"
+            ),
+            "c_name",
+        )
+    )
+    inserted = feed.where(F.col("op") == "I").select(
+        F.col("k").alias("c_custkey"),
+        F.col("new_bal").alias("c_acctbal"),
+        F.col("nm").alias("c_name"),
+    )
+    return kept.unionByName(inserted)

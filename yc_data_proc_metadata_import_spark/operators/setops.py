@@ -106,3 +106,40 @@ def dedup_exact_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("first_orderdate"),
         )
     )
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+           o_orderpriority
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-DRIFT UNION: ``unionByName(allowMissingColumns=True)``
+    aligns two inputs BY COLUMN NAME and null-fills columns either side
+    lacks — the ingestion primitive for feeds whose schema evolved
+    between extracts (positional UNION would silently misalign or
+    reject).  Here an open-orders extract carries price+status while a
+    finished-orders extract carries priority; the union holds all four
+    columns with NULLs where a side had no value — exactly the
+    null-padded relational spelling the oracle states explicitly.
+
+    Map-only: no shuffle, the union is plan-level concatenation of the
+    two pruned scans; at 100 TB each leg keeps its own pushed filters
+    and the combined schema is resolved at plan time, not per row."""
+    o = load(spark, sf_dir, "orders")
+    open_extract = o.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    finished_extract = o.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return open_extract.unionByName(
+        finished_extract, allowMissingColumns=True
+    )

@@ -738,3 +738,55 @@ def win_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions").cast("double") / F.col("tot").cast("double")
         ).alias("p"),
     )
+
+
+@query(
+    "win_rolling_dau",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    contrib AS (
+        SELECT user_id,
+               CAST(UNNEST(generate_series(day, day + 6, INTERVAL 1 DAY))
+                    AS DATE) AS obs_day
+        FROM pairs),
+    wau AS (
+        SELECT obs_day AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM contrib GROUP BY obs_day),
+    dau AS (
+        SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        FROM pairs GROUP BY day)
+    SELECT d.day, d.dau, w.wau
+    FROM dau d JOIN wau w ON w.day = d.day
+    """,
+)
+def win_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING DISTINCT USERS (DAU + trailing-7-day WAU per active day):
+    the engagement pair every growth dashboard tracks.  COUNT(DISTINCT)
+    over a SLIDING window has no direct window-function form (frames
+    can't dedup), so the scalable spelling is contribution expansion:
+    each (user, active-day) pair contributes to the 7 observation days
+    it keeps the user "weekly active" for — a constant 7x row expansion
+    inside the map stage — and one distinct-aggregate per observation
+    day does the rest.  Compare win_cumulative_distinct (first-seen
+    trick) which only works for UNBOUNDED windows; expansion is the
+    general bounded-window form.
+
+    Both distinct aggregates hash on (day, user) — partial-dedup
+    map-side, never a per-day user set in one task's memory; the final
+    inner join restricts WAU to days that actually had activity, making
+    the edge semantics (partial windows before day 7) explicit and
+    engine-identical."""
+    e = load(spark, sf_dir, "events")
+    pairs = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    contrib = pairs.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("obs_day"),
+    )
+    wau = contrib.groupBy(F.col("obs_day").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = pairs.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return dau.join(wau, "day").select("day", "dau", "wau")
