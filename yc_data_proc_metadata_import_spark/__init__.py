@@ -119,6 +119,7 @@ _FORCE_FRONT = {
 # displace a key that has waited multiple rounds for adjudication; they
 # enter the window in the next round.  Remove entries once adjudicated.
 _DEFER_FRESH = {
+    "agg_countmin_sketch",
     "catalog_cache_table",
     "join_data_diff",
     "merge_cdc_delete",

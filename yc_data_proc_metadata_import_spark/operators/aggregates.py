@@ -897,3 +897,112 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("weighted_median_price"),
         F.col("total").alias("total_qty"),
     )
+
+
+# Count-min sketch geometry: D independent multiplicative hash rows of
+# W counters.  Hashes are exact int64 arithmetic (odd multipliers, mod
+# 2^31 then mod W) so DuckDB replays the identical sketch — determinism
+# is what turns "approximate" into hash-checkable.
+_CMS_W = 256
+_CMS_D = 3
+_CMS_MULT = (2654435761, 2246822519, 3266489917)
+_CMS_ADD = (97, 1013, 20011)
+
+
+def _cms_bucket(col: str, j: int) -> str:
+    """SQL text of hash row j's bucket for key ``col`` (valid in both
+    engines: ``%`` on BIGINT)."""
+    return f"((({col} * {_CMS_MULT[j]} + {_CMS_ADD[j]}) % 2147483648) % {_CMS_W})"
+
+
+@query(
+    "agg_countmin_sketch",
+    oracle=f"""
+    WITH keyed AS (SELECT o_custkey AS k FROM orders),
+    counters AS (
+        SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        FROM keyed, LATERAL (VALUES
+            (0, {_cms_bucket('k', 0)}),
+            (1, {_cms_bucket('k', 1)}),
+            (2, {_cms_bucket('k', 2)})) AS h(j, bucket)
+        GROUP BY j, bucket),
+    exact AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM keyed GROUP BY k),
+    top AS (
+        SELECT k, exact_n FROM exact
+        ORDER BY exact_n DESC, k ASC LIMIT 10),
+    est AS (
+        SELECT t.k, t.exact_n, MIN(c.c) AS cms_estimate
+        FROM top t, LATERAL (VALUES
+            (0, {_cms_bucket('t.k', 0)}),
+            (1, {_cms_bucket('t.k', 1)}),
+            (2, {_cms_bucket('t.k', 2)})) AS h(j, bucket)
+        JOIN counters c ON c.j = h.j AND c.bucket = h.bucket
+        GROUP BY t.k, t.exact_n)
+    SELECT k AS o_custkey, exact_n, cms_estimate,
+           cms_estimate >= exact_n AS never_undercounts
+    FROM est
+    """,
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH heavy-hitter estimation, deterministically
+    replayable: frequencies of a high-cardinality key (orders per
+    customer) estimated from a fixed D x W counter grid — the streaming
+    sketch that answers point-frequency queries in O(D) from O(D*W)
+    memory regardless of key cardinality.  Each row contributes to one
+    bucket per hash row (explode of D computed buckets — a constant-D
+    map-side expansion); an estimate is the MIN over its D counters and
+    can only OVERcount (collisions add, never subtract) — surfaced as a
+    per-key ``never_undercounts`` bit the hash check proves true.
+
+    Exact-integer multiplicative hashes (odd constants, mod 2^31, mod W)
+    make the sketch identical in both engines — the point this key
+    demonstrates: "approximate" refers to the ESTIMATE's error bound
+    (eps = e/W of the stream length, delta = e^-D), not to
+    nondeterminism.  At 100 TB the counter grid is a fixed 3*256-cell
+    aggregate — partial-combined map-side, mergeable across any
+    partitioning — while the exact side it is audited against would need
+    the full key-cardinality shuffle the sketch exists to avoid."""
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    pairs = o.select(
+        "k",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({j} AS j, {_cms_bucket('k', j)} AS bucket)"
+                    for j in range(_CMS_D)
+                )
+                + ")"
+            )
+        ).alias("h"),
+    ).select("k", F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+    counters = pairs.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = o.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), F.col("k").asc()).limit(10)
+    top_buckets = top.select(
+        "k",
+        "exact_n",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({j} AS j, {_cms_bucket('k', j)} AS bucket)"
+                    for j in range(_CMS_D)
+                )
+                + ")"
+            )
+        ).alias("h"),
+    ).select("k", "exact_n", F.col("h.j").alias("j"), F.col("h.bucket").alias("bucket"))
+    est = (
+        top_buckets.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("k", "exact_n")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("k").alias("o_custkey"),
+        "exact_n",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_n")).alias("never_undercounts"),
+    )
