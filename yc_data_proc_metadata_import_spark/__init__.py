@@ -124,6 +124,7 @@ _DEFER_FRESH = {
     "join_data_diff",
     "merge_cdc_delete",
     "set_union_by_name",
+    "win_retention_cohorts",
     "win_rolling_dau",
     "graph_shortest_path",
     "llm_ngram_novelty",

@@ -790,3 +790,75 @@ def win_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dau = pairs.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
     return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+@query(
+    "win_retention_cohorts",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id,
+               date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+        FROM events),
+    cohorts AS (
+        SELECT user_id, MIN(wk) AS cohort_week FROM pairs GROUP BY user_id),
+    matrix AS (
+        SELECT c.cohort_week,
+               CAST(date_diff('day', c.cohort_week, p.wk) // 7 AS INTEGER)
+                   AS week_offset,
+               CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+        FROM pairs p JOIN cohorts c ON p.user_id = c.user_id
+        GROUP BY c.cohort_week, week_offset),
+    sized AS (
+        SELECT cohort_week, n_users AS cohort_size
+        FROM matrix WHERE week_offset = 0)
+    SELECT m.cohort_week, m.week_offset, m.n_users,
+           CAST(m.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+               AS retention
+    FROM matrix m JOIN sized s ON m.cohort_week = s.cohort_week
+    """,
+)
+def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION MATRIX: users grouped by signup week (their
+    first active week), tracked as the fraction still active N weeks
+    later — THE retention curve every subscription/engagement report is
+    built on.  Week-offset-0 cell defines each cohort's size, so
+    retention(cohort, 0) = 1.0 by construction and later offsets are
+    exact distinct-user fractions.
+
+    Both engines truncate weeks to ISO Mondays (Spark date_trunc('week')
+    -> cast date; DuckDB's returns DATE directly) and week offsets are
+    integer day-differences divided by 7 — exact because both dates are
+    week-aligned.  Shuffle shape: one distinct on (user, week), one
+    per-user MIN, one matrix aggregate keyed (cohort, offset) — the
+    cohort count is bounded by the retention horizon, users never
+    assemble into per-cohort arrays.  The retention ratio is one IEEE
+    division of exact BIGINTs."""
+    e = load(spark, sf_dir, "events")
+    pairs = e.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+    ).distinct()
+    cohorts = pairs.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    matrix = (
+        pairs.join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    sized = matrix.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return matrix.join(sized, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        (
+            F.col("n_users").cast("double") / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )
