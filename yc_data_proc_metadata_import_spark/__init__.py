@@ -121,6 +121,9 @@ _FORCE_FRONT = {
 _DEFER_FRESH = {
     "agg_countmin_sketch",
     "catalog_cache_table",
+    "catalog_column_defaults",
+    "llm_instruction_format",
+    "scan_json_nested",
     "join_data_diff",
     "merge_cdc_delete",
     "set_union_by_name",

@@ -1460,3 +1460,82 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "llm_instruction_format",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS ts
+        FROM documents),
+    split_point AS (
+        SELECT doc_id, lang, ts,
+               CAST(GREATEST(1, LEAST(len(ts) - 1, 12)) AS INTEGER) AS k
+        FROM toks WHERE len(ts) >= 2),
+    parts AS (
+        SELECT doc_id, lang, k,
+               array_to_string(list_slice(ts, 1, k), ' ') AS prompt_text,
+               array_to_string(list_slice(ts, k + 1, len(ts)), ' ')
+                   AS completion_text
+        FROM split_point)
+    SELECT doc_id,
+           CAST(length(prompt_text) AS BIGINT) AS n_prompt_chars,
+           CAST(length(completion_text) AS BIGINT) AS n_completion_chars,
+           md5('<|system|>lang=' || lang || '<|user|>' || prompt_text ||
+               '<|assistant|>' || completion_text || '<|end|>')
+               AS formatted_md5
+    FROM parts
+    """,
+)
+def llm_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT EXAMPLE FORMATTING: assemble each document into a chat-
+    template training example — system header (metadata), user turn
+    (the leading tokens as the pseudo-instruction), assistant turn (the
+    remainder as the completion), terminated with an end token — and
+    record the prompt/completion boundary lengths the loss-masking step
+    downstream needs (mask everything before the assistant span).  The
+    formatted text is fingerprinted (md5) rather than surfaced raw, the
+    same discipline a template change audit uses: one hash per example
+    proves byte-identical rendering across pipeline versions.
+
+    Map-only string assembly in codegen — template changes never touch
+    the shuffle layer; at 100 TB formatting runs at scan speed and the
+    boundary arithmetic (token index -> char offset) stays exact
+    because both engines split on the identical regex."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')").alias("ts"),
+    ).where(F.size("ts") >= 2)
+    parts = toks.select(
+        "doc_id",
+        "lang",
+        F.expr("greatest(1, least(size(ts) - 1, 12))").alias("k"),
+        "ts",
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr("array_join(slice(ts, 1, k), ' ')").alias("prompt_text"),
+        F.expr("array_join(slice(ts, k + 1, size(ts) - k), ' ')").alias(
+            "completion_text"
+        ),
+    )
+    return parts.select(
+        "doc_id",
+        F.length("prompt_text").cast("long").alias("n_prompt_chars"),
+        F.length("completion_text").cast("long").alias("n_completion_chars"),
+        F.md5(
+            F.concat(
+                F.lit("<|system|>lang="),
+                F.col("lang"),
+                F.lit("<|user|>"),
+                F.col("prompt_text"),
+                F.lit("<|assistant|>"),
+                F.col("completion_text"),
+                F.lit("<|end|>"),
+            )
+        ).alias("formatted_md5"),
+    )

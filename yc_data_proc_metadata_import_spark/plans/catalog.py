@@ -485,3 +485,43 @@ def catalog_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@query(
+    "catalog_column_defaults",
+    oracle="""
+    SELECT a, b, CAST(c AS DOUBLE) AS c FROM (VALUES
+        (1, 'unset', 1.5),
+        (2, 'unset', 1.5),
+        (3, 'explicit', 2.5)) AS t(a, b, c)
+    """,
+)
+def catalog_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARED COLUMN DEFAULTS (Spark 3.4+ DDL surface): CREATE TABLE
+    with ``DEFAULT`` expressions, then a partial-column INSERT — the
+    engine fills omitted columns from the declared defaults at WRITE
+    time (storage holds concrete values; readers never re-evaluate),
+    which is how schemas evolve additively without rewriting producers.
+    A full-row INSERT still overrides.  The oracle states the expected
+    filled rows as literals — the entire observable contract.
+
+    Metadata-scoped: a 3-row table exercises the DDL path; the default
+    machinery itself is plan-time constant folding, so at any scale the
+    cost is the insert itself.  STATELESS per run (the
+    scan_typed_columns lesson): the table lives at an explicit .scratch
+    location wiped before CREATE — a stale directory from an
+    interrupted prior run (catalog entry gone, files left) would
+    otherwise fail CREATE with LOCATION_ALREADY_EXISTS."""
+    import shutil
+
+    _reset_db(spark, "eng_def_db")
+    loc = os.path.join(SCRATCH, "defaults_t")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(
+        "CREATE TABLE eng_def_db.t ("
+        "a INT, b STRING DEFAULT 'unset', c DOUBLE DEFAULT 1.5"
+        f") USING parquet LOCATION '{loc}'"
+    )
+    spark.sql("INSERT INTO eng_def_db.t (a) VALUES (1), (2)")
+    spark.sql("INSERT INTO eng_def_db.t VALUES (3, 'explicit', 2.5)")
+    return spark.table("eng_def_db.t")

@@ -651,3 +651,71 @@ def scan_option_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+def _nested_json_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """JSON-lines with NESTED structure derived deterministically from
+    orders: a struct header plus a variable-length array of line
+    structs (o_orderkey % 3 + 1 lines, qty = (key * ln) % 50), so the
+    oracle can recompute the exact flattened rows from the relational
+    source."""
+
+    def write(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders")
+        doc = o.select(
+            F.struct(
+                F.col("o_orderkey").alias("key"),
+                F.col("o_orderstatus").alias("status"),
+            ).alias("order"),
+            F.expr(
+                """transform(sequence(1, cast(o_orderkey % 3 + 1 as int)),
+                       i -> struct(i AS ln,
+                                   (o_orderkey * i) % 50 AS qty))"""
+            ).alias("lines"),
+        )
+        doc.write.mode("overwrite").json(tmp)
+
+    return _materialize(write, _fixture_dir("nested_json_orders", sf_dir))
+
+
+@query(
+    "scan_json_nested",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(j AS INTEGER) AS line_no,
+           CAST((o_orderkey * j) % 50 AS BIGINT) AS qty
+    FROM orders, LATERAL (SELECT UNNEST(range(1, o_orderkey % 3 + 2)) AS j)
+    """,
+)
+def scan_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED SEMI-STRUCTURED INGESTION: JSON-lines whose records carry
+    a struct header and a variable-length array of line structs — read
+    with an EXPLICIT nested schema (no inference pass), dot-path
+    projected, and flattened with inline explode.  This is the
+    API-events/order-documents shape every lake ingests; the oracle
+    recomputes the flattened rows relationally from the source table,
+    proving the nested write -> schema'd read -> explode pipeline is
+    lossless.
+
+    Scale: JSON-lines splits by newline so the scan parallelizes by
+    input split; the explicit schema avoids the full-scan inference
+    pass (a second 100 TB read); explode is map-side — row count grows
+    by the array length, nothing shuffles."""
+    path = _nested_json_fixture(spark, sf_dir)
+    df = spark.read.json(
+        path,
+        schema=(
+            "order struct<key: bigint, status: string>, "
+            "lines array<struct<ln: int, qty: bigint>>"
+        ),
+    )
+    return df.select(
+        F.col("order.key").alias("o_orderkey"),
+        F.col("order.status").alias("o_orderstatus"),
+        F.explode("lines").alias("l"),
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("l.ln").alias("line_no"),
+        F.col("l.qty").alias("qty"),
+    )
