@@ -911,8 +911,15 @@ _CMS_ADD = (97, 1013, 20011)
 
 def _cms_bucket(col: str, j: int) -> str:
     """SQL text of hash row j's bucket for key ``col`` (valid in both
-    engines: ``%`` on BIGINT)."""
-    return f"((({col} * {_CMS_MULT[j]} + {_CMS_ADD[j]}) % 2147483648) % {_CMS_W})"
+    engines: ``%`` on BIGINT).  The key is masked to 31 bits BEFORE the
+    multiply so the product stays below 2^63 for ANY key domain —
+    without the mask, a key above ~3.5e9 overflows int64, which Spark
+    (non-ANSI) wraps silently while DuckDB widens, silently diverging
+    exactly at scale (the round-5 ADVICE hazard class)."""
+    return (
+        f"(((({col} % 2147483648) * {_CMS_MULT[j]} + {_CMS_ADD[j]})"
+        f" % 2147483648) % {_CMS_W})"
+    )
 
 
 @query(

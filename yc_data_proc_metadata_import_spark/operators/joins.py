@@ -979,7 +979,7 @@ def join_hint_plans(spark: SparkSession, sf_dir: str):
                o_orderstatus
         FROM orders WHERE o_orderkey % 97 <> 0
         UNION ALL
-        SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+        SELECT o_orderkey + 1000000000000, o_totalprice, o_orderstatus
         FROM orders WHERE o_orderkey % 103 = 0),
     joined AS (
         SELECT s.o_orderkey AS sk, t.o_orderkey AS tk,
@@ -1002,7 +1002,7 @@ def join_data_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     each key as match / missing_in_target / missing_in_source /
     value_drift, and count per class.  The fixture perturbs a copy of
     orders deterministically (drop every 97th key, drift every 101st
-    price, inject every 103rd as a target-only key) so exactly those
+    price, inject every 103rd under a +1e12 key shift — far above any real key domain, so the planted rows can never collide with source keys at larger scale factors) so exactly those
     three defect classes MUST surface — one hash proves the diff finds
     planted defects AND reports clean matches for everything else.
 
@@ -1027,7 +1027,7 @@ def join_data_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             o.where(F.col("o_orderkey") % 103 == 0).select(
-                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                (F.col("o_orderkey") + 1000000000000).alias("o_orderkey"),
                 "o_totalprice",
                 "o_orderstatus",
             )
@@ -1063,7 +1063,7 @@ def join_data_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, 'U', c_acctbal + 100.0, c_name
         FROM customer WHERE c_custkey % 11 <> 0 AND c_custkey % 7 = 0
         UNION ALL
-        SELECT c_custkey + 1000000, 'I', c_acctbal, c_name || '_new'
+        SELECT c_custkey + 1000000000000, 'I', c_acctbal, c_name || '_new'
         FROM customer WHERE c_custkey % 5 = 0),
     kept AS (
         SELECT b.c_custkey, 
@@ -1090,7 +1090,8 @@ def merge_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     = 'U'` retention, update is COALESCE) plus the insert union; the
     feed is built deterministically from customer (every 11th key
     deleted, every 7th surviving key updated, every 5th key re-inserted
-    under a shifted id) so the applied snapshot is hash-checkable.
+    under a +1e12 shifted id that cannot collide with real keys at any
+    scale factor) so the applied snapshot is hash-checkable.
 
     At 100 TB this is exactly the foreachBatch MERGE shape
     (stream_foreach_upsert) with the delete branch added: the join
@@ -1119,7 +1120,7 @@ def merge_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             b.where(F.col("c_custkey") % 5 == 0).select(
-                (F.col("c_custkey") + 1000000).alias("k"),
+                (F.col("c_custkey") + 1000000000000).alias("k"),
                 F.lit("I").alias("op"),
                 F.col("c_acctbal").alias("new_bal"),
                 F.concat(F.col("c_name"), F.lit("_new")).alias("nm"),
