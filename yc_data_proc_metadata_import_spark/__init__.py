@@ -120,7 +120,10 @@ _FORCE_FRONT = {
 # enter the window in the next round.  Remove entries once adjudicated.
 _DEFER_FRESH = {
     "agg_countmin_sketch",
+    "agg_share_of_total",
     "catalog_cache_table",
+    "merge_incremental_aggregate",
+    "sql_group_by_all",
     "catalog_column_defaults",
     "llm_instruction_format",
     "scan_json_nested",

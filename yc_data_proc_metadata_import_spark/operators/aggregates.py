@@ -1013,3 +1013,113 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") >= F.col("exact_n")).alias("never_undercounts"),
     )
+
+
+@query(
+    "merge_incremental_aggregate",
+    oracle=f"""
+    WITH updated AS (
+        SELECT o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice + 10.0
+        FROM orders WHERE o_orderkey % 103 = 0)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice")} AS total_price
+    FROM updated GROUP BY o_orderstatus
+    """,
+)
+def merge_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL AGGREGATE MAINTENANCE (materialized-view delta
+    refresh): given a standing aggregate and a CDC delta (deletes of
+    every 97th key, inserts of every 103rd at a shifted price), the new
+    aggregate is computed by ADDING SIGNED DELTA CONTRIBUTIONS — counts
+    advance by sum(op), sums by sum(op * value) — never by re-scanning
+    the base table.  The oracle recomputes the aggregate from scratch
+    over the updated table; the hash match IS the refresh-correctness
+    proof (incremental == recompute), which holds because count and
+    decimal-exact sum are abelian-group aggregates (subtractable), the
+    property that separates delta-maintainable aggregates from MIN/MAX
+    (which need recompute or auxiliary structures on delete).
+
+    At 100 TB the cost is proportional to the DELTA, not the base: the
+    delta aggregates map-side into one tiny per-group update joined
+    onto the standing aggregate — the entire point of maintaining a
+    materialized aggregate under streaming upserts
+    (stream_foreach_upsert is the runtime twin)."""
+    from ..utils import DEC, dec
+
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.sum(dec("o_totalprice")).alias("s0"),
+    )
+    deletes = o.where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderstatus",
+        F.lit(-1).alias("op"),
+        dec("o_totalprice").alias("p"),
+    )
+    inserts = o.where(F.col("o_orderkey") % 103 == 0).select(
+        "o_orderstatus",
+        F.lit(1).alias("op"),
+        dec(F.col("o_totalprice") + 10.0).alias("p"),
+    )
+    delta = deletes.unionByName(inserts).groupBy("o_orderstatus").agg(
+        F.sum("op").alias("dc"),
+        F.sum(F.col("p") * F.col("op")).alias("ds"),
+    )
+    zero = F.lit(0).cast(DEC)
+    return base.join(delta, "o_orderstatus", "full_outer").select(
+        "o_orderstatus",
+        (F.coalesce("c0", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+        .cast("bigint")
+        .alias("n_orders"),
+        (F.coalesce(F.col("s0"), zero) + F.coalesce(F.col("ds"), zero))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@query(
+    "agg_share_of_total",
+    oracle=f"""
+    WITH per AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS s
+        FROM orders GROUP BY o_orderpriority),
+    tot AS (SELECT SUM(s) AS t FROM per)
+    SELECT per.o_orderpriority, per.n_orders,
+           CAST(per.s AS DOUBLE) AS revenue,
+           CAST(per.s AS DOUBLE) / CAST(tot.t AS DOUBLE) AS revenue_share
+    FROM per, tot
+    """,
+)
+def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARE-OF-TOTAL (percent contribution): each group's exact decimal
+    revenue divided by the grand total — the reporting ratio behind
+    every "X% of revenue" tile.  The grand total is the decimal SUM of
+    the per-group decimal sums (associative, so re-aggregating partials
+    is exact), and the share is one IEEE division of two
+    decimal-derived doubles — bit-deterministic in both engines.
+
+    Plan: one hash aggregate on the group key + a single-row total
+    broadcast back over the (group-cardinality-bounded) result — at
+    100 TB the second pass touches 5 rows, not the table."""
+    from ..utils import dec
+
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).alias("s"),
+    )
+    tot = per.agg(F.sum("s").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("s").cast("double").alias("revenue"),
+        (F.col("s").cast("double") / F.col("t").cast("double")).alias(
+            "revenue_share"
+        ),
+    )

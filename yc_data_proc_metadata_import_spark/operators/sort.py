@@ -220,3 +220,30 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         args={"threshold": 150000.0, "status": "O"},
         orders=orders,
     )
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 3.4+ SQL sugar): every
+    non-aggregate select item becomes a grouping key implicitly — the
+    ergonomic form analysts write, resolved at PARSE time to the
+    explicit grouping the oracle spells out, so the plan (and therefore
+    the scale behavior) is identical to hand-listed keys."""
+    orders = load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               MAX(o_totalprice) AS max_price
+        FROM {orders} GROUP BY ALL ORDER BY ALL
+        """,
+        orders=orders,
+    )
