@@ -120,7 +120,9 @@ _FORCE_FRONT = {
 # enter the window in the next round.  Remove entries once adjudicated.
 _DEFER_FRESH = {
     "agg_countmin_sketch",
+    "agg_median_absolute_deviation",
     "agg_share_of_total",
+    "win_pareto",
     "catalog_cache_table",
     "merge_incremental_aggregate",
     "sql_group_by_all",

@@ -1123,3 +1123,80 @@ def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+@query(
+    "agg_median_absolute_deviation",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+        FROM lineitem),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                      AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM base),
+    med AS (
+        SELECT l_returnflag, l_extendedprice AS median_price
+        FROM ranked WHERE rn = (n + 1) // 2),
+    devs AS (
+        SELECT b.l_returnflag, ABS(b.l_extendedprice - m.median_price) AS d,
+               b.l_orderkey, b.l_linenumber
+        FROM base b JOIN med m ON b.l_returnflag = m.l_returnflag),
+    dranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                      ORDER BY d, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM devs)
+    SELECT d.l_returnflag, m.median_price, d.d AS mad
+    FROM dranked d JOIN med m ON d.l_returnflag = m.l_returnflag
+    WHERE d.rn = (d.n + 1) // 2
+    """,
+)
+def agg_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST DISPERSION — median absolute deviation per group: the
+    outlier-resistant spread statistic (stddev is dragged by a single
+    bad point; MAD is not), computed as the exact lower median of
+    |x - median(x)|.  Both medians are ORDER-STATISTIC SELECTIONS (row
+    (n+1) div 2 under a fully tie-broken order), never interpolated
+    arithmetic — the selected values are original doubles and the only
+    computation is one subtraction per row, so the result is
+    bit-identical across engines.
+
+    Two window passes + two joins, ALL partitioned on the group key —
+    the same single logical partitioning end to end; per-group state is
+    the sort Spark runs for any window.  At 100 TB swap the exact
+    selection for approx_percentile when the group's row count makes
+    the per-group sort the bottleneck — the operator shape is
+    unchanged."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    worder = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wall = Window.partitionBy("l_returnflag")
+    ranked = li.withColumn("rn", F.row_number().over(worder)).withColumn(
+        "n", F.count(F.lit(1)).over(wall)
+    )
+    med = ranked.where(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select("l_returnflag", F.col("l_extendedprice").alias("median_price"))
+    devs = li.join(med, "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - F.col("median_price")).alias("d"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    dorder = Window.partitionBy("l_returnflag").orderBy(
+        "d", "l_orderkey", "l_linenumber"
+    )
+    dranked = devs.withColumn("rn", F.row_number().over(dorder)).withColumn(
+        "n", F.count(F.lit(1)).over(wall)
+    )
+    return (
+        dranked.where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .join(med, "l_returnflag")
+        .select("l_returnflag", "median_price", F.col("d").alias("mad"))
+    )

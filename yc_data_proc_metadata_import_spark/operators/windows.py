@@ -862,3 +862,72 @@ def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users").cast("double") / F.col("cohort_size").cast("double")
         ).alias("retention"),
     )
+
+
+@query(
+    "win_pareto",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name,
+               SUM(CAST(o.o_totalprice AS DECIMAL(28,4))) AS s
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name),
+    tot AS (SELECT SUM(s) AS t FROM rev),
+    ranked AS (
+        SELECT n_name, s,
+               CAST(ROW_NUMBER() OVER (ORDER BY s DESC, n_name) AS INTEGER)
+                   AS rank,
+               SUM(s) OVER (ORDER BY s DESC, n_name
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM rev)
+    SELECT r.rank, r.n_name,
+           CAST(r.s AS DOUBLE) AS revenue,
+           CAST(r.cum AS DOUBLE) / CAST(t.t AS DOUBLE) AS cum_share
+    FROM ranked r, tot t
+    """,
+)
+def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO / CONCENTRATION CURVE: entities ranked by revenue with the
+    running share of the total — the "top N% drive X%" analysis.  The
+    running sum accumulates EXACT DECIMALS in rank order (deterministic
+    under the tie-broken total order) and each share is one IEEE
+    division, so every point on the curve is hash-stable.
+
+    The global window ranks the AGGREGATE (25 nations), never raw rows —
+    the discipline that keeps Pareto viable at 100 TB: revenue first
+    collapses group-wise (key-partitioned, map-side partials), and only
+    the group-cardinality-bounded result enters the single-partition
+    ranking.  For million-entity Pareto, rank within range-partitioned
+    buckets and prefix-sum the per-bucket totals — same curve, no
+    single-task sort."""
+    from ..utils import dec
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec("o_totalprice")).alias("s"))
+    )
+    tot = rev.agg(F.sum("s").alias("t"))
+    w = Window.orderBy(F.col("s").desc(), F.col("n_name").asc())
+    ranked = rev.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "n_name",
+        "s",
+        F.sum("s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "n_name",
+        F.col("s").cast("double").alias("revenue"),
+        (F.col("cum").cast("double") / F.col("t").cast("double")).alias(
+            "cum_share"
+        ),
+    )
