@@ -120,7 +120,10 @@ _FORCE_FRONT = {
 # enter the window in the next round.  Remove entries once adjudicated.
 _DEFER_FRESH = {
     "agg_countmin_sketch",
+    "agg_gini",
     "agg_median_absolute_deviation",
+    "llm_hard_negatives",
+    "scan_manifest_files",
     "agg_share_of_total",
     "win_pareto",
     "catalog_cache_table",

@@ -1039,3 +1039,91 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 llm_semdedup.__doc__ = llm_semdedup.__doc__.format(t=_SEMDEDUP_T)
+
+
+_HN_QUERIES = 10
+_HN_K = 5
+_VECS_LBL_SQL = (
+    "SELECT vec_id, label, embedding AS emb, "
+    + _NORM_SQL.format(a="embedding")
+    + " AS norm FROM embeddings"
+)
+
+
+@query(
+    "llm_hard_negatives",
+    oracle=f"""
+    WITH v AS ({_VECS_LBL_SQL}),
+         pairs AS (
+            SELECT q.vec_id AS query_id, q.label AS query_label,
+                   c.vec_id AS negative_id, c.label AS negative_label,
+                   {_DOT_SQL.format(a="q.emb", b="c.emb")} / (q.norm * c.norm)
+                       AS cosine
+            FROM v q JOIN v c
+              ON q.vec_id < {_HN_QUERIES} AND c.label <> q.label),
+         ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, negative_id) AS rnk
+            FROM pairs)
+    SELECT query_id, query_label, negative_id, negative_label,
+           CAST(rnk AS INTEGER) AS rnk, cosine
+    FROM ranked WHERE rnk <= {_HN_K}
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: for each query
+    vector, the most-similar corpus vectors carrying a DIFFERENT label —
+    the near-miss examples that make embedding models learn boundaries
+    (random negatives are trivially separable; the hard ones sit just
+    across the margin).  Same exact-cosine machinery as llm_topk_cosine
+    (left-to-right fold dot product, bit-identical in DuckDB) with the
+    cross-label constraint riding the broadcast join predicate, so the
+    label filter prunes candidates BEFORE any score is computed.
+
+    Scale identical to the top-k path: queries broadcast, corpus
+    scanned once, per-query top-k window over a query-partitioned
+    input; at 100 TB swap the brute-force scan for the IVF/LSH
+    candidate stage (llm_ann_ivf) and keep the label-inequality
+    predicate on the candidate join unchanged."""
+    e = load(spark, sf_dir, "embeddings")
+    n = spark.sparkContext.defaultParallelism
+    v = (
+        e.repartition(n, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+        .withColumn("norm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    )
+    q = v.where(F.col("vec_id") < _HN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("emb").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+    )
+    cos = _dot(F.col("qemb"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))
+    pairs = v.join(
+        F.broadcast(q), F.col("label") != F.col("query_label")
+    ).select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        cos.alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _HN_K)
+        .select(
+            "query_id",
+            "query_label",
+            "negative_id",
+            "negative_label",
+            "rnk",
+            "cosine",
+        )
+    )

@@ -1200,3 +1200,69 @@ def agg_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(med, "l_returnflag")
         .select("l_returnflag", "median_price", F.col("d").alias("mad"))
     )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name, SUM(CAST(o.o_totalprice AS DECIMAL(28,4))) AS s
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name),
+    ranked AS (
+        SELECT s, CAST(ROW_NUMBER() OVER (ORDER BY s ASC, n_name) AS BIGINT)
+                      AS i
+        FROM rev),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(s) AS t,
+               SUM(s * i) AS a
+        FROM ranked)
+    SELECT n AS n_entities,
+           CAST(t AS DOUBLE) AS total_revenue,
+           CAST(2 * a AS DOUBLE) / CAST(n * t AS DOUBLE)
+               - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+    FROM sums
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT (inequality of the revenue distribution across
+    nations — the scalar twin of win_pareto's curve): computed from the
+    rank-weighted decimal sum, G = 2*sum(i*s_i)/(n*sum(s)) - (n+1)/n
+    with values ranked ascending.  Every accumulation is exact (decimal
+    sums, integer ranks); only the final two divisions and one
+    subtraction are IEEE doubles on identical operands, so the scalar
+    is bit-stable.
+
+    Scale: revenue collapses group-wise first; the ranking runs on the
+    group-cardinality-bounded aggregate (25 rows), and the rank-weighted
+    sum is one more tiny aggregate — same discipline as win_pareto."""
+    from ..utils import dec
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n_ = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_), c.c_nationkey == n_.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec("o_totalprice")).alias("s"))
+    )
+    w = Window.orderBy(F.col("s").asc(), F.col("n_name").asc())
+    ranked = rev.select(
+        "s", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("t"),
+        F.sum(F.col("s") * F.col("i")).alias("a"),
+    )
+    return sums.select(
+        F.col("n").alias("n_entities"),
+        F.col("t").cast("double").alias("total_revenue"),
+        (
+            (2 * F.col("a")).cast("double") / (F.col("n") * F.col("t")).cast("double")
+            - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+        ).alias("gini"),
+    )

@@ -719,3 +719,67 @@ def scan_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.ln").alias("line_no"),
         F.col("l.qty").alias("qty"),
     )
+
+
+def _manifest_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Orders split into three key-range parts (o_orderkey % 3) written
+    as independent parquet directories, plus a JSON manifest listing
+    ONLY parts 0 and 2 — the table-format pattern where the manifest,
+    not the directory listing, defines table membership."""
+    import json as _json
+
+    def write(tmp: str) -> None:
+        o = load(spark, sf_dir, "orders")
+        for r in (0, 1, 2):
+            o.where(F.col("o_orderkey") % 3 == r).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(tmp, f"part{r}"))
+        # TABLE-RELATIVE paths (as real manifests store them): the
+        # staging dir is renamed into place by _materialize, so any
+        # absolute path recorded here would dangle.
+        with open(os.path.join(tmp, "manifest.json"), "w") as f:
+            for rel in ("part0", "part2"):
+                f.write(_json.dumps({"path": rel}) + "\n")
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+
+    return _materialize(write, _fixture_dir("manifest_orders", sf_dir))
+
+
+@query(
+    "scan_manifest_files",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders WHERE o_orderkey % 3 <> 1
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_manifest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-DRIVEN SCAN (the table-format core idea): table
+    membership is defined by a MANIFEST of file paths, not by listing a
+    directory — how Iceberg/Delta-class formats give atomic visibility
+    (a file exists but isn't part of the table until the manifest says
+    so) and O(manifest) planning instead of O(listing).  The fixture
+    holds three parts but the manifest admits only two; the scan must
+    read exactly the manifested subset — the oracle recomputes it from
+    the membership rule.
+
+    The manifest itself is read THROUGH Spark (json source) and
+    collected — bounded by manifest size (file count), the same
+    driver-side footprint every manifest-based reader pays at plan
+    time; the data read then plans normally over the listed paths
+    (pushdown, splits, parallelism all unchanged)."""
+    root = _manifest_fixture(spark, sf_dir)
+    manifest = spark.read.json(
+        os.path.join(root, "manifest.json"), schema="path string"
+    )
+    paths = [os.path.join(root, r.path) for r in manifest.collect()]
+    df = spark.read.parquet(*paths)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
