@@ -540,3 +540,23 @@ def test_cache_table_scans_memory(spark, sf_dir):
     the in-memory columnar relation, not re-scan parquet."""
     plan = _plan(spark, sf_dir, "catalog_cache_table")
     assert "InMemory" in plan, f"no in-memory relation in plan\n{plan}"
+
+
+def test_rebalanced_write_evens_file_sizes(spark, sf_dir):
+    """sink_rebalanced_write: the written files must be few and
+    even-sized — no file may exceed 3x the mean (the skew/tiny-file
+    pathologies the REBALANCE hint exists to kill)."""
+    import os
+
+    from yc_data_proc_metadata_import_spark.sources.io import _fixture_dir
+
+    QUERIES["sink_rebalanced_write"](spark, sf_dir).count()
+    out = _fixture_dir("rebalanced_orders", sf_dir)
+    sizes = [
+        os.path.getsize(os.path.join(out, f))
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    ]
+    assert sizes, "no parquet files written"
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) <= 3 * mean, f"uneven files: {sorted(sizes)}"

@@ -121,6 +121,8 @@ _FORCE_FRONT = {
 _DEFER_FRESH = {
     "agg_countmin_sketch",
     "agg_gini",
+    "sink_rebalanced_write",
+    "win_time_weighted_avg",
     "agg_median_absolute_deviation",
     "llm_hard_negatives",
     "scan_manifest_files",

@@ -931,3 +931,75 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     )
+
+
+@query(
+    "win_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value, ts,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_ts
+        FROM events),
+    weighted AS (
+        SELECT user_id,
+               (CAST(epoch_us(next_ts) - epoch_us(ts) AS BIGINT)) // 1000000
+                   AS w,
+               CAST(value AS DECIMAL(19,3)) AS v
+        FROM seq WHERE next_ts IS NOT NULL)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(w) AS BIGINT) AS total_seconds,
+           CAST(SUM(v * CAST(w AS DECIMAL(10,0))) AS DOUBLE)
+               / CAST(SUM(w) AS DOUBLE) AS twap
+    FROM weighted GROUP BY user_id
+    """,
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE (TWAP): each reading weighted by how long
+    it was current (microseconds until the user's next event) — the
+    correct average for irregularly-sampled sensors/prices, where the
+    plain mean over-weights bursts.  Weights are exact integer
+    microsecond intervals (LEAD over the tie-broken per-user order),
+    weights are SECOND-resolution integers and values MILLI-resolution
+    decimals (19,3) — 19, not 18, forces DuckDB's int128 decimal path
+    (utils.DEC_N's lesson), and the coarse resolutions keep the exact
+    weighted sum below 2^53 scaled units, so even the final
+    decimal->double CONVERSION is exact (a wider decimal converts with
+    one rounding in Java but two in DuckDB's int128/10^scale path —
+    a last-ulp divergence this key measured and designs out).  Only the
+    final division is an IEEE double on identical operands —
+    bit-stable across engines and partitionings.
+
+    One user-keyed shuffle serves the LEAD window and the aggregate;
+    the last reading of each user (no successor) is excluded in both
+    engines — the half-open-interval convention stated explicitly.
+    Magnitude bound for exactness: sum(value*seconds) must stay under
+    ~9e15 milli-units — holds to ~300 years of per-user span at
+    value<=1000."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        "user_id",
+        "value",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).where(F.col("next_ts").isNotNull())
+    weighted = seq.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(cast(next_ts as timestamp))"
+            " - unix_micros(cast(ts as timestamp))) div 1000000"
+        ).alias("w"),
+        F.col("value").cast("decimal(19,3)").alias("v"),
+    )
+    return weighted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("w").alias("total_seconds"),
+        (
+            F.sum(F.col("v") * F.col("w").cast("decimal(10,0)")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("twap"),
+    )

@@ -637,3 +637,45 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("date_min"),
         F.max("o_orderdate").alias("date_max"),
     )
+
+
+@query(
+    "sink_rebalanced_write",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_rebalanced_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REBALANCE-BEFORE-WRITE: the AQE ``REBALANCE`` hint inserts a
+    runtime-sized shuffle whose output partitions AQE splits/coalesces
+    to even byte sizes — THE fix for the two classic write pathologies
+    at 100 TB: a skewed upstream partitioning producing one giant file
+    per hot key, and an over-parallel stage producing thousands of tiny
+    files.  Unlike a fixed ``repartition(n)``, the partition count is
+    decided at RUNTIME from actual sizes (advisoryPartitionSizeInBytes),
+    so the same job writes well at any scale factor.
+
+    The write runs, then the result is read back and aggregated —
+    proving the layout change is execution-only (byte-identical data);
+    the even-size property itself is asserted in tests/test_plans.py
+    from the written files."""
+    out = _fixture_dir("rebalanced_orders", sf_dir)
+    src = load(spark, sf_dir, "orders")
+    src.createOrReplaceTempView("rb_orders")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        spark.sql("SELECT /*+ REBALANCE */ * FROM rb_orders").write.mode(
+            "overwrite"
+        ).parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
