@@ -560,3 +560,20 @@ def test_rebalanced_write_evens_file_sizes(spark, sf_dir):
     assert sizes, "no parquet files written"
     mean = sum(sizes) / len(sizes)
     assert max(sizes) <= 3 * mean, f"uneven files: {sorted(sizes)}"
+
+
+def test_hard_negatives_broadcasts_queries(spark, sf_dir):
+    """llm_hard_negatives: the query set must broadcast (corpus scanned
+    once, no shuffle before the per-query top-k window)."""
+    plan = _plan(spark, sf_dir, "llm_hard_negatives")
+    assert "Broadcast" in plan, f"queries not broadcast\n{plan}"
+
+
+def test_incremental_aggregate_no_base_rescan_in_delta(spark, sf_dir):
+    """merge_incremental_aggregate: exactly the expected number of
+    orders scans — one for the standing aggregate, two for the delta
+    legs (all pruned); a per-rule or per-leg explosion means the delta
+    pattern regressed."""
+    plan = _plan(spark, sf_dir, "merge_incremental_aggregate")
+    n = plan.count("orders.parquet")
+    assert n <= 3, f"expected <=3 orders scans, found {n}\n{plan}"

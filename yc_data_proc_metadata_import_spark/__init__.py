@@ -131,6 +131,7 @@ _DEFER_FRESH = {
     "catalog_cache_table",
     "merge_incremental_aggregate",
     "sql_group_by_all",
+    "sql_star_except",
     "catalog_column_defaults",
     "llm_instruction_format",
     "scan_json_nested",

@@ -247,3 +247,29 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         orders=orders,
     )
+
+
+@query(
+    "sql_star_except",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCEPT (...) — project everything BUT the listed columns
+    (Spark 3.4+; DuckDB spells it EXCLUDE): the maintainable spelling
+    when a wide table evolves — new columns flow through automatically
+    while the dropped ones (here the price/date measures) stay dropped,
+    the opposite failure mode of a hand-listed projection that silently
+    omits additions.  Resolved at analysis time to an explicit
+    projection, so column pruning reaches the scan exactly as if the
+    list were written by hand."""
+    orders = load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_totalprice, o_orderdate)
+        FROM {orders} WHERE o_orderkey % 10 = 0
+        """,
+        orders=orders,
+    )
