@@ -124,6 +124,7 @@ _DEFER_FRESH = {
     "sink_rebalanced_write",
     "win_time_weighted_avg",
     "agg_median_absolute_deviation",
+    "llm_bpe_apply",
     "llm_hard_negatives",
     "scan_manifest_files",
     "agg_share_of_total",

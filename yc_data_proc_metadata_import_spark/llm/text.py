@@ -1539,3 +1539,80 @@ def llm_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("formatted_md5"),
     )
+
+
+def _bpe_apply_oracle() -> str:
+    """Train CTEs (as _bpe_oracle) but with the merge replayed after
+    EVERY step — the final spelling table w{N} then encodes the corpus."""
+    n = _BPE_STEPS
+    ctes = [
+        f"tok AS ({_TOKENS_SQL})",
+        "w0 AS (SELECT token AS word, COUNT(*) AS freq, "
+        "string_split(token, '') AS sp FROM tok GROUP BY token)",
+    ]
+    for t in range(n):
+        ctes.append(
+            f"p{t} AS (SELECT pr[1] AS a, pr[2] AS b, "
+            f"CAST(SUM(freq) AS BIGINT) AS cnt "
+            f"FROM (SELECT freq, unnest(list_zip(sp[1:len(sp)-1], sp[2:len(sp)])) "
+            f"AS pr FROM w{t}) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT a, b, cnt FROM p{t} ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        ctes += _bpe_merge_ctes(t)
+    final = (
+        f"SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        f"CAST(SUM(length(t.token)) AS BIGINT) AS n_chars, "
+        f"CAST(SUM(len(w.sp)) AS BIGINT) AS n_symbols, "
+        f"CAST(SUM(length(t.token)) AS DOUBLE) / "
+        f"CAST(SUM(len(w.sp)) AS DOUBLE) AS chars_per_symbol "
+        f"FROM tok t JOIN w{n} w ON t.token = w.word GROUP BY t.doc_id"
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + final
+
+
+@query("llm_bpe_apply", oracle=_bpe_apply_oracle())
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the other half of llm_bpe_train: apply the LEARNED
+    merge table to every word and report per-document tokenization
+    stats (token count, raw chars, post-merge symbol count, and the
+    chars-per-symbol compression the merges bought).  Training and
+    encoding share one code path (`_bpe_apply_merge`'s greedy leftmost
+    fold), exactly how a production tokenizer guarantees train/encode
+    consistency; the oracle replays the full train-then-encode pipeline
+    in SQL, so the hash certifies the merges AND their application.
+
+    Scale: merges apply on the DISTINCT-word spelling table (|vocab|
+    rows), then one equi-join brings the encoded lengths back to the
+    (doc, token) stream — corpus size enters only through that join and
+    the per-doc aggregate, both hash-partitioned; the learned merge
+    table itself is the K-bounded driver round-trip (3 rows) the
+    codebook precedent established."""
+    w = (
+        tokens(spark, sf_dir)
+        .groupBy(F.col("token").alias("word"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("sp", F.split("word", ""))
+    )
+    for _ in range(_BPE_STEPS):
+        win = (
+            _bpe_pair_counts(w)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .first()
+        )
+        w = _bpe_apply_merge(w, win["a"], win["b"])
+    tok = tokens(spark, sf_dir)
+    enc = tok.join(
+        w.select("word", F.size("sp").alias("n_sym")),
+        tok.token == F.col("word"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("token")).alias("n_chars"),
+        F.sum("n_sym").alias("n_symbols"),
+        (
+            F.sum(F.length("token")).cast("double")
+            / F.sum("n_sym").cast("double")
+        ).alias("chars_per_symbol"),
+    )
