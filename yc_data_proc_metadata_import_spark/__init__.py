@@ -132,7 +132,10 @@ _DEFER_FRESH = {
     "catalog_cache_table",
     "merge_incremental_aggregate",
     "sql_group_by_all",
+    "sql_lateral_alias",
     "sql_star_except",
+    "udf_apply_in_arrow",
+    "udf_arrow_scalar",
     "catalog_column_defaults",
     "llm_instruction_format",
     "scan_json_nested",

@@ -307,3 +307,88 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     ).createOrReplaceTempView("udtf_poly_nation")
     return spark.sql("SELECT * FROM eng_add_name_len(TABLE(udtf_poly_nation))")
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                t -> t <> '')) AS INTEGER) AS n_words,
+           CAST(length(text) AS INTEGER) AS n_chars
+    FROM documents
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-NATIVE SCALAR PYTHON UDF (Spark 4 ``useArrow=True``): the
+    same ``F.udf`` registration, but rows cross the Python boundary as
+    Arrow batches instead of pickled rows — the drop-in upgrade that
+    removes most of the classic scalar-UDF serialization tax without
+    rewriting the function as a pandas UDF.  The function body is plain
+    Python over scalars (``len(text.split())`` — Python str.split()
+    splits on whitespace runs exactly like the oracle's ``\\s+`` regex
+    filter), so this key pins the semantics boundary: arrow transport
+    changes COST, never results.
+
+    Still a per-row Python call — batch-vectorized pandas/arrow UDFs
+    remain the hot-path choice (udf_pandas, udf_map_in_arrow); this is
+    the migration step for existing scalar-UDF code."""
+    n_words = F.udf(
+        lambda t: len(t.split()) if t else 0, "int", useArrow=True
+    )
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_words(F.col("text")).alias("n_words"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+@query(
+    "udf_apply_in_arrow",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(value) AS max_value,
+           MIN(value) AS min_value
+    FROM events GROUP BY user_id
+    """,
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED-MAP OVER ARROW TABLES (Spark 4 ``applyInArrow``): each
+    user's rows arrive as ONE ``pyarrow.Table`` and the function returns
+    a table — the zero-pandas grouped transform for logic that works
+    directly on Arrow buffers (or hands them to Arrow-native libraries)
+    without the pandas conversion layer ``applyInPandas`` pays.  The
+    body computes per-group aggregates with ``pyarrow.compute`` (exact
+    count/min/max — no float accumulation), so results hash-match the
+    relational oracle.
+
+    Same scale shape as every grouped-map: one shuffle on the group
+    key, one Python invocation per group — group cardinality must be
+    far above task count (user_id is) and per-group data must fit a
+    worker (aggregates here, never row explosion)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def summarize(t: "pa.Table") -> "pa.Table":
+        v = t.column("value")
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [t.column("user_id")[0].as_py()], type=pa.int64()
+                ),
+                "n_events": pa.array([t.num_rows], type=pa.int64()),
+                "max_value": pa.array([pc.max(v).as_py()], type=pa.float64()),
+                "min_value": pa.array([pc.min(v).as_py()], type=pa.float64()),
+            }
+        )
+
+    e = load(spark, sf_dir, "events").select("user_id", "value")
+    return e.groupBy("user_id").applyInArrow(
+        summarize,
+        schema=(
+            "user_id bigint, n_events bigint, "
+            "max_value double, min_value double"
+        ),
+    )

@@ -273,3 +273,32 @@ def sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         orders=orders,
     )
+
+
+@query(
+    "sql_lateral_alias",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           o_totalprice * 0.05 AS tax,
+           o_totalprice + o_totalprice * 0.05 AS gross
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL COLUMN ALIAS (Spark 3.4+): a select item referencing an
+    alias defined EARLIER IN THE SAME SELECT (``gross`` reads ``tax``) —
+    killing the nested-subquery boilerplate derived-metric chains used
+    to need.  Resolved at analysis time by inlining the aliased
+    expression, so the oracle states the inlined form and both engines
+    evaluate the identical double expression tree (same operands, same
+    two IEEE ops — bit-equal)."""
+    orders = load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice * 0.05 AS tax,
+               o_totalprice + tax AS gross
+        FROM {orders} WHERE o_orderkey % 7 = 0
+        """,
+        orders=orders,
+    )
