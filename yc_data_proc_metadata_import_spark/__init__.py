@@ -133,6 +133,7 @@ _DEFER_FRESH = {
     "merge_incremental_aggregate",
     "sql_group_by_all",
     "sql_lateral_alias",
+    "stream_dedup_within_watermark",
     "sql_star_except",
     "udf_apply_in_arrow",
     "udf_arrow_scalar",

@@ -879,3 +879,33 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(provider_key, prev)
     return spark.table("mem_stream_rocksdb")
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="SELECT event_id, event_type, ts FROM events",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` (Spark 3.5+) — dedup whose state
+    EXPIRES: a key is suppressed only while it could still collide
+    within the watermark horizon, then its state is evicted — unlike
+    plain ``dropDuplicates`` (stream_dedup), whose per-key state without
+    a watermark column in the key set lives forever.  This is the
+    correct dedup for at-least-once sources whose duplicates arrive
+    CLOSE TOGETHER (retries, replays): state size tracks the horizon's
+    key arrival rate, not all-time key cardinality — the difference
+    between bounded and unbounded state at 100 TB/day.
+
+    The fixture's duplicate pairs arrive within the horizon, so exactly
+    one copy of each event survives and the batch oracle is the
+    pre-duplication stream — semantics hash-pinned; the state-expiry
+    behavior is the operational contract the API name encodes."""
+    src = _stream_dup_src(spark, sf_dir)
+    dedup = (
+        _read_stream(spark, src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "ts")
+    )
+    _run_to_memory(dedup, "mem_stream_dedup_wm", "append")
+    return spark.table("mem_stream_dedup_wm")
