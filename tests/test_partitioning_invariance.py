@@ -37,6 +37,10 @@ KEYS = [
     "graph_pagerank",       # iterative integer state
     "llm_tfidf",            # ratio/log surfaces over counts
     "win_retention_cohorts",  # distinct-count ratios
+    "merge_incremental_aggregate",  # delta-refresh decimal partials
+    "agg_gini",             # rank-weighted decimal sums
+    "win_pareto",           # ordered decimal prefix accumulation
+    "agg_weighted_median",  # integer cumulative-weight selection
 ]
 
 
