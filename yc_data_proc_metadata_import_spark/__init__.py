@@ -125,6 +125,7 @@ _DEFER_FRESH = {
     "win_time_weighted_avg",
     "agg_median_absolute_deviation",
     "llm_bpe_apply",
+    "llm_dataset_card",
     "llm_hard_negatives",
     "scan_manifest_files",
     "agg_share_of_total",

@@ -106,3 +106,74 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_keep.alias("near_keep"),
         ((detected == "en") & quality_ok & exact_keep & near_keep).alias("keep"),
     )
+
+
+@query(
+    "llm_dataset_card",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, t.token
+        FROM documents, unnest(string_split_regex(lower(text), '\s+'))
+            AS t(token)
+        WHERE t.token <> ''),
+    d AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+                   AS n_exact_dupes
+        FROM documents),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab_size
+        FROM tok)
+    SELECT d.n_docs, d.total_chars, t.total_tokens, t.vocab_size,
+           d.n_langs, d.n_sources, d.n_exact_dupes,
+           CAST(t.total_tokens AS DOUBLE) / CAST(d.n_docs AS DOUBLE)
+               AS mean_tokens_per_doc
+    FROM d, t
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD — the one-row corpus summary published alongside a
+    training dataset: document and character volume, token count and
+    vocabulary size, language and source coverage, and the exact
+    duplicate count (docs minus distinct content fingerprints) — every
+    number a release checklist quotes, produced in one pass over
+    documents plus one over the shared token stream.
+
+    All fields are exact counts (the dup figure rides md5 fingerprints,
+    the same hash llm_dedup_exact shuffles) and the single ratio is one
+    IEEE division — nothing estimated, so the card itself is
+    hash-checkable.  At 100 TB each distinct-count swaps to its sketch
+    twin (agg_approx_distinct / agg_hll_sketch) with the same one-scan
+    shape; the exact spelling here doubles as the sketch audit."""
+    from .text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    dstats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias(
+            "n_exact_dupes"
+        ),
+    )
+    tstats = tokens(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("token").alias("vocab_size"),
+    )
+    return dstats.crossJoin(F.broadcast(tstats)).select(
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        "vocab_size",
+        "n_langs",
+        "n_sources",
+        "n_exact_dupes",
+        (
+            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+        ).alias("mean_tokens_per_doc"),
+    )
