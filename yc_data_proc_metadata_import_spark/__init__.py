@@ -129,6 +129,8 @@ _DEFER_FRESH = {
     "llm_hard_negatives",
     "scan_manifest_files",
     "agg_share_of_total",
+    "agg_sum_distinct",
+    "win_sequence_gaps",
     "win_pareto",
     "catalog_cache_table",
     "merge_incremental_aggregate",

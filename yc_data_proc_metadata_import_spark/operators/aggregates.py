@@ -1266,3 +1266,36 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
         ).alias("gini"),
     )
+
+
+@query(
+    "agg_sum_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS sum_distinct_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(COUNT(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS n_distinct_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(DISTINCT) — the dedup-before-sum aggregate modifier (each
+    distinct value counted once per group, the semantics behind "sum of
+    unique deal sizes" style metrics), alongside the plain sum and the
+    distinct count for contrast.  Quantities are integral, so the BIGINT
+    cast makes every variant exact integer arithmetic.
+
+    Catalyst plans DISTINCT aggregates via Expand + two-phase
+    aggregation — the distinct value set shuffles per group, which is
+    why at 100 TB a high-cardinality SUM(DISTINCT) belongs behind a
+    pre-deduplicated two-step (groupBy value first) — here the value
+    domain is 50, so the expand is noise."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.sum_distinct(q).alias("sum_distinct_qty"),
+        F.sum(q).alias("sum_qty"),
+        F.countDistinct(q).alias("n_distinct_qty"),
+    )

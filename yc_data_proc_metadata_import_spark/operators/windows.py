@@ -1003,3 +1003,46 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("w").cast("double")
         ).alias("twap"),
     )
+
+
+@query(
+    "win_sequence_gaps",
+    oracle="""
+    WITH present AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders),
+    nxt AS (
+        SELECT k, LEAD(k) OVER (ORDER BY k) AS next_k FROM present)
+    SELECT k AS gap_after,
+           next_k AS resumes_at,
+           CAST(next_k - k - 1 AS BIGINT) AS n_missing
+    FROM nxt
+    WHERE next_k - k > 1 AND next_k - k - 1 <= 100
+    """,
+)
+def win_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-GAP AUDIT: find the holes in an ID sequence (the
+    completeness check for ingestion from sequenced sources — a gap
+    means dropped records upstream).  LEAD over the sorted distinct
+    keys turns "missing ranges" into single rows (gap start, resume
+    point, hole size) — O(n log n) and one output row PER GAP, where
+    the naive anti-join against a generated full range is O(max key)
+    rows of working set.  Large holes are capped out (> 100 missing =
+    intentional keyspace sparsity, reported separately in practice) so
+    the audit surfaces actionable drops, not the key allocator's
+    stride.
+
+    The global LEAD is a range-partitioned sort (skew-safe sampling
+    boundaries) — at 100 TB prefer per-shard sequences (partition the
+    window by the shard key, as win_streaks does by user); the gap
+    algebra is unchanged."""
+    o = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k")).distinct()
+    w = Window.orderBy(F.col("k").asc())
+    nxt = o.withColumn("next_k", F.lead("k").over(w))
+    return nxt.where(
+        (F.col("next_k") - F.col("k") > 1)
+        & (F.col("next_k") - F.col("k") - 1 <= 100)
+    ).select(
+        F.col("k").alias("gap_after"),
+        F.col("next_k").alias("resumes_at"),
+        (F.col("next_k") - F.col("k") - 1).cast("bigint").alias("n_missing"),
+    )
