@@ -1009,7 +1009,8 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_sequence_gaps",
     oracle="""
     WITH present AS (
-        SELECT DISTINCT o_orderkey AS k FROM orders),
+        SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE o_orderkey % 50 <> 0),
     nxt AS (
         SELECT k, LEAD(k) OVER (ORDER BY k) AS next_k FROM present)
     SELECT k AS gap_after,
@@ -1022,8 +1023,10 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEQUENCE-GAP AUDIT: find the holes in an ID sequence (the
     completeness check for ingestion from sequenced sources — a gap
-    means dropped records upstream).  LEAD over the sorted distinct
-    keys turns "missing ranges" into single rows (gap start, resume
+    means dropped records upstream).  The fixture keyspace is dense, so
+    drops are PLANTED deterministically (every 50th key excluded) and
+    the audit must surface exactly those holes — a 0-row pass would
+    prove nothing.  LEAD over the sorted distinct keys turns "missing ranges" into single rows (gap start, resume
     point, hole size) — O(n log n) and one output row PER GAP, where
     the naive anti-join against a generated full range is O(max key)
     rows of working set.  Large holes are capped out (> 100 missing =
@@ -1035,7 +1038,12 @@ def win_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries) — at 100 TB prefer per-shard sequences (partition the
     window by the shard key, as win_streaks does by user); the gap
     algebra is unchanged."""
-    o = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k")).distinct()
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 50 != 0)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
     w = Window.orderBy(F.col("k").asc())
     nxt = o.withColumn("next_k", F.lead("k").over(w))
     return nxt.where(
