@@ -126,6 +126,7 @@ _DEFER_FRESH = {
     "agg_median_absolute_deviation",
     "llm_bpe_apply",
     "llm_dataset_card",
+    "llm_sentence_split",
     "llm_hard_negatives",
     "scan_manifest_files",
     "agg_share_of_total",

@@ -1616,3 +1616,60 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_sym").cast("double")
         ).alias("chars_per_symbol"),
     )
+
+
+@query(
+    "llm_sentence_split",
+    oracle=r"""
+    WITH sents AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[.!?]+\s+'),
+                           s -> s <> '') AS ss
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(ss) AS INTEGER) AS n_sentences,
+           CAST(list_sum(list_transform(ss, s -> length(s))) AS BIGINT)
+               AS total_sentence_chars,
+           CAST(list_max(list_transform(ss, s -> length(s))) AS INTEGER)
+               AS max_sentence_chars,
+           CAST(list_sum(list_transform(ss, s -> length(s))) AS DOUBLE)
+               / CAST(len(ss) AS DOUBLE) AS mean_sentence_chars
+    FROM sents WHERE len(ss) > 0
+    """,
+)
+def llm_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTENCE SEGMENTATION: split each document on terminal
+    punctuation runs followed by whitespace (``[.!?]+\\s+`` — a pattern
+    whose semantics are identical in Java regex and RE2; lookbehind
+    variants that would keep the punctuation are NOT RE2-expressible,
+    so the shared-dialect split is the cross-engine-stable choice) and
+    profile per-doc sentence structure — count, total/max length, mean
+    length — the sentence-level statistics quality classifiers and
+    chunkers key on.
+
+    Map-only codegen (one split + three list transforms per row), no
+    shuffle; the mean is one IEEE division of exact integers.  The
+    final sentence keeps its trailing punctuation (no trailing
+    separator to split on) — a stated convention, identical in both
+    engines."""
+    d = load(spark, sf_dir, "documents")
+    sents = d.select(
+        "doc_id",
+        F.expr(r"filter(split(text, '[.!?]+\\s+'), s -> s <> '')").alias("ss"),
+    ).where(F.size("ss") > 0)
+    return sents.select(
+        "doc_id",
+        F.size("ss").alias("n_sentences"),
+        F.expr(
+            "aggregate(transform(ss, s -> length(s)), 0L, (a, x) -> a + x)"
+        ).alias("total_sentence_chars"),
+        F.expr("array_max(transform(ss, s -> length(s)))").alias(
+            "max_sentence_chars"
+        ),
+        (
+            F.expr(
+                "aggregate(transform(ss, s -> length(s)), 0L, (a, x) -> a + x)"
+            ).cast("double")
+            / F.size("ss").cast("double")
+        ).alias("mean_sentence_chars"),
+    )
