@@ -129,6 +129,7 @@ _DEFER_FRESH = {
     "llm_sentence_split",
     "llm_hard_negatives",
     "scan_manifest_files",
+    "scan_whole_text",
     "agg_share_of_total",
     "agg_sum_distinct",
     "win_sequence_gaps",

@@ -783,3 +783,56 @@ def scan_manifest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+def _wholetext_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """One text FILE per region row (deterministic name and content, no
+    trailing newline) — the document-per-file corpus layout."""
+
+    def write(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        rows = (
+            load(spark, sf_dir, "region")
+            .select("r_regionkey", "r_name")
+            .collect()
+        )
+        for r in rows:
+            p = os.path.join(tmp, f"r_{r.r_regionkey}.txt")
+            with open(p, "w") as f:
+                f.write(f"{r.r_name}|{r.r_regionkey}")
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+
+    return _materialize(write, _fixture_dir("wholetext_region", sf_dir))
+
+
+@query(
+    "scan_whole_text",
+    oracle="""
+    SELECT 'r_' || r_regionkey || '.txt' AS file_name,
+           r_name || '|' || r_regionkey AS content,
+           CAST(length(r_name || '|' || r_regionkey) AS INTEGER) AS n_chars,
+           md5(r_name || '|' || r_regionkey) AS content_md5
+    FROM region
+    """,
+)
+def scan_whole_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHOLE-FILE TEXT INGESTION (``wholetext=true``): each FILE becomes
+    ONE ROW — the document-per-file corpus layout (crawl dumps, license
+    texts, configuration snapshots) where line-splitting would destroy
+    the unit of meaning.  Provenance rides the hidden ``_metadata``
+    struct (scan_file_metadata's mechanism) so the content row knows its
+    origin file without any path column stored.
+
+    The split-per-file read means parallelism = file count and each
+    file must fit a task — stated: wholetext is for corpora of MANY
+    SMALL documents (the fixture's shape), never multi-GB single
+    files."""
+    path = _wholetext_fixture(spark, sf_dir)
+    df = spark.read.text(path, wholetext=True)
+    return df.select(
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("value").alias("content"),
+        F.length("value").cast("int").alias("n_chars"),
+        F.md5("value").alias("content_md5"),
+    )
