@@ -150,6 +150,7 @@ _DEFER_FRESH = {
     "set_union_by_name",
     "win_retention_cohorts",
     "win_rolling_dau",
+    "fn_mask_redact",
     "graph_shortest_path",
     "llm_ngram_novelty",
     "scan_option_recursive",

@@ -608,3 +608,40 @@ def fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xpath_int(xml, F.lit("/nation/region")).alias("region_i"),
         F.length(xml).alias("xml_len"),
     )
+
+
+@query(
+    "fn_mask_redact",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(
+               c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS masked_name,
+           regexp_replace(regexp_replace(regexp_replace(
+               c_mktsegment, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS masked_segment,
+           CAST(length(c_name) AS INTEGER) AS n_chars
+    FROM customer WHERE c_custkey % 13 = 0
+    """,
+)
+def fn_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA MASKING (``mask()``, Spark 3.4+): shape-preserving
+    redaction — uppercase -> X, lowercase -> x, digits -> n, everything
+    else kept — the governance primitive for sharing datasets whose
+    VALUES are sensitive but whose FORMAT must survive (length checks,
+    pattern validation, joins on masked equality all still work).
+    Complements llm_pii_redact's pattern-targeted replacement: masking
+    is total and shape-preserving, redaction is selective and
+    destructive.
+
+    The oracle rebuilds mask's default character-class contract with
+    three ordered regexp passes — an independent formulation that
+    agrees exactly on ASCII data.  Map-only codegen; a masked 100 TB
+    export runs at scan speed."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 13 == 0)
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_name"),
+        F.mask("c_mktsegment").alias("masked_segment"),
+        F.length("c_name").cast("int").alias("n_chars"),
+    )
