@@ -143,6 +143,7 @@ _DEFER_FRESH = {
     "udf_apply_in_arrow",
     "udf_arrow_scalar",
     "catalog_column_defaults",
+    "catalog_refresh_table",
     "llm_instruction_format",
     "scan_json_nested",
     "join_data_diff",

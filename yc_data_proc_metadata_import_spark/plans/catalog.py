@@ -525,3 +525,51 @@ def catalog_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql("INSERT INTO eng_def_db.t (a) VALUES (1), (2)")
     spark.sql("INSERT INTO eng_def_db.t VALUES (3, 'explicit', 2.5)")
     return spark.table("eng_def_db.t")
+
+
+@query(
+    "catalog_refresh_table",
+    oracle="""
+    SELECT 'v1' AS phase,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'v2' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders
+    """,
+)
+def catalog_refresh_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFRESH TABLE — file-listing cache invalidation: Spark caches an
+    external table's file listing at first read; when files change
+    UNDERNEATH the catalog (a direct path write, another engine, a
+    compaction job), the stale listing points at deleted part files and
+    the next read fails or misses data.  ``REFRESH TABLE`` is the ops
+    verb that re-lists — the two-cluster shared-bucket topology the
+    reference provisions makes this a DAILY operation (cluster A
+    rewrites, cluster B must refresh before reading).
+
+    The key proves the full cycle deterministically: read v1 (half of
+    orders) through the table, overwrite the location with v2 (all
+    orders) bypassing the catalog, REFRESH, read again — both phase
+    counts are relational facts the oracle restates.  Stateless per run
+    (explicitly wiped location, the scan_typed_columns discipline)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    _reset_db(spark, "eng_rf_db")
+    loc = os.path.join(SCRATCH, "refresh_orders")
+    shutil.rmtree(loc, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    o.where(F.col("o_orderkey") % 2 == 0).write.parquet(loc)
+    spark.sql(
+        f"CREATE TABLE eng_rf_db.t (o_orderkey BIGINT) USING parquet "
+        f"LOCATION '{loc}'"
+    )
+    n_v1 = spark.table("eng_rf_db.t").count()
+    o.write.mode("overwrite").parquet(loc)  # direct path write: catalog unaware
+    spark.sql("REFRESH TABLE eng_rf_db.t")
+    n_v2 = spark.table("eng_rf_db.t").count()
+    return spark.createDataFrame(
+        [("v1", n_v1), ("v2", n_v2)], "phase string, n_rows bigint"
+    )
