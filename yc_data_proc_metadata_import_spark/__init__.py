@@ -121,6 +121,7 @@ _FORCE_FRONT = {
 _DEFER_FRESH = {
     "agg_countmin_sketch",
     "agg_gini",
+    "agg_lead_time_quartiles",
     "sink_rebalanced_write",
     "win_time_weighted_avg",
     "agg_median_absolute_deviation",

@@ -16,7 +16,7 @@ surfaces as double; top-k orderings carry unique tiebreakers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -676,3 +676,76 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node", F.least("dist", "nd").cast("int").alias("dist")
         )
     return d.select(F.col("node").alias("n_nationkey"), "dist")
+
+
+@query(
+    "agg_lead_time_quartiles",
+    oracle="""
+    WITH first_ship AS (
+        SELECT l_orderkey, MIN(l_shipdate) AS ship0
+        FROM lineitem GROUP BY l_orderkey),
+    lead AS (
+        SELECT o.o_orderpriority,
+               CAST(date_diff('day', o.o_orderdate, f.ship0) AS INTEGER)
+                   AS lead_days,
+               o.o_orderkey
+        FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey),
+    ranked AS (
+        SELECT o_orderpriority, lead_days,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY lead_days, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM lead)
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           MIN(CASE WHEN rn = GREATEST(n // 4, 1) THEN lead_days END)
+               AS q1_days,
+           MIN(CASE WHEN rn = GREATEST(n // 2, 1) THEN lead_days END)
+               AS median_days,
+           MIN(CASE WHEN rn = GREATEST(3 * n // 4, 1) THEN lead_days END)
+               AS q3_days
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def agg_lead_time_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-TO-SHIP LEAD TIME distribution — the supply-chain SLA view:
+    per priority class, the exact quartiles of days between order date
+    and the order's FIRST shipment.  Lead times are integer day
+    differences; the quartiles are ORDER-STATISTIC SELECTIONS (rows at
+    positions n/4, n/2, 3n/4 under a fully tie-broken order — the
+    agg_median_absolute_deviation discipline), so the result carries
+    original integers and no interpolation arithmetic exists to
+    diverge.
+
+    Shape: one per-order MIN over lineitem (key-partitioned, map-side
+    partials), a key join to orders, one priority-partitioned window,
+    and a conditional-min fold of the three selected positions — the
+    group count bounds the output, the per-group sort is the one any
+    window pays.  At 100 TB swap the exact selection for
+    approx_percentile; the surrounding pipeline is unchanged."""
+    li = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("ship0")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lead = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("ship0"), F.col("o_orderdate")).alias("lead_days"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("lead_days", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = lead.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+
+    def _at(pos):
+        return F.min(F.when(F.col("rn") == pos, F.col("lead_days")))
+
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        _at(F.greatest(F.expr("n div 4"), F.lit(1))).alias("q1_days"),
+        _at(F.greatest(F.expr("n div 2"), F.lit(1))).alias("median_days"),
+        _at(F.greatest(F.expr("3 * n div 4"), F.lit(1))).alias("q3_days"),
+    )
