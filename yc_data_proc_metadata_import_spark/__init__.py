@@ -128,6 +128,7 @@ _DEFER_FRESH = {
     "llm_bpe_apply",
     "llm_dataset_card",
     "llm_sentence_split",
+    "llm_winnowing_fingerprint",
     "llm_hard_negatives",
     "scan_manifest_files",
     "scan_whole_text",

@@ -1673,3 +1673,104 @@ def llm_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("ss").cast("double")
         ).alias("mean_sentence_chars"),
     )
+
+
+# Winnowing (the MOSS fingerprinting scheme): guarantee window size w=4
+# over word-trigram hashes — any shared run of >= w+k-1 = 6 tokens is
+# GUARANTEED to share a fingerprint, the detection floor hash sampling
+# alone cannot promise.  Hash = first 32 bits of md5 (engine-portable:
+# Spark conv(hex,16,10), DuckDB a fold over the hex digits).
+_WIN_W = 4
+_DUCK_HEX2INT = (
+    "list_reduce(list_transform(string_split(substr(md5({g}), 1, 8), ''), "
+    "c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN unicode(c) - 48 "
+    "ELSE unicode(c) - 87 END AS BIGINT)), (a, x) -> a * 16 + x)"
+)
+
+
+@query(
+    "llm_winnowing_fingerprint",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS ts
+        FROM documents),
+    grams AS (
+        SELECT doc_id,
+               list_transform(range(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]) AS gs
+        FROM toks WHERE len(ts) >= {_WIN_W + 2}),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(gs, g -> {_DUCK_HEX2INT.format(g='g')}) AS hs
+        FROM grams),
+    fp AS (
+        SELECT doc_id, len(hs) AS n_kgrams,
+               len(hs) - {_WIN_W - 1} AS n_windows,
+               list_distinct(list_transform(
+                   range(1, len(hs) - {_WIN_W - 2}),
+                   p -> list_min(hs[p:p + {_WIN_W - 1}]))) AS fps
+        FROM hashed)
+    SELECT doc_id,
+           CAST(n_kgrams AS INTEGER) AS n_kgrams,
+           CAST(n_windows AS INTEGER) AS n_windows,
+           CAST(len(fps) AS INTEGER) AS n_fingerprints,
+           CAST(len(fps) AS DOUBLE) / CAST(n_windows AS DOUBLE) AS density
+    FROM fp
+    """,
+)
+def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING (the MOSS local fingerprinting algorithm): slide a
+    w-window over the word-trigram hash stream and keep each window's
+    MINIMUM — any two documents sharing a token run of at least
+    w + k - 1 = 6 words are GUARANTEED to share a fingerprint, the
+    detection floor that plain hash sampling (select hashes ≡ 0 mod p)
+    cannot promise because a match can fall entirely between samples.
+    This is the third fingerprint family beside minhash (set
+    resemblance) and simhash (vector proximity): winnowing detects
+    CONTIGUOUS shared substrings, which is why plagiarism and license
+    scanners use it.  Reported per doc: k-gram/window counts, distinct
+    fingerprints, and the observed density (theory: expected 2/(w+1)).
+
+    Map-only codegen — k-gram hashing and window minima are array
+    transforms inside the scan; only doc stats leave the row.  The
+    fingerprint-set equi-join (find docs sharing a fingerprint —
+    llm_dedup_ngram's inverted-index shuffle) is the scale path this
+    key's output feeds.  Hashes are the first 32 bits of md5, built
+    identically in both engines (conv vs an explicit hex fold)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')").alias("ts"),
+    ).where(F.size("ts") >= _WIN_W + 2)
+    hashed = toks.select(
+        "doc_id",
+        F.expr(
+            """transform(
+                   transform(sequence(1, size(ts) - 2),
+                       i -> concat_ws(' ', element_at(ts, i),
+                                      element_at(ts, i + 1),
+                                      element_at(ts, i + 2))),
+                   g -> cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint))"""
+        ).alias("hs"),
+    )
+    fp = hashed.select(
+        "doc_id",
+        F.size("hs").alias("n_kgrams"),
+        (F.size("hs") - (_WIN_W - 1)).alias("n_windows"),
+        F.expr(
+            f"""array_distinct(transform(
+                    sequence(1, size(hs) - {_WIN_W - 1}),
+                    p -> array_min(slice(hs, p, {_WIN_W}))))"""
+        ).alias("fps"),
+    )
+    return fp.select(
+        "doc_id",
+        "n_kgrams",
+        "n_windows",
+        F.size("fps").alias("n_fingerprints"),
+        (
+            F.size("fps").cast("double") / F.col("n_windows").cast("double")
+        ).alias("density"),
+    )
