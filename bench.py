@@ -123,6 +123,16 @@ def main() -> int:
         print("[typed] schema=" + str(tbl.schema).replace("\n", "; "))
         for r in sorted(tbl.to_pylist(), key=lambda r: str(r.get("status_c"))):
             print("[typed] " + json.dumps(r, default=str, sort_keys=True))
+        # Round-7 bisect probes: one schema+values line each, so the
+        # driver tail shows exactly what each single-column slice handed
+        # the harness (CORRECTNESS_r07 then maps hash verdicts onto them).
+        for pk in sorted(k for k in queries if k.startswith("typed_probe_")):
+            pt = queries[pk](spark, dump_dir).toArrow()
+            vals = sorted(str(next(iter(r.values()))) for r in pt.to_pylist())
+            print(
+                f"[typed] {pk}: {str(pt.schema).strip()} "
+                + json.dumps(vals, default=str)
+            )
     except Exception as e:  # noqa: BLE001 — diagnostics never abort bench
         print(f"[typed] dump failed: {type(e).__name__}: {e}"[:200])
 

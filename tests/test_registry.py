@@ -47,3 +47,45 @@ def test_adjudication_rotation():
                 assert not seen_green, (
                     f"fresh key {k!r} ordered after already-green keys"
                 )
+
+
+def test_round7_window_composition():
+    """Round-6 VERDICT items 1-2+6: the 50-key adjudication window must
+    open with the scan_typed_columns bisect probes + the red key itself,
+    then spend every remaining slot on the never-adjudicated backlog in
+    the judge's ranked family order (TPC-H suite first).  This pins the
+    computed order so a future registration can't silently displace a key
+    that has waited multiple rounds for adjudication."""
+    ordered = list(engine.queries())
+    window = ordered[:50]
+    probes = [k for k in window if k.startswith("typed_probe_")]
+    assert len(probes) == 8 and window[:8] == probes, window[:10]
+    assert window[8] == "scan_typed_columns"
+    assert [k for k in window if k.startswith("tpch_")] == window[9:24], (
+        "TPC-H completion suite must fill slots 9-23"
+    )
+    must_be_in_window = {
+        "graph_pagerank",
+        "graph_shortest_path",
+        "dq_expectations",
+        "merge_cdc_delete",
+        "merge_incremental_aggregate",
+        "meta_diff",
+        "stream_rocksdb_state",
+        "stream_state_introspect",
+        "stream_dedup_within_watermark",
+        "sink_zorder_cluster",
+        "sink_rebalanced_write",
+        "win_sequence_gaps",
+        "llm_cdc_chunking",
+    }
+    missing = must_be_in_window - set(window)
+    assert not missing, f"backlog keys displaced from the window: {missing}"
+    # No already-green key may occupy a window slot while fresh keys wait.
+    from yc_data_proc_metadata_import_spark import _adjudicated_green
+
+    green = _adjudicated_green()
+    fresh = [k for k in ordered if k not in green]
+    if len(fresh) >= 50:
+        stale_in_window = [k for k in window if k in green]
+        assert not stale_in_window, stale_in_window
