@@ -577,3 +577,38 @@ def test_incremental_aggregate_no_base_rescan_in_delta(spark, sf_dir):
     plan = _plan(spark, sf_dir, "merge_incremental_aggregate")
     n = plan.count("orders.parquet")
     assert n <= 3, f"expected <=3 orders scans, found {n}\n{plan}"
+
+
+def test_no_unpartitioned_window_anywhere(spark, sf_dir):
+    """Registry-wide census (round-6 VERDICT item 3): a Window with no
+    PARTITION BY funnels its whole input through ONE task's sort — the
+    plan shape behind Spark's `WindowExec: No Partition Defined` warning
+    and the only scale-killer the round-6 audit found (win_sequence_gaps,
+    since re-sharded).  Allowlisted: agg_gini and win_pareto rank
+    nation-level aggregates bounded at <=25 rows by construction — a
+    global window over a provably tiny input is the right plan.
+
+    Detection: in a physical plan string the first argument of
+    `windowspecdefinition(` is the partition spec; when the node is
+    unpartitioned the ordering expression (`... ASC/DESC`) appears there
+    instead.  Side-effectful families (streams, sinks, catalog DDL,
+    metadata migration) are driven by their own suites and skipped here;
+    none of them builds windows over data-sized inputs.
+    """
+    import re
+
+    bounded_input_ok = {"agg_gini", "win_pareto"}
+    skip_prefix = ("stream_", "meta_", "catalog_", "sink_", "scan_python", "typed_probe_")
+    offenders = {}
+    for key, fn in QUERIES.items():
+        if key.startswith(skip_prefix) or key in bounded_input_ok:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            m.group(0)
+            for m in re.finditer(r"windowspecdefinition\(([^,)]+),", plan)
+            if " ASC" in m.group(1) or " DESC" in m.group(1)
+        ]
+        if bad:
+            offenders[key] = bad[:2]
+    assert not offenders, f"unpartitioned data-sized windows: {offenders}"

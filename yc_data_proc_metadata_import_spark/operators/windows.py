@@ -1034,20 +1034,48 @@ def win_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit surfaces actionable drops, not the key allocator's
     stride.
 
-    The global LEAD is a range-partitioned sort (skew-safe sampling
-    boundaries) — at 100 TB prefer per-shard sequences (partition the
-    window by the shard key, as win_streaks does by user); the gap
-    algebra is unchanged."""
+    SHARDED WINDOW (round-6 VERDICT item 3): a global ``Window.orderBy``
+    funnels every distinct key through ONE task's sort — the only
+    scale-killer the round-6 plan census found.  The ≤ 100-missing
+    report cap makes the window fully partitionable: any reportable gap
+    spans at most one boundary of a 65536-wide shard (101 < 65536), so
+
+    - each key lands in its own shard ``floor(k / 65536)``;
+    - keys in the first 101 slots of a shard are DUPLICATED into the
+      previous shard as non-emitting lookahead rows (if a ≤100-gap
+      crosses a boundary, the resume key's offset is provably ≤ 100 —
+      ``k_off ≥ 65536 - gap`` forces ``next_off = k_off + gap + 1 -
+      65536 ≤ 100``; and if any shard key has offset ≤ 100, the shard's
+      MINIMUM does, so LEAD still finds the true successor);
+    - LEAD runs per shard; rows are emitted only for their OWN shard, so
+      boundary pairs are produced exactly once.  Cross-shard gaps wider
+      than the cap lose their successor row and fall out — exactly the
+      rows the cap filter drops anyway.
+
+    Cost: the lookahead duplicates ≤ 101/65536 of the keys, and the one
+    data-sized exchange hashes on shard — no single-partition sort
+    anywhere (plan-asserted, tests/test_plans.py).  The gap algebra and
+    the oracle are unchanged."""
+    shard_w = 65536
     o = (
         load(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") % 50 != 0)
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
     )
-    w = Window.orderBy(F.col("k").asc())
-    nxt = o.withColumn("next_k", F.lead("k").over(w))
+    own = o.select(
+        "k", F.floor(F.col("k") / shard_w).alias("shard"), F.lit(True).alias("own")
+    )
+    peek = o.where(F.col("k") % shard_w <= 100).select(
+        "k",
+        (F.floor(F.col("k") / shard_w) - 1).alias("shard"),
+        F.lit(False).alias("own"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("k").asc())
+    nxt = own.unionAll(peek).withColumn("next_k", F.lead("k").over(w))
     return nxt.where(
-        (F.col("next_k") - F.col("k") > 1)
+        F.col("own")
+        & (F.col("next_k") - F.col("k") > 1)
         & (F.col("next_k") - F.col("k") - 1 <= 100)
     ).select(
         F.col("k").alias("gap_after"),
