@@ -56,3 +56,53 @@ def test_spark_fold_matches_greedy_reference(spark):
         assert results[i] == want, (
             f"case {i}: sp={sp} pair=({a},{b}) spark={results[i]} want={want}"
         )
+
+
+def test_cdc_static_hash_equals_rolling_fold():
+    """Round-6 ADVICE: the DuckDB oracle's static window hash must be the
+    IDENTICAL polynomial the Spark Rabin-Karp fold accumulates — not
+    merely boundary-equivalent under the 31^2 ≡ 1 (mod 64) coincidence.
+    Pin per-position hash equality (not just zero sets) for arbitrary
+    text and for a divisor (128) where the old reversed pairing would
+    diverge."""
+    import re
+
+    from yc_data_proc_metadata_import_spark.llm.text import (
+        _CDC_POWS,
+        _CDC_W,
+        _cdc_hash_terms_duck,
+    )
+
+    # Evaluate the oracle's SQL term string in pure Python: at[i - k] is
+    # 1-based indexing into the codepoint list.
+    terms = re.findall(
+        r"CAST\(cs\[i - (\d+)\] AS BIGINT\) \* (\d+)", _cdc_hash_terms_duck("cs", "i")
+    )
+    assert len(terms) == _CDC_W
+
+    def static_hash(cs, i):  # i is 1-based like the SQL
+        return sum(cs[i - int(k) - 1] * int(p) for k, p in terms)
+
+    text = "the quick brown fox, jumps over 13 lazy dogs! éü中"
+    cs = [ord(c) for c in text]
+
+    def rolling(cs):
+        """The Spark fold: warmup h*31+c, then (h-c_out*31^(W-1))*31+c_in;
+        yields (i, h) for every 1-based position i >= W."""
+        h = 0
+        for i, c in enumerate(cs, start=1):
+            if i <= _CDC_W:
+                h = h * 31 + c
+            else:
+                h = (h - cs[i - _CDC_W - 1] * _CDC_POWS[_CDC_W - 1]) * 31 + c
+            if i >= _CDC_W:
+                yield i, h
+
+    for i, h in rolling(cs):
+        assert static_hash(cs, i) == h, f"position {i}: static != rolling"
+    # The property that actually protects the oracle: equality holds as
+    # raw integers, so boundary sets agree for ANY divisor.
+    for div in (64, 128, 101):
+        assert {i for i, h in rolling(cs) if h % div == 0} == {
+            i for i, h in rolling(cs) if static_hash(cs, i) % div == 0
+        }

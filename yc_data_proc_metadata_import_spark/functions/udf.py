@@ -324,17 +324,27 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     same ``F.udf`` registration, but rows cross the Python boundary as
     Arrow batches instead of pickled rows — the drop-in upgrade that
     removes most of the classic scalar-UDF serialization tax without
-    rewriting the function as a pandas UDF.  The function body is plain
-    Python over scalars (``len(text.split())`` — Python str.split()
-    splits on whitespace runs exactly like the oracle's ``\\s+`` regex
-    filter), so this key pins the semantics boundary: arrow transport
-    changes COST, never results.
+    rewriting the function as a pandas UDF.  The Python body mirrors the
+    oracle's ``\\s+`` split EXACTLY on every input, not just the current
+    fixture (round-6 ADVICE): ``re.split(r"\\s+", t, flags=re.ASCII)``
+    matches DuckDB/RE2's ASCII ``\\s`` class (Python's default ``\\s``
+    is Unicode-wide and ``str.split()`` wider still), and NULL text maps
+    to NULL, not 0 — so "arrow transport changes COST, never results"
+    holds data-independently.
 
     Still a per-row Python call — batch-vectorized pandas/arrow UDFs
     remain the hot-path choice (udf_pandas, udf_map_in_arrow); this is
     the migration step for existing scalar-UDF code."""
+    import re
+
+    ws = re.compile(r"\s+", flags=re.ASCII)
+
     n_words = F.udf(
-        lambda t: len(t.split()) if t else 0, "int", useArrow=True
+        lambda t: (
+            sum(1 for w in ws.split(t) if w) if t is not None else None
+        ),
+        "int",
+        useArrow=True,
     )
     d = load(spark, sf_dir, "documents")
     return d.select(

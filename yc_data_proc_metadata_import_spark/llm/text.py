@@ -1258,13 +1258,26 @@ _CDC_DIV = 64
 
 def _cdc_hash_terms_duck(at: str, idx: str) -> str:
     """Static windowed form of the rolling hash: the window ending at
-    1-based ``idx`` hashes to sum of c[idx-k] * 31^(7-k) — the OLDEST
-    char carries the highest power, exactly what the Spark side's
-    Rabin-Karp recurrence h' = (h - c_out*31^7)*31 + c_in accumulates.
+    1-based ``idx`` hashes to sum of c[idx-k] * 31^k — the NEWEST char
+    (k=0) carries 31^0 and the OLDEST (k=W-1) carries 31^(W-1), exactly
+    what the Spark side's Rabin-Karp recurrence
+    h' = (h - c_out*31^(W-1))*31 + c_in accumulates (warmup h*31+c puts
+    the first char of the window on the highest power).
+
+    Round-6 ADVICE: an earlier revision paired the exponents in REVERSE
+    (newest char on 31^(W-1)).  Boundary sets still agreed, but only by
+    a modular coincidence — 31^2 ≡ 1 (mod 64), so the two hashes
+    differed by an invertible factor mod _CDC_DIV and had identical
+    zero sets; any change to the base or divisor (e.g. _CDC_DIV=128,
+    where ord(31) ∤ 2) would have silently broken oracle agreement.
+    The pairing below is the literal Spark polynomial — engine-identical
+    per-position hashes, no modular assumption (unit-pinned in
+    tests/test_bpe_merge.py::test_cdc_static_hash_equals_rolling_fold).
+
     unicode() yields INT32; widen before multiplying (31^5 * 127 already
     overflows INT32, which DuckDB raises on rather than wraps)."""
     return " + ".join(
-        f"CAST({at}[{idx} - {k}] AS BIGINT) * {_CDC_POWS[_CDC_W - 1 - k]}"
+        f"CAST({at}[{idx} - {k}] AS BIGINT) * {_CDC_POWS[k]}"
         for k in range(_CDC_W)
     )
 
