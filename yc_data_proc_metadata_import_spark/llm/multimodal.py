@@ -497,6 +497,24 @@ def llm_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id driver rows for a media-fixture build, spread across the
+    session's full parallelism BEFORE payload generation.
+
+    Why: the documents table at test scale is one small parquet file =
+    one input partition, so an un-repartitioned build both generates and
+    WRITES the media fixture as a single file — and every downstream
+    decode key then runs its mapInPandas on ONE core (measured: the
+    5000-image JPEG fixture decoded serially in ~3.2 s of a 4.2 s key).
+    Repartitioning the bare doc_ids (8-byte longs — the payload bytes
+    themselves never shuffle, here or anywhere downstream) makes the
+    fixture land as one file per core, so decode parallelism arrives
+    from the scan itself. This is also the production shape: a real
+    media corpus is many files, never one."""
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+    return ids.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
 def _ppm_fixture(spark: SparkSession, sf_dir: str) -> str:
     """One-time parquet of REAL binary PPM images, one per document:
     pixel (y, x, c) = (doc_id*7 + 3x + 5y + 11c) mod 256, dimensions
@@ -505,7 +523,7 @@ def _ppm_fixture(spark: SparkSession, sf_dir: str) -> str:
     engine path decodes the actual bytes."""
     from ..sources.io import _fixture_dir
 
-    out = _fixture_dir("ppm_media", sf_dir)
+    out = _fixture_dir("ppm_media", sf_dir, version="2")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
 
@@ -531,8 +549,7 @@ def _ppm_fixture(spark: SparkSession, sf_dir: str) -> str:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
 
     (
-        load(spark, sf_dir, "documents")
-        .select("doc_id")
+        _media_doc_ids(spark, sf_dir)
         .mapInPandas(gen, "doc_id long, media binary")
         .write.mode("overwrite")
         .parquet(out)
@@ -619,7 +636,7 @@ def _png_fixture(spark: SparkSession, sf_dir: str) -> str:
     inflates and unfilters the actual bytes."""
     from ..sources.io import _fixture_dir
 
-    out = _fixture_dir("png_media", sf_dir)
+    out = _fixture_dir("png_media", sf_dir, version="2")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
 
@@ -645,8 +662,7 @@ def _png_fixture(spark: SparkSession, sf_dir: str) -> str:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
 
     (
-        load(spark, sf_dir, "documents")
-        .select("doc_id")
+        _media_doc_ids(spark, sf_dir)
         .mapInPandas(gen, "doc_id long, media binary")
         .write.mode("overwrite")
         .parquet(out)
@@ -1085,7 +1101,7 @@ def _jpeg_fixture(spark: SparkSession, sf_dir: str) -> str:
     IDCTs the actual bytes."""
     from ..sources.io import _fixture_dir
 
-    out = _fixture_dir("jpeg_media", sf_dir)
+    out = _fixture_dir("jpeg_media", sf_dir, version="2")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
 
@@ -1106,8 +1122,7 @@ def _jpeg_fixture(spark: SparkSession, sf_dir: str) -> str:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
 
     (
-        load(spark, sf_dir, "documents")
-        .select("doc_id")
+        _media_doc_ids(spark, sf_dir)
         .mapInPandas(gen, "doc_id long, media binary")
         .write.mode("overwrite")
         .parquet(out)
@@ -1229,7 +1244,7 @@ def _wav_fixture(spark: SparkSession, sf_dir: str) -> str:
 
     from ..sources.io import _fixture_dir
 
-    out = _fixture_dir("wav_media", sf_dir)
+    out = _fixture_dir("wav_media", sf_dir, version="2")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
 
@@ -1256,8 +1271,7 @@ def _wav_fixture(spark: SparkSession, sf_dir: str) -> str:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": payloads})
 
     (
-        load(spark, sf_dir, "documents")
-        .select("doc_id")
+        _media_doc_ids(spark, sf_dir)
         .mapInPandas(gen, "doc_id long, media binary")
         .write.mode("overwrite")
         .parquet(out)

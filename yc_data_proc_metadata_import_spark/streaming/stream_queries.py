@@ -105,8 +105,19 @@ def _stream_three_batch_src(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def _read_stream(spark: SparkSession, path: str, **options) -> DataFrame:
-    schema = spark.read.parquet(path).schema
+    # File-stream sources REQUIRE an explicit schema; inferring it costs a
+    # footer-read job per key (~0.15 s x 19 streaming keys). Staged source
+    # dirs are immutable within a process (content-fingerprinted fixture
+    # builds replace the whole directory), so one inference per path is
+    # sound.
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
     reader = spark.readStream.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
