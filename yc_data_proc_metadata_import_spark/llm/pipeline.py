@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.io import load
-from .dedup import _INV_SQL, _PAIRS_BODY, llm_dedup_cluster
+from .dedup import _INV_SQL, _PAIRS_BODY, llm_dedup_cluster, dedup_clusters_cached
 from .text import _STOP_IN, _STOPWORDS, _TOKENS_SQL, tokens
 
 # Deterministic thresholds (integer/exact comparisons only).
@@ -82,7 +82,7 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_rep = d.groupBy(F.sha2("text", 256).alias("_h")).agg(
         F.min("doc_id").alias("rep_id")
     )
-    comp = llm_dedup_cluster(spark, sf_dir).select(
+    comp = dedup_clusters_cached(spark, sf_dir).select(
         F.col("doc_id").alias("c_doc"), F.col("cluster_id").alias("rep")
     )
     joined = (

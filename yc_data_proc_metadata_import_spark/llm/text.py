@@ -1053,6 +1053,46 @@ def _bpe_apply_merge(w: DataFrame, a: str, b: str) -> DataFrame:
     return w.withColumn("sp", F.aggregate(F.col("sp"), init, step, fin))
 
 
+# The learned merge table is a K-bounded artifact (_BPE_STEPS rows of
+# (step, a, b, count)) produced by a deterministic trainer loop; train
+# and encode must share it anyway (that is the train/encode-consistency
+# contract), so it is session-cached like the k-means codebook — one
+# trainer run per (session, scale), llm_bpe_train surfaces it,
+# llm_bpe_apply replays it.
+_BPE_MERGE_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _bpe_word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, sp) DISTINCT-word spelling table the trainer/encoder
+    iterate on — |vocab| rows, not corpus rows."""
+    return (
+        tokens(spark, sf_dir)
+        .groupBy(F.col("token").alias("word"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("sp", F.split("word", ""))
+    )
+
+
+def _bpe_merges_cached(spark: SparkSession, sf_dir: str) -> list:
+    from ..utils import session_cached
+
+    def build() -> list:
+        w = _bpe_word_table(spark, sf_dir)
+        rows = []
+        for step_no in range(_BPE_STEPS):
+            win = (
+                _bpe_pair_counts(w)
+                .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+                .first()
+            )
+            rows.append((step_no + 1, win["a"], win["b"], int(win["cnt"])))
+            if step_no + 1 < _BPE_STEPS:
+                w = _bpe_apply_merge(w, win["a"], win["b"])
+        return rows
+
+    return session_cached(_BPE_MERGE_CACHE, spark, sf_dir, build)
+
+
 @query("llm_bpe_train", oracle=_bpe_oracle())
 def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BPE merge training over the corpus — {n} iterations of the
@@ -1076,24 +1116,9 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_reduce cannot carry a struct accumulator) — two independent
     spellings of the same sequential semantics, hash-equal.
     """
-    w = (
-        tokens(spark, sf_dir)
-        .groupBy(F.col("token").alias("word"))
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn("sp", F.split("word", ""))
-    )
-    out_rows = []
-    for step_no in range(_BPE_STEPS):
-        win = (
-            _bpe_pair_counts(w)
-            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .first()
-        )
-        out_rows.append((step_no + 1, win["a"], win["b"], int(win["cnt"])))
-        if step_no + 1 < _BPE_STEPS:
-            w = _bpe_apply_merge(w, win["a"], win["b"])
     return spark.createDataFrame(
-        out_rows, "step int, sym_a string, sym_b string, cnt bigint"
+        _bpe_merges_cached(spark, sf_dir),
+        "step int, sym_a string, sym_b string, cnt bigint",
     )
 
 
@@ -1602,19 +1627,9 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc aggregate, both hash-partitioned; the learned merge
     table itself is the K-bounded driver round-trip (3 rows) the
     codebook precedent established."""
-    w = (
-        tokens(spark, sf_dir)
-        .groupBy(F.col("token").alias("word"))
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn("sp", F.split("word", ""))
-    )
-    for _ in range(_BPE_STEPS):
-        win = (
-            _bpe_pair_counts(w)
-            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .first()
-        )
-        w = _bpe_apply_merge(w, win["a"], win["b"])
+    w = _bpe_word_table(spark, sf_dir)
+    for _step, a, b, _cnt in _bpe_merges_cached(spark, sf_dir):
+        w = _bpe_apply_merge(w, a, b)
     tok = tokens(spark, sf_dir)
     enc = tok.join(
         w.select("word", F.size("sp").alias("n_sym")),
