@@ -1158,47 +1158,51 @@ def agg_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame
     """ROBUST DISPERSION — median absolute deviation per group: the
     outlier-resistant spread statistic (stddev is dragged by a single
     bad point; MAD is not), computed as the exact lower median of
-    |x - median(x)|.  Both medians are ORDER-STATISTIC SELECTIONS (row
-    (n+1) div 2 under a fully tie-broken order), never interpolated
-    arithmetic — the selected values are original doubles and the only
-    computation is one subtraction per row, so the result is
-    bit-identical across engines.
+    |x - median(x)|.  Both medians are ORDER-STATISTIC SELECTIONS (the
+    value at row (n+1) div 2), never interpolated arithmetic — the
+    selected values are original doubles and the only computation is
+    one subtraction per row, so the result is bit-identical across
+    engines.
 
-    Two window passes + two joins, ALL partitioned on the group key —
-    the same single logical partitioning end to end; per-group state is
-    the sort Spark runs for any window.  At 100 TB swap the exact
-    selection for approx_percentile when the group's row count makes
-    the per-group sort the bottleneck — the operator shape is
-    unchanged."""
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    worder = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    wall = Window.partitionBy("l_returnflag")
-    ranked = li.withColumn("rn", F.row_number().over(worder)).withColumn(
-        "n", F.count(F.lit(1)).over(wall)
-    )
-    med = ranked.where(
-        F.col("rn") == F.expr("(n + 1) div 2")
-    ).select("l_returnflag", F.col("l_extendedprice").alias("median_price"))
+    HISTOGRAM-MEDIAN plan (the 100 TB shape): the oracle ranks rows
+    under a fully tie-broken order, but the SELECTED VALUE at row
+    (n+1) div 2 is invariant to how equal values tie-break — it is the
+    value v whose cumulative count first reaches the target rank.  So
+    each median is computed from the per-group VALUE HISTOGRAM:
+    groupBy(group, value) count (map-side partial combine — the shuffle
+    carries |distinct values| rows, not |rows|), then a cumulative-count
+    window over the histogram picks v with cum - cnt < (n+1) div 2 <=
+    cum.  The window's per-group sort runs on the domain-bounded
+    histogram instead of the full table — the difference between
+    sorting 600 k rows and ~100 k distinct prices here, and between a
+    table-sized and a domain-sized sort at 100 TB.  Two histogram
+    passes (values, then deviations), both partitioned on the group
+    key; swap in approx_percentile when even the value domain is too
+    large for a per-group sort."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+
+    def hist_median(rows: DataFrame, val: str, out: str) -> DataFrame:
+        """(group, median value) via cumulative counts over the value
+        histogram — exact lower median, no row-level sort."""
+        hist = rows.groupBy("l_returnflag", val).agg(F.count(F.lit(1)).alias("cnt"))
+        wcum = Window.partitionBy("l_returnflag").orderBy(val)
+        wall = Window.partitionBy("l_returnflag")
+        h = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+            "n", F.sum("cnt").over(wall)
+        )
+        k = F.expr("(n + 1) div 2")
+        return h.where((F.col("cum") - F.col("cnt") < k) & (k <= F.col("cum"))).select(
+            "l_returnflag", F.col(val).alias(out)
+        )
+
+    med = hist_median(li, "l_extendedprice", "median_price")
     devs = li.join(med, "l_returnflag").select(
         "l_returnflag",
+        "median_price",
         F.abs(F.col("l_extendedprice") - F.col("median_price")).alias("d"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    dorder = Window.partitionBy("l_returnflag").orderBy(
-        "d", "l_orderkey", "l_linenumber"
-    )
-    dranked = devs.withColumn("rn", F.row_number().over(dorder)).withColumn(
-        "n", F.count(F.lit(1)).over(wall)
-    )
-    return (
-        dranked.where(F.col("rn") == F.expr("(n + 1) div 2"))
-        .join(med, "l_returnflag")
-        .select("l_returnflag", "median_price", F.col("d").alias("mad"))
+    return hist_median(devs, "d", "mad").join(med, "l_returnflag").select(
+        "l_returnflag", "median_price", "mad"
     )
 
 
