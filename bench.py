@@ -44,8 +44,18 @@ def main() -> int:
     def run(df) -> None:
         df.write.mode("overwrite").format("noop").save()
 
-    # Warm-up: JVM classloading + codegen + parquet footer reads.
+    # Warm-up: JVM classloading + codegen + parquet footer reads, plus
+    # one trivial Arrow-batched Python job so the Python worker pool and
+    # the ArrowPythonRunner path spin up here rather than inside the
+    # first timed llm_*/udf_* key (worker fork + Arrow codegen is ~1 s of
+    # process setup, identical for every Python key thereafter).
     run(queries["flagship_pricing_summary"](spark, sf_dir))
+    from pyspark.sql import functions as _F
+
+    run(
+        spark.range(spark.sparkContext.defaultParallelism)
+        .withColumn("v", _F.pandas_udf(lambda s: s + 1, "long")(_F.col("id")))
+    )
 
     # Fixture prewarm: these keys build one-time derived fixtures
     # (_SUCCESS-guarded under .scratch/ — bucketed/typed/partitioned

@@ -731,7 +731,7 @@ def llm_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the case symmetric similarity misses.
 
     Same inverted-index shape as llm_dedup_ngram but ASYMMETRIC: the
-    index is built once (shared shingle checkpoint), split by side, and
+    index is built once (shared hashed_index_cached), split by side, and
     joined train-side-to-test-side only — cost scales with cross-corpus
     shingle overlap, never |train| x |test|. Per test doc the single
     worst offender survives (row_number over containment with a train-id
