@@ -69,3 +69,65 @@ def test_shape_invariant(key, spark, sf_dir):
         f"({len(rows_a)} vs {len(rows_b)} rows; first diff: "
         f"{next((a, b) for a, b in zip(rows_a, rows_b) if a != b) if len(rows_a) == len(rows_b) else 'row count'})"
     )
+
+
+def test_sharded_sequence_gaps_boundary_stitch(spark):
+    """The shard-BOUNDARY path of the sharded gap audit: no driver
+    fixture produces a reportable gap that straddles a 65536 multiple
+    (verified at sf0.1 — 0 of 2999 gaps cross), so the lookahead
+    duplication is pinned here on a synthetic keyspace with every edge
+    the algebra claims to handle:
+
+    - a <=max_missing gap fully inside a shard,
+    - a <=max_missing gap crossing a shard boundary (resume offset near
+      0 and at exactly max_missing),
+    - a boundary gap one over the cap (must be dropped),
+    - an entirely empty shard (gap >> cap, dropped),
+    - adjacent keys across the boundary (no gap at all).
+
+    Reference = the naive single-partition LEAD over the same keys —
+    the semantics the sharded form must reproduce exactly.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from yc_data_proc_metadata_import_spark.operators.windows import (
+        sharded_sequence_gaps,
+    )
+
+    W, M = 1000, 50  # small shard width/cap so the test runs on tiny data
+    keys = set()
+    keys.update(range(100, 150))            # dense run inside shard 0
+    keys.update({500, 520})                 # in-shard gap of 19
+    keys.update({990, 1030})                # boundary gap of 39 (offset 30 <= M)
+    keys.update({1995, 2046})               # boundary gap of exactly M (offset 46)
+    keys.update({2990, 3042})               # boundary gap of M+1 -> dropped
+    keys.update({3999, 4000})               # adjacent across boundary: no gap
+    keys.update({4500, 6500})               # shard 5 empty: gap 1999 -> dropped
+    keys.update({6553, 6554, 6600})         # shard 6 tail
+    df = spark.createDataFrame([(k,) for k in sorted(keys)], "k long")
+
+    got = {
+        (r.gap_after, r.resumes_at, r.n_missing)
+        for r in sharded_sequence_gaps(df, shard_w=W, max_missing=M).collect()
+    }
+    ref_w = Window.orderBy("k")
+    naive = (
+        df.withColumn("next_k", F.lead("k").over(ref_w))
+        .where(
+            (F.col("next_k") - F.col("k") > 1)
+            & (F.col("next_k") - F.col("k") - 1 <= M)
+        )
+        .select(
+            F.col("k").alias("gap_after"),
+            F.col("next_k").alias("resumes_at"),
+            (F.col("next_k") - F.col("k") - 1).cast("bigint").alias("n_missing"),
+        )
+    )
+    want = {(r.gap_after, r.resumes_at, r.n_missing) for r in naive.collect()}
+    assert got == want
+    # The scenario really exercises the boundary: at least two reported
+    # gaps cross a shard edge, and the over-cap boundary gap is absent.
+    crossing = {g for g in got if g[0] // W != g[1] // W}
+    assert len(crossing) >= 2, crossing
+    assert (2990, 3042, 51) not in got

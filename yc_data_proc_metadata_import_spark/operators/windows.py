@@ -1056,17 +1056,30 @@ def win_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized exchange hashes on shard — no single-partition sort
     anywhere (plan-asserted, tests/test_plans.py).  The gap algebra and
     the oracle are unchanged."""
-    shard_w = 65536
     o = (
         load(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") % 50 != 0)
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
     )
-    own = o.select(
+    return sharded_sequence_gaps(o)
+
+
+def sharded_sequence_gaps(
+    keys: DataFrame, shard_w: int = 65536, max_missing: int = 100
+) -> DataFrame:
+    """The sharded gap algebra over a distinct ``k`` column (see
+    win_sequence_gaps).  Factored out so the shard-BOUNDARY path — which
+    no driver fixture reaches (the planted %50 holes never straddle a
+    multiple of 65536) — is unit-tested on synthetic keyspaces
+    (tests/test_partitioning_invariance.py).  Requires
+    ``max_missing + 1 < shard_w`` so a reportable gap spans at most one
+    boundary."""
+    assert max_missing + 1 < shard_w
+    own = keys.select(
         "k", F.floor(F.col("k") / shard_w).alias("shard"), F.lit(True).alias("own")
     )
-    peek = o.where(F.col("k") % shard_w <= 100).select(
+    peek = keys.where(F.col("k") % shard_w <= max_missing).select(
         "k",
         (F.floor(F.col("k") / shard_w) - 1).alias("shard"),
         F.lit(False).alias("own"),
@@ -1076,7 +1089,7 @@ def win_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nxt.where(
         F.col("own")
         & (F.col("next_k") - F.col("k") > 1)
-        & (F.col("next_k") - F.col("k") - 1 <= 100)
+        & (F.col("next_k") - F.col("k") - 1 <= max_missing)
     ).select(
         F.col("k").alias("gap_after"),
         F.col("next_k").alias("resumes_at"),
