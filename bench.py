@@ -90,6 +90,12 @@ def main() -> int:
         "llm_jpeg_decode",
         "llm_tfidf",
         "llm_curation_pipeline",
+        # session-cached shared artifacts (round 7): the BPE merge table
+        # and the dedup cluster labels are one-time derived inputs their
+        # consumer keys fan out over, same class as the shingle/token
+        # checkpoints above.
+        "llm_bpe_apply",
+        "llm_dedup_cluster",
         "sink_codec_zstd",
         # prewarming the fit also serves llm_semdedup (shared _KM_CACHE)
         "llm_kmeans_cluster",
