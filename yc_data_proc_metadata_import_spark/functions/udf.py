@@ -326,18 +326,20 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     removes most of the classic scalar-UDF serialization tax without
     rewriting the function as a pandas UDF.  The Python body mirrors the
     oracle's ``\\s+`` split EXACTLY on every input, not just the current
-    fixture (round-6 ADVICE): ``re.split(r"\\s+", t, flags=re.ASCII)``
-    matches DuckDB/RE2's ASCII ``\\s`` class (Python's default ``\\s``
-    is Unicode-wide and ``str.split()`` wider still), and NULL text maps
-    to NULL, not 0 — so "arrow transport changes COST, never results"
-    holds data-independently.
+    fixture (round-6 ADVICE): RE2's ``\\s`` is the explicit class
+    ``[ \\t\\n\\f\\r]`` — NO vertical tab, so neither Python's default
+    Unicode ``\\s`` nor ``re.ASCII`` ``\\s`` (both include ``\\x0b``)
+    nor ``str.split()`` matches it; the UDF spells the identical class
+    literally.  NULL text maps to NULL, not 0.  With both fixed,
+    "arrow transport changes COST, never results" holds
+    data-independently.
 
     Still a per-row Python call — batch-vectorized pandas/arrow UDFs
     remain the hot-path choice (udf_pandas, udf_map_in_arrow); this is
     the migration step for existing scalar-UDF code."""
     import re
 
-    ws = re.compile(r"\s+", flags=re.ASCII)
+    ws = re.compile(r"[ \t\n\f\r]+")
 
     n_words = F.udf(
         lambda t: (

@@ -309,6 +309,27 @@ def lsh_candidates(sh: DataFrame) -> DataFrame:
     )
 
 
+# The minhash-signed shingle frame (doc_id, shingles, sig) feeds BOTH
+# sides of lsh_candidates' band self-join in llm_dedup_near AND the
+# recall audit's candidate replay; without materialization the 32-hash
+# permutation expression is evaluated once per join side per run.  Same
+# build-once discipline as hashed_index_cached.
+_MINHASH_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def minhash_signed_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..utils import session_cached
+
+    return session_cached(
+        _MINHASH_SIG_CACHE,
+        spark,
+        sf_dir,
+        lambda: shingled_cached(spark, sf_dir)
+        .withColumn("sig", _minhash_sig())
+        .localCheckpoint(eager=True),
+    )
+
+
 @query(
     "llm_dedup_near",
     # exact all-pairs ground truth, spelled as the inverted-index join
@@ -332,7 +353,7 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     except within a band bucket, and bucket sizes are bounded by collision
     probability. Candidate recall at J=0.9 is ~0.9998 with 8x4 banding.
     """
-    sh = shingled_cached(spark, sf_dir).withColumn("sig", _minhash_sig())
+    sh = minhash_signed_cached(spark, sf_dir)
     cand = lsh_candidates(sh)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -667,7 +688,7 @@ def llm_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and recall = 1.0, so a single missed pair hash-fails the key. (Same
     self-certifying pattern as agg_approx_distinct's accuracy flag.)
     """
-    sh = shingled_cached(spark, sf_dir).withColumn("sig", _minhash_sig())
+    sh = minhash_signed_cached(spark, sf_dir)
     inv = hashed_index_cached(spark, sf_dir)
     a = inv.select("sh_h", F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     b = inv.select("sh_h", F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.io import load
-from .dedup import _INV_SQL, _PAIRS_BODY, llm_dedup_cluster, dedup_clusters_cached
+from .dedup import _INV_SQL, _PAIRS_BODY, dedup_clusters_cached
 from .text import _STOP_IN, _STOPWORDS, _TOKENS_SQL, tokens
 
 # Deterministic thresholds (integer/exact comparisons only).

@@ -381,15 +381,17 @@ def _typed_probe(col: str, projection: str | None = None):
     key = f"typed_probe_{col}"
     sql = _TYPED_PROBE_ORACLE.format(projection=projection or col)
 
-    @query(key, oracle=sql)
     def probe(spark: SparkSession, sf_dir: str, _col=col) -> DataFrame:
         return scan_typed_columns(spark, sf_dir).select(_col)
 
+    # Name/doc BEFORE registration: @query copies fn.__name__/__doc__
+    # onto the registered wrapper at decoration time.
     probe.__name__ = key
     probe.__doc__ = (
         f"Single-column driver-hash probe: the ``{col}`` slice of "
         "scan_typed_columns (see the probe block comment above)."
     )
+    query(key, oracle=sql)(probe)
     return probe
 
 
