@@ -155,3 +155,20 @@ def test_non_ppm_raises():
     except ValueError:
         return
     raise AssertionError("grayscale P5 must be rejected")
+
+
+def test_media_fixtures_write_one_file_per_core(spark, sf_dir):
+    """Round-7 regression pin: the media fixtures must land as multiple
+    parquet files (one per core), not the single file the one-partition
+    documents scan used to produce — a single-file fixture serializes
+    every downstream decode key's mapInPandas onto ONE core (measured:
+    5000 JPEGs decoded serially, ~3.2 s of a 4.2 s key)."""
+    import os
+
+    from yc_data_proc_metadata_import_spark.llm import multimodal as mm
+
+    expected = min(spark.sparkContext.defaultParallelism, 8)  # tiny sf caps files
+    for build in (mm._jpeg_fixture, mm._wav_fixture):
+        out = build(spark, sf_dir)
+        n = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+        assert n > 1, f"{out}: single-file fixture serializes decode (files={n})"
