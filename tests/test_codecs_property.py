@@ -167,7 +167,6 @@ def test_media_fixtures_write_one_file_per_core(spark, sf_dir):
 
     from yc_data_proc_metadata_import_spark.llm import multimodal as mm
 
-    expected = min(spark.sparkContext.defaultParallelism, 8)  # tiny sf caps files
     for build in (mm._jpeg_fixture, mm._wav_fixture):
         out = build(spark, sf_dir)
         n = len([f for f in os.listdir(out) if f.endswith(".parquet")])
