@@ -50,21 +50,30 @@ def test_adjudication_rotation():
 
 
 def test_round7_window_composition():
-    """Round-6 VERDICT items 1-2+6: the 50-key adjudication window must
-    open with the scan_typed_columns bisect probes + the red key itself,
-    then spend every remaining slot on the never-adjudicated backlog in
-    the judge's ranked family order (TPC-H suite first).  This pins the
-    computed order so a future registration can't silently displace a key
-    that has waited multiple rounds for adjudication."""
+    """Round-6 VERDICT items 1-2+6: while the scan_typed_columns bisect
+    probes await adjudication, the 50-key window must open with them +
+    the red key itself, then spend every remaining slot on the
+    never-adjudicated backlog in the judge's ranked family order (TPC-H
+    suite first).  This pins the computed order so a future registration
+    can't silently displace a key that has waited multiple rounds.  Once
+    a CORRECTNESS round records a pinned key green it legitimately
+    rotates to the back, so each assertion applies only to keys still
+    fresh (the test stays meaningful in round 8+)."""
+    from yc_data_proc_metadata_import_spark import _adjudicated_green
+
     ordered = list(engine.queries())
     window = ordered[:50]
-    probes = [k for k in window if k.startswith("typed_probe_")]
-    assert len(probes) == 8 and window[:8] == probes, window[:10]
-    assert window[8] == "scan_typed_columns"
-    assert [k for k in window if k.startswith("tpch_")] == window[9:24], (
-        "TPC-H completion suite must fill slots 9-23"
+    green = _adjudicated_green()
+    probes = [k for k in ordered if k.startswith("typed_probe_") and k not in green]
+    assert window[: len(probes)] == probes, window[:10]
+    if "scan_typed_columns" not in green:
+        assert window[len(probes)] == "scan_typed_columns"
+    fresh_tpch = [k for k in ordered if k.startswith("tpch_") and k not in green]
+    tpch_in_window = [k for k in window if k.startswith("tpch_") and k not in green]
+    assert tpch_in_window == fresh_tpch[: len(tpch_in_window)], (
+        "fresh TPC-H keys must precede lower-ranked fresh families"
     )
-    must_be_in_window = {
+    must_rank_high = {
         "graph_pagerank",
         "graph_shortest_path",
         "dq_expectations",
@@ -79,12 +88,9 @@ def test_round7_window_composition():
         "win_sequence_gaps",
         "llm_cdc_chunking",
     }
-    missing = must_be_in_window - set(window)
+    missing = {k for k in must_rank_high if k not in green} - set(window)
     assert not missing, f"backlog keys displaced from the window: {missing}"
     # No already-green key may occupy a window slot while fresh keys wait.
-    from yc_data_proc_metadata_import_spark import _adjudicated_green
-
-    green = _adjudicated_green()
     fresh = [k for k in ordered if k not in green]
     if len(fresh) >= 50:
         stale_in_window = [k for k in window if k in green]
