@@ -131,3 +131,93 @@ def test_sharded_sequence_gaps_boundary_stitch(spark):
     crossing = {g for g in got if g[0] // W != g[1] // W}
     assert len(crossing) >= 2, crossing
     assert (2990, 3042, 51) not in got
+
+
+def test_sharded_sequence_gaps_property(spark):
+    """Property form of the boundary test: on random sparse keyspaces
+    spanning several (small) shards, the sharded gap audit must equal
+    the naive global-window reference exactly. Random draws concentrate
+    keys near shard edges so boundary stitches occur often. Hypothesis
+    drives the draw; Spark executes each case, so examples are few but
+    each covers hundreds of keys."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from yc_data_proc_metadata_import_spark.operators.windows import (
+        sharded_sequence_gaps,
+    )
+
+    W, M = 256, 40
+    rng = random.Random(0xC0FFEE)
+    for trial in range(6):
+        n_keys = rng.randrange(50, 400)
+        keys = set()
+        while len(keys) < n_keys:
+            if rng.random() < 0.5:
+                # cluster near a shard edge to force boundary pairs
+                edge = rng.randrange(1, 8) * W
+                keys.add(max(0, edge + rng.randrange(-M - 5, M + 5)))
+            else:
+                keys.add(rng.randrange(0, 8 * W))
+        df = spark.createDataFrame([(k,) for k in sorted(keys)], "k long")
+        got = {
+            (r.gap_after, r.resumes_at, r.n_missing)
+            for r in sharded_sequence_gaps(df, shard_w=W, max_missing=M).collect()
+        }
+        naive = (
+            df.withColumn("next_k", F.lead("k").over(Window.orderBy("k")))
+            .where(
+                (F.col("next_k") - F.col("k") > 1)
+                & (F.col("next_k") - F.col("k") - 1 <= M)
+            )
+            .select(
+                F.col("k").alias("gap_after"),
+                F.col("next_k").alias("resumes_at"),
+                (F.col("next_k") - F.col("k") - 1).cast("bigint").alias("n_missing"),
+            )
+        )
+        want = {(r.gap_after, r.resumes_at, r.n_missing) for r in naive.collect()}
+        assert got == want, f"trial {trial}: {got ^ want}"
+
+
+def test_histogram_median_equals_tiebroken_selection(spark):
+    """Property backing the MAD rewrite: the value selected by the
+    cumulative-count histogram median equals the value at row
+    (n+1) div 2 under ANY full tie-broken row ordering — including data
+    with heavy duplication, where the tie-break actually bites."""
+    import random
+
+    rng = random.Random(0xBEEF)
+    for trial in range(8):
+        groups = {}
+        for g in ("A", "B", "C"):
+            n = rng.randrange(1, 60)
+            # small value domain -> many duplicates
+            groups[g] = [float(rng.randrange(0, 7)) for _ in range(n)]
+        rows = [(g, v, i) for g, vs in groups.items() for i, v in enumerate(vs)]
+        df = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double, rid long")
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        hist = df.groupBy("l_returnflag", "l_extendedprice").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        wcum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        wall = Window.partitionBy("l_returnflag")
+        h = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+            "n", F.sum("cnt").over(wall)
+        )
+        k = F.expr("(n + 1) div 2")
+        got = {
+            (r.l_returnflag, r.l_extendedprice)
+            for r in h.where(
+                (F.col("cum") - F.col("cnt") < k) & (k <= F.col("cum"))
+            ).collect()
+        }
+        want = {
+            (g, sorted(vs)[(len(vs) + 1) // 2 - 1]) for g, vs in groups.items()
+        }
+        assert got == want, f"trial {trial}"
