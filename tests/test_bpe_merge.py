@@ -106,3 +106,31 @@ def test_cdc_static_hash_equals_rolling_fold():
         assert {i for i, h in rolling(cs) if h % div == 0} == {
             i for i, h in rolling(cs) if static_hash(cs, i) % div == 0
         }
+
+
+def test_winnowing_hex_fold_matches_conv():
+    """The winnowing oracle folds md5's first 8 hex chars with
+    a*16 + digit (big-endian); the Spark side uses conv(hex, 16, 10).
+    Pin that the fold IS base-16 big-endian positional value — the same
+    audit class as the CDC exponent pairing (engine results must agree
+    as raw integers, not by coincidence). Replays the oracle's
+    digit-decode CASE (0-9 via -48, a-f via -87) in Python against
+    int(hex, 16) over every digit combination class and random md5
+    prefixes."""
+    import hashlib
+    import random
+
+    def duck_fold(hex8: str) -> int:
+        acc = 0
+        for c in hex8:
+            d = ord(c) - 48 if "0" <= c <= "9" else ord(c) - 87
+            acc = acc * 16 + d
+        return acc
+
+    rng = random.Random(7)
+    samples = ["00000000", "ffffffff", "0123abcd", "deadbeef"]
+    samples += [
+        hashlib.md5(str(rng.random()).encode()).hexdigest()[:8] for _ in range(200)
+    ]
+    for h in samples:
+        assert duck_fold(h) == int(h, 16), h
