@@ -75,19 +75,16 @@ def load_all() -> None:
 # committed CORRECTNESS_r*.json move to the BACK (their verdict is on
 # record); never-adjudicated keys fill the front, ordered by stakes.
 #
-# Round-7 ordering (round-6 VERDICT items 1-2): the scan_typed_columns
-# bisect probes + the red key itself lead the window, then the
-# 76-key never-adjudicated backlog in the judge's ranked order — the
-# TPC-H completion suite (the repo's headline warehouse-workload claim),
-# the graph/analytics + data-quality wave, the merge/CDC pair, the two
-# round-6 metadata keys, the three round-6 streaming keys, the write-side
-# sinks, the window/timeseries wave, then the highest-stakes LLM text
-# additions.  If the 50-key budget forces an overflow, the overflow is
-# the lowest-risk family (small scalar/sql/catalog keys, all with local
-# Arrow-typed parity).
+# Round-8 ordering (round-7 VERDICT items 1-2): the four decimal
+# REPRESENTATION probes + the re-emitted parent lead the window (the
+# round-7 column bisect localized the 5-round red to the decimal128(28,2)
+# sum; the parent now ships the total as exact integer cents, see
+# sources/sinks.py), then the 35-key never-adjudicated backlog.  The
+# window math closes exactly: 1 red parent + 4 probes + 35 fresh = 40,
+# leaving 10 slots for the stalest-green refill (round-7 VERDICT item 3).
 _FAMILY_RANK = (
-    ("typed_probe_",),  # driver-hash bisect probes (round-6 VERDICT item 1)
-    ("scan_typed_columns",),  # red r3-r6 — adjudicated alongside its probes
+    ("typed_probe_",),  # decimal representation probes (round-7 VERDICT item 1)
+    ("scan_typed_columns",),  # red r3-r7 — cents-BIGINT re-emit, adjudicated with probes
     ("tpch_",),  # 15-query completion suite — headline claim, zero proof
     ("graph_", "dq_"),  # analytics wave
     ("merge_",),  # merge_cdc_delete + merge_incremental_aggregate
