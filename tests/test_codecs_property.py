@@ -9,6 +9,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -167,6 +168,12 @@ def test_media_fixtures_write_one_file_per_core(spark, sf_dir):
 
     from yc_data_proc_metadata_import_spark.llm import multimodal as mm
 
+    # On a 1-core runner one file IS the correct layout (and a fixture
+    # previously built at parallelism 1 survives the _SUCCESS rebuild
+    # guard), so the >1 assertion only applies multi-core (round-7
+    # ADVICE).
+    if spark.sparkContext.defaultParallelism == 1:
+        pytest.skip("single-core runner: one parquet file per fixture is correct")
     for build in (mm._jpeg_fixture, mm._wav_fixture):
         out = build(spark, sf_dir)
         n = len([f for f in os.listdir(out) if f.endswith(".parquet")])

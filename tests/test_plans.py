@@ -590,13 +590,15 @@ def test_no_unpartitioned_window_anywhere(spark, sf_dir):
 
     Detection: in a physical plan string the first argument of
     `windowspecdefinition(` is the partition spec; when the node is
-    unpartitioned the ordering expression (`... ASC/DESC`) appears there
-    instead.  Side-effectful families (streams, sinks, catalog DDL,
-    metadata migration) are driven by their own suites and skipped here;
-    none of them builds windows over data-sized inputs.
+    unpartitioned the first ORDERING expression (`... ASC/DESC`) appears
+    there instead.  The first argument is extracted with a balanced-paren
+    scan, not a `[^,)]+` regex — an ordering expression that is itself a
+    function call (e.g. `coalesce(a, b) ASC`) would truncate at its inner
+    '(' and escape a naive regex (round-7 ADVICE).  Side-effectful
+    families (streams, sinks, catalog DDL, metadata migration) are driven
+    by their own suites and skipped here; none of them builds windows
+    over data-sized inputs.
     """
-    import re
-
     bounded_input_ok = {"agg_gini", "win_pareto"}
     skip_prefix = ("stream_", "meta_", "catalog_", "sink_", "scan_python", "typed_probe_")
     offenders = {}
@@ -604,11 +606,37 @@ def test_no_unpartitioned_window_anywhere(spark, sf_dir):
         if key.startswith(skip_prefix) or key in bounded_input_ok:
             continue
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        bad = [
-            m.group(0)
-            for m in re.finditer(r"windowspecdefinition\(([^,)]+),", plan)
-            if " ASC" in m.group(1) or " DESC" in m.group(1)
-        ]
+        bad = _unpartitioned_window_specs(plan)
         if bad:
             offenders[key] = bad[:2]
     assert not offenders, f"unpartitioned data-sized windows: {offenders}"
+
+
+def _unpartitioned_window_specs(plan: str) -> list:
+    """Every `windowspecdefinition(...)` in `plan` whose FIRST top-level
+    argument is an ordering expression (contains a sort direction token),
+    i.e. whose partition spec is empty.  Arguments are split at depth-1
+    commas so ordering expressions containing function calls survive."""
+    marker = "windowspecdefinition("
+    out, i = [], 0
+    while True:
+        j = plan.find(marker, i)
+        if j < 0:
+            return out
+        depth, k = 1, j + len(marker)
+        first, done_first = [], False
+        while k < len(plan) and depth:
+            c = plan[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1:
+                done_first = True
+            if not done_first and depth:
+                first.append(c)
+            k += 1
+        head = "".join(first).strip()
+        if " ASC" in head or " DESC" in head:
+            out.append(plan[j:k][:120])
+        i = k

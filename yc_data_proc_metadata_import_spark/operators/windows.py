@@ -1079,7 +1079,13 @@ def sharded_sequence_gaps(
     own = keys.select(
         "k", F.floor(F.col("k") / shard_w).alias("shard"), F.lit(True).alias("own")
     )
-    peek = keys.where(F.col("k") % shard_w <= max_missing).select(
+    # pmod, not %: Spark's % is sign-preserving, so with negative keys
+    # EVERY negative k would satisfy `k % shard_w <= max_missing` and be
+    # duplicated as lookahead — results stay correct but the documented
+    # <=(max_missing+1)/shard_w duplication bound breaks (round-7
+    # ADVICE).  pmod matches F.floor's toward-negative-infinity division,
+    # so the bound holds over any integer key domain.
+    peek = keys.where(F.pmod(F.col("k"), F.lit(shard_w)) <= max_missing).select(
         "k",
         (F.floor(F.col("k") / shard_w) - 1).alias("shard"),
         F.lit(False).alias("own"),

@@ -105,19 +105,22 @@ def _stream_three_batch_src(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-_SCHEMA_CACHE: dict[str, object] = {}
+_SCHEMA_CACHE: dict[tuple, object] = {}
 
 
 def _read_stream(spark: SparkSession, path: str, **options) -> DataFrame:
     # File-stream sources REQUIRE an explicit schema; inferring it costs a
     # footer-read job per key (~0.15 s x 19 streaming keys). Staged source
-    # dirs are immutable within a process (content-fingerprinted fixture
-    # builds replace the whole directory), so one inference per path is
-    # sound.
-    schema = _SCHEMA_CACHE.get(path)
+    # dirs are replaced atomically (os.replace of a fully-built tmp dir),
+    # so the directory mtime in the cache key turns the "immutable within
+    # a process" convention into an enforced invariant: a regenerated
+    # source dir gets a fresh inference instead of a silently stale
+    # schema (round-7 ADVICE).
+    cache_key = (path, os.path.getmtime(path))
+    schema = _SCHEMA_CACHE.get(cache_key)
     if schema is None:
         schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[path] = schema
+        _SCHEMA_CACHE[cache_key] = schema
     reader = spark.readStream.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
