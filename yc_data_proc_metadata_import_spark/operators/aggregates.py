@@ -1195,7 +1195,10 @@ def agg_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame
             "l_returnflag", F.col(val).alias(out)
         )
 
-    med = hist_median(li, "l_extendedprice", "median_price")
+    # The 3-row med relation is referenced three times (devs + both
+    # result joins); localCheckpoint materializes it once so the
+    # histogram+window subtree isn't re-executed per reference.
+    med = hist_median(li, "l_extendedprice", "median_price").localCheckpoint()
     devs = li.join(med, "l_returnflag").select(
         "l_returnflag",
         "median_price",
