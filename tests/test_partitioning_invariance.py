@@ -105,6 +105,13 @@ def test_sharded_sequence_gaps_boundary_stitch(spark):
     keys.update({3999, 4000})               # adjacent across boundary: no gap
     keys.update({4500, 6500})               # shard 5 empty: gap 1999 -> dropped
     keys.update({6553, 6554, 6600})         # shard 6 tail
+    # NEGATIVE key domain (round-7 ADVICE): the lookahead predicate is
+    # pmod, matching F.floor's toward-negative-infinity shard division —
+    # these pin the boundary stitch below zero and across zero, where a
+    # sign-preserving % would mis-classify the lookahead rows.
+    keys.update(range(-150, -100))          # dense run inside shard -1
+    keys.update({-1005, -995})              # gap crossing the -1000 boundary
+    keys.update({-3, 5})                    # gap crossing the 0 boundary
     df = spark.createDataFrame([(k,) for k in sorted(keys)], "k long")
 
     got = {
@@ -131,6 +138,8 @@ def test_sharded_sequence_gaps_boundary_stitch(spark):
     crossing = {g for g in got if g[0] // W != g[1] // W}
     assert len(crossing) >= 2, crossing
     assert (2990, 3042, 51) not in got
+    # The negative-domain stitches really happened.
+    assert (-1005, -995, 9) in got and (-3, 5, 7) in got
 
 
 def test_sharded_sequence_gaps_property(spark):
