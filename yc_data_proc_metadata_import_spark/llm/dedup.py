@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.io import load
+from ..sources.io import load_documents_wide
 
 # Shingle width (tokens per shingle) and near-dup Jaccard threshold.
 _SHINGLE = 3
@@ -92,7 +92,7 @@ def shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n = spark.sparkContext.defaultParallelism
     return (
-        load(spark, sf_dir, "documents")
+        load_documents_wide(spark, sf_dir)
         .repartition(n, "doc_id")
         .withColumn("toks", F.expr(_TOKS))
         .select("doc_id", F.expr(_SHINGLES_FROM_TOKS).alias("shingles"))
@@ -192,7 +192,7 @@ def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     barring a SHA-256 collision).
     """
     return (
-        load(spark, sf_dir, "documents")
+        load_documents_wide(spark, sf_dir)
         .groupBy(F.sha2(F.col("text"), 256).alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .drop("_h")
@@ -417,7 +417,7 @@ def simhash_fingerprints_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the repartition and re-run tokenize+hash per row inside the
         # predicate (measured 3x cost of the whole stage).
         return (
-            load(spark, sf_dir, "documents")
+            load_documents_wide(spark, sf_dir)
             .filter(F.trim(F.col("text")) != "")
             .repartition(spark.sparkContext.defaultParallelism, "doc_id")
             .withColumn("toks", F.expr(_TOKS))
@@ -553,7 +553,7 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + c) % 1000000007,
     )
-    return load(spark, sf_dir, "documents").select(
+    return load_documents_wide(spark, sf_dir).select(
         "doc_id", roll.alias("fp"), F.length("text").cast("long").alias("n_chars_fp")
     )
 
@@ -819,7 +819,7 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays the logic on raw text (identical barring a
     SHA-256 collision).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents_wide(spark, sf_dir)
     h = F.sha2(F.col("text"), 256)
     corpus = (
         docs.filter(F.col("doc_id") % 5 != 4).select(h.alias("_h")).distinct()

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.io import load
+from ..sources.io import load_documents_wide
 from .dedup import _INV_SQL, _PAIRS_BODY, dedup_clusters_cached
 from .text import _STOP_IN, _STOPWORDS, _TOKENS_SQL, tokens
 
@@ -74,7 +74,7 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword ratio <= 0.6), is the exact-dup representative (lowest
     doc_id per identical text), AND is its near-dup cluster's
     representative (docs outside the pair graph represent themselves)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_documents_wide(spark, sf_dir)
     stats = tokens(spark, sf_dir).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tok"),
         F.sum(F.col("token").isin(*_STOPWORDS).cast("long")).alias("n_stop"),
@@ -151,7 +151,7 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape; the exact spelling here doubles as the sketch audit."""
     from .text import tokens
 
-    d = load(spark, sf_dir, "documents")
+    d = load_documents_wide(spark, sf_dir)
     dstats = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),

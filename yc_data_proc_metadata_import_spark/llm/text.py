@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.io import load
+from ..sources.io import load_documents_wide
 from ..utils import sql_davg, davg
 
 # Whitespace tokenizer used by every operator in this module (regex split,
@@ -79,7 +79,7 @@ def tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         n = spark.sparkContext.defaultParallelism
         return (
-            load(spark, sf_dir, "documents")
+            load_documents_wide(spark, sf_dir)
             .repartition(n, "doc_id")  # single-file fixture scans as 1 partition
             .select(
                 "doc_id",
@@ -138,7 +138,7 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline runs before expensive real tokenization.
     """
     lower = F.lower(F.col("text"))
-    return load(spark, sf_dir, "documents").select(
+    return load_documents_wide(spark, sf_dir).select(
         "doc_id",
         F.size(F.filter(F.split(lower, _WS), lambda t: t != "")).cast("long").alias(
             "n_ws_tokens"
@@ -182,7 +182,7 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tf = tokens(spark, sf_dir).groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n = load(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+    n = load_documents_wide(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(n))
@@ -213,7 +213,7 @@ def llm_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     One hash aggregation on a ~100-value key; partial aggregation makes the
     shuffle a few rows per partition regardless of corpus size.
     """
-    return load(spark, sf_dir, "documents").groupBy("lang").agg(
+    return load_documents_wide(spark, sf_dir).groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("source").alias("n_sources"),
         davg("n_chars", "avg_chars"),
@@ -258,7 +258,7 @@ def llm_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("token")).alias("tok_chars"),
         F.sum(F.col("token").isin(*_STOPWORDS).cast("long")).alias("n_stop"),
     )
-    d = load(spark, sf_dir, "documents")
+    d = load_documents_wide(spark, sf_dir)
     return (
         d.join(per_doc, "doc_id")
         .groupBy("source")
@@ -368,7 +368,7 @@ def llm_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness argument. Plan-pinned single-exchange in
     tests/test_plans.py.
     """
-    d = load(spark, sf_dir, "documents")
+    d = load_documents_wide(spark, sf_dir)
     toks = F.filter(F.split(F.lower(F.col("text")), _WS), lambda t: t != "")
     nonblank = F.filter(F.split(F.col("text"), "\n"), lambda ln: ln != "")
     zero = F.lit(0).cast("long")
@@ -497,7 +497,7 @@ def llm_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tok"),
         F.sum(F.col("token").isin(*_STOPWORDS).cast("long")).alias("n_stop"),
     )
-    d = load(spark, sf_dir, "documents")
+    d = load_documents_wide(spark, sf_dir)
     detected = d.join(per_doc, "doc_id").select(
         "lang",
         F.when(F.col("n_stop").cast("double") / F.col("n_tok") >= 0.04, "en")
@@ -542,7 +542,7 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PII_NUM,
         "<NUM>",
     )
-    return load(spark, sf_dir, "documents").select(
+    return load_documents_wide(spark, sf_dir).select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_before"),
         F.length(red).cast("long").alias("n_chars_after"),
@@ -590,7 +590,7 @@ def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array())"
     )
     return (
-        load(spark, sf_dir, "documents")
+        load_documents_wide(spark, sf_dir)
         .repartition(n, "doc_id")
         .withColumn("toks", F.filter(F.split(F.lower(F.col("text")), _WS), lambda t: t != ""))
         .select("doc_id", F.explode(F.expr(chunks)).alias("c"))
@@ -632,7 +632,7 @@ def llm_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))), array())"
     )
     return (
-        load(spark, sf_dir, "documents")
+        load_documents_wide(spark, sf_dir)
         .repartition(n, "doc_id")
         .withColumn("toks", F.filter(F.split(F.lower(F.col("text")), _WS), lambda t: t != ""))
         .select("doc_id", F.explode(F.expr(bigrams)).alias("bigram"))
@@ -728,7 +728,7 @@ def llm_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget) and the per-shard sequential order IS the point — packing
     must be deterministic so training runs are reproducible.
     """
-    counted = load(spark, sf_dir, "documents").select(
+    counted = load_documents_wide(spark, sf_dir).select(
         "doc_id",
         (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
         F.size(F.filter(F.split(F.lower(F.col("text")), _WS), lambda t: t != ""))
@@ -868,7 +868,7 @@ def llm_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown-able). Surfaced per-source so the result stays small; the
     kept doc set itself is the same filter without the final rollup.
     """
-    counted = load(spark, sf_dir, "documents").select(
+    counted = load_documents_wide(spark, sf_dir).select(
         "doc_id",
         "source",
         F.size(F.filter(F.split(F.lower(F.col("text")), _WS), lambda t: t != ""))
@@ -934,7 +934,7 @@ def llm_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     + hash + compare, one low-cardinality source rollup — a 100 TB
     corpus resamples in a single scan with zero data shuffled.
     """
-    counted = load(spark, sf_dir, "documents").select(
+    counted = load_documents_wide(spark, sf_dir).select(
         "doc_id",
         "source",
         F.size(F.filter(F.split(F.lower(F.col("text")), _WS), lambda t: t != ""))
@@ -1162,7 +1162,7 @@ def llm_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents").select("doc_id")
+    d = load_documents_wide(spark, sf_dir).select("doc_id")
     # 31-bit mask before the multiply keeps the product < 2^63 (see
     # _MIX_HASH) — identical values for doc_id + seed < 2^31, exact
     # cross-engine behavior for the full int64 doc_id domain.
@@ -1209,7 +1209,7 @@ def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the hash is a row-local expression (no sampling pass, no
     state); the audit is one map-side-combined aggregation.
     """
-    d = load(spark, sf_dir, "documents")
+    d = load_documents_wide(spark, sf_dir)
     hv = (
         ((F.col("doc_id") + F.lit(13)) % F.lit(2147483648)) * F.lit(2654435761)
     ) % F.lit(4294967296)
@@ -1254,7 +1254,7 @@ def llm_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: map-only row-local regex in codegen, no shuffle, no
     Python; a 100 TB crawl strips at scan speed."""
-    d = load(spark, sf_dir, "documents")
+    d = load_documents_wide(spark, sf_dir)
     markup = F.concat(
         F.lit('<html><body><h1 class="t">'),
         F.col("lang"),
@@ -1358,7 +1358,7 @@ def llm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent boundary pairs.  Nothing shuffles; at 100 TB this chunks at
     scan speed and the md5 column feeds the exact-dedup shuffle
     (llm_dedup_exact) at ~1/64th the input bytes."""
-    d = load(spark, sf_dir, "documents").where(F.length("text") >= 1)
+    d = load_documents_wide(spark, sf_dir).where(F.length("text") >= 1)
     coded = d.select(
         "doc_id",
         F.col("text").alias("t"),
@@ -1462,7 +1462,7 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB) — then joined back and folded per doc.  The novelty ratio is
     one exact-integer division surfaced as double.  Documents under 3
     tokens carry no trigram and are excluded in both engines."""
-    d = load(spark, sf_dir, "documents")
+    d = load_documents_wide(spark, sf_dir)
     toks = d.select(
         "doc_id",
         F.expr(
@@ -1542,7 +1542,7 @@ def llm_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle layer; at 100 TB formatting runs at scan speed and the
     boundary arithmetic (token index -> char offset) stays exact
     because both engines split on the identical regex."""
-    d = load(spark, sf_dir, "documents")
+    d = load_documents_wide(spark, sf_dir)
     toks = d.select(
         "doc_id",
         "lang",
@@ -1680,7 +1680,7 @@ def llm_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     final sentence keeps its trailing punctuation (no trailing
     separator to split on) — a stated convention, identical in both
     engines."""
-    d = load(spark, sf_dir, "documents")
+    d = load_documents_wide(spark, sf_dir)
     sents = d.select(
         "doc_id",
         F.expr(r"filter(split(text, '[.!?]+\\s+'), s -> s <> '')").alias("ss"),
@@ -1767,7 +1767,7 @@ def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_dedup_ngram's inverted-index shuffle) is the scale path this
     key's output feeds.  Hashes are the first 32 bits of md5, built
     identically in both engines (conv vs an explicit hex fold)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_documents_wide(spark, sf_dir)
     toks = d.select(
         "doc_id",
         F.expr(r"filter(split(lower(text), '\\s+'), t -> t <> '')").alias("ts"),

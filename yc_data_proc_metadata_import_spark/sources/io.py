@@ -111,6 +111,33 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
 
+def load_documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` re-laid out one file per core (the round-7
+    media-fixture precedent, extended to the text pipeline).
+
+    The driver fixture ships every table as ONE parquet row group, so a
+    plain scan is ONE task and every per-row CPU-heavy text operator
+    (CDC chunking's per-char fold, n-gram expansion, tokenization)
+    serializes on a single core no matter how wide the session is.  At
+    100 TB the corpus arrives as many files and scan parallelism is
+    free; this one-time staged re-layout (identical rows, multi-file
+    physical layout, ``_SUCCESS``-guarded per fixture fingerprint) gives
+    the local plan the same property — parallelism comes from the scan,
+    not from an extra per-query exchange, and the operators stay
+    map-only."""
+    par = spark.sparkContext.defaultParallelism
+    if par <= 1:
+        return load(spark, sf_dir, "documents")
+    out = _materialize(
+        lambda p: load(spark, sf_dir, "documents")
+        .repartition(par)
+        .write.mode("overwrite")
+        .parquet(p),
+        os.path.join(SCRATCH, f"docs_wide_{sf_tag(sf_dir)}"),
+    )
+    return spark.read.parquet(out)
+
+
 @query(
     "scan_parquet",
     oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
