@@ -44,22 +44,43 @@ from ..utils import dsum, sql_dsum
 _sf_tag = sf_tag
 
 
+def _src_width(spark: SparkSession) -> int:
+    """File count for staged streaming sources: one per core (the
+    round-7/8 fixture-layout rule — the driver testdata ships one row
+    group per table, so a naturally-partitioned staging write would
+    produce ONE file and every micro-batch scan would run single-task).
+    At 100 TB a file stream tails many landing files; the wide layout
+    gives the local plan the same scan parallelism.  The width is baked
+    into the fixture dir name so a session at a different parallelism
+    (or a stage created by the old single-file writer) rebuilds instead
+    of silently reusing the wrong layout."""
+    return max(1, spark.sparkContext.defaultParallelism)
+
+
 def _stream_src(spark: SparkSession, sf_dir: str) -> str:
     """Streaming source dir: events with ts already converted to
     microsecond timestamps (one-time fixture; the stream schema is then
     plain TIMESTAMP and batch/stream read identical values)."""
+    w = _src_width(spark)
     return _materialize(
-        lambda p: load(spark, sf_dir, "events").write.mode("overwrite").parquet(p),
-        os.path.join(SCRATCH, f"stream_events_{_sf_tag(sf_dir)}"),
+        lambda p: load(spark, sf_dir, "events")
+        .repartition(w)
+        .write.mode("overwrite")
+        .parquet(p),
+        os.path.join(SCRATCH, f"stream_events_{_sf_tag(sf_dir)}_w{w}"),
     )
 
 
 def _stream_dup_src(spark: SparkSession, sf_dir: str) -> str:
     """Source with every event present TWICE — dedup's input."""
     e = load(spark, sf_dir, "events")
+    w = _src_width(spark)
     return _materialize(
-        lambda p: e.unionAll(e).write.mode("overwrite").parquet(p),
-        os.path.join(SCRATCH, f"stream_events_dup_{_sf_tag(sf_dir)}"),
+        lambda p: e.unionAll(e)
+        .repartition(w)
+        .write.mode("overwrite")
+        .parquet(p),
+        os.path.join(SCRATCH, f"stream_events_dup_{_sf_tag(sf_dir)}_w{w}"),
     )
 
 
@@ -772,7 +793,13 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.replace(tmp, state)
 
     q = (
-        _read_stream(spark, src, maxFilesPerTrigger=3)
+        # Half the wide source per trigger -> exactly TWO micro-batches,
+        # so the union-with-existing-state merge path actually executes
+        # (the old single-file stage ran one batch and never exercised
+        # it) without paying a per-file batch cascade.
+        _read_stream(
+            spark, src, maxFilesPerTrigger=max(1, (_src_width(spark) + 1) // 2)
+        )
         .select("user_id", "event_id", "ts", "event_type", "value")
         .writeStream.foreachBatch(merge)
         .option("checkpointLocation", chk)
