@@ -178,3 +178,23 @@ def test_media_fixtures_write_one_file_per_core(spark, sf_dir):
         out = build(spark, sf_dir)
         n = len([f for f in os.listdir(out) if f.endswith(".parquet")])
         assert n > 1, f"{out}: single-file fixture serializes decode (files={n})"
+
+
+def test_wide_fixture_layouts_multi_file(spark, sf_dir):
+    """Round-8 extension of the media-layout pin: the wide documents
+    re-layout and the staged streaming sources must also land multi-file
+    on a multi-core session — the driver testdata ships one row group
+    per table, and a single-file stage serializes every scan-bound
+    consumer (CDC chunking's per-char fold, micro-batch scans)."""
+    import os
+
+    if spark.sparkContext.defaultParallelism == 1:
+        pytest.skip("single-core runner: one parquet file per fixture is correct")
+    from yc_data_proc_metadata_import_spark.sources.io import load_documents_wide
+    from yc_data_proc_metadata_import_spark.streaming import stream_queries as sq
+
+    docs = load_documents_wide(spark, sf_dir)
+    assert docs.rdd.getNumPartitions() > 1
+    for src in (sq._stream_src(spark, sf_dir), sq._stream_dup_src(spark, sf_dir)):
+        n = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+        assert n > 1, f"{src}: single-file streaming stage (files={n})"
