@@ -1365,7 +1365,7 @@ def _ppm_files_fixture(spark: SparkSession, sf_dir: str) -> str:
         .select("doc_id")
         .collect()
     ]
-    tmp = out + ".tmp"
+    tmp = f"{out}.tmp{os.getpid()}"
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
@@ -1386,8 +1386,9 @@ def _ppm_files_fixture(spark: SparkSession, sf_dir: str) -> str:
         with open(os.path.join(tmp, f"doc_{doc_id}.ppm"), "wb") as f:
             f.write(payload)
     open(os.path.join(tmp, "_SUCCESS"), "w").close()
-    shutil.rmtree(out, ignore_errors=True)
-    os.replace(tmp, out)
+    from ..sources.io import _commit_fixture
+
+    _commit_fixture(tmp, out)
     return out
 
 

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.io import SCRATCH, _materialize, load, sf_tag
+from ..sources.io import SCRATCH, _commit_fixture, _materialize, load, sf_tag
 from ..utils import dsum, sql_dsum
 
 # Fingerprint-keyed (io.sf_tag): a testdata regeneration renames every
@@ -55,6 +55,34 @@ def _src_width(spark: SparkSession) -> int:
     (or a stage created by the old single-file writer) rebuilds instead
     of silently reusing the wrong layout."""
     return max(1, spark.sparkContext.defaultParallelism)
+
+
+def _run_scratch() -> str:
+    """Per-PROCESS root for mutable per-run state (streaming checkpoints,
+    foreachBatch landing dirs, upsert state tables). The staged SOURCE
+    fixtures above are immutable build-once dirs and stay shared; these
+    are not — every invocation rmtree-and-rewrites them, and Spark
+    hard-fails a streaming offset log touched by two writers with
+    CONCURRENT_STREAM_LOG_UPDATE. Keying by PID makes concurrent
+    drivers (bench run + oracle replay + pytest) mutually invisible —
+    the multi-writer isolation a per-job checkpoint prefix gives on a
+    real cluster. Dead siblings are reaped lazily so .scratch stays
+    bounded."""
+    import shutil
+
+    root = os.path.join(SCRATCH, "runs")
+    mine = os.path.join(root, f"pid{os.getpid()}")
+    if not os.path.isdir(mine):
+        os.makedirs(mine, exist_ok=True)
+        for d in os.listdir(root):
+            if d.startswith("pid") and d != f"pid{os.getpid()}":
+                try:
+                    os.kill(int(d[3:]), 0)  # raises if that pid is gone
+                except (ProcessLookupError, ValueError):
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                except PermissionError:
+                    pass  # alive, owned by someone else: leave it
+    return mine
 
 
 def _stream_src(spark: SparkSession, sf_dir: str) -> str:
@@ -109,7 +137,7 @@ def _stream_three_batch_src(spark: SparkSession, sf_dir: str) -> str:
             e.filter((F.col("event_id") % 2 == 1) & (F.col("ts") > F.lit(cutoff))),
             e.filter((F.col("event_id") % 2 == 1) & (F.col("ts") <= F.lit(cutoff))),
         )
-        tmp = out + ".tmp"
+        tmp = f"{out}.tmp{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
         for idx, part in enumerate(parts):
@@ -121,8 +149,7 @@ def _stream_three_batch_src(spark: SparkSession, sf_dir: str) -> str:
             os.utime(dst, (1_700_000_000 + idx * 100, 1_700_000_000 + idx * 100))
             shutil.rmtree(sub)
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
-        shutil.rmtree(out, ignore_errors=True)
-        os.replace(tmp, out)
+        _commit_fixture(tmp, out)
     return out
 
 
@@ -176,7 +203,7 @@ def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
     spark.catalog.dropTempView(name) if name in [
         t.name for t in spark.catalog.listTables()
     ] else None
-    chk = os.path.join(SCRATCH, "checkpoints", name)
+    chk = os.path.join(_run_scratch(), "checkpoints", name)
     import shutil
 
     shutil.rmtree(chk, ignore_errors=True)  # fresh run each invocation
@@ -553,7 +580,7 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     src = _stream_src(spark, sf_dir)
-    out = os.path.join(SCRATCH, f"stream_sink_parquet_{_sf_tag(sf_dir)}")
+    out = os.path.join(_run_scratch(), f"stream_sink_parquet_{_sf_tag(sf_dir)}")
     shutil.rmtree(out, ignore_errors=True)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -563,7 +590,7 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    chk = os.path.join(SCRATCH, "checkpoints", f"stream_sink_parquet_{_sf_tag(sf_dir)}")
+    chk = os.path.join(_run_scratch(), "checkpoints", f"stream_sink_parquet_{_sf_tag(sf_dir)}")
     shutil.rmtree(chk, ignore_errors=True)
     q = (
         _read_stream(spark, src)
@@ -614,8 +641,8 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import time as _time
 
-    out = os.path.join(SCRATCH, f"stream_rate_{_sf_tag(sf_dir)}")
-    chk = os.path.join(SCRATCH, "checkpoints", f"stream_rate_{_sf_tag(sf_dir)}")
+    out = os.path.join(_run_scratch(), f"stream_rate_{_sf_tag(sf_dir)}")
+    chk = os.path.join(_run_scratch(), "checkpoints", f"stream_rate_{_sf_tag(sf_dir)}")
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(chk, ignore_errors=True)
 
@@ -682,7 +709,7 @@ def stream_restart_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _sf_tag(sf_dir)
     stage = os.path.join(SCRATCH, f"stream_restart_stage_{tag}")
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
-        tmp = stage + ".tmp"
+        tmp = f"{stage}.tmp{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
         e = load(spark, sf_dir, "events")
@@ -697,12 +724,11 @@ def stream_restart_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.move(os.path.join(sub, fname), os.path.join(tmp, f"half{idx}.parquet"))
             shutil.rmtree(sub)
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
-        shutil.rmtree(stage, ignore_errors=True)
-        os.replace(tmp, stage)
+        _commit_fixture(tmp, stage)
 
-    src = os.path.join(SCRATCH, f"stream_restart_src_{tag}")
-    out = os.path.join(SCRATCH, f"stream_restart_out_{tag}")
-    chk = os.path.join(SCRATCH, "checkpoints", f"stream_restart_{tag}")
+    src = os.path.join(_run_scratch(), f"stream_restart_src_{tag}")
+    out = os.path.join(_run_scratch(), f"stream_restart_out_{tag}")
+    chk = os.path.join(_run_scratch(), "checkpoints", f"stream_restart_{tag}")
     for d in (src, out, chk):
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(src)
@@ -763,8 +789,8 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = _sf_tag(sf_dir)
     src = _stream_src(spark, sf_dir)
-    state = os.path.join(SCRATCH, f"upsert_state_{tag}")
-    chk = os.path.join(SCRATCH, "checkpoints", f"upsert_{tag}")
+    state = os.path.join(_run_scratch(), f"upsert_state_{tag}")
+    chk = os.path.join(_run_scratch(), "checkpoints", f"upsert_{tag}")
     for d in (state, chk):
         shutil.rmtree(d, ignore_errors=True)
 
@@ -850,7 +876,7 @@ def stream_state_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     src = _stream_src(spark, sf_dir)
     name = "mem_stream_state_introspect"
-    chk = os.path.join(SCRATCH, "checkpoints", name)
+    chk = os.path.join(_run_scratch(), "checkpoints", name)
     agg = (
         _read_stream(spark, src)
         .groupBy(F.window("ts", "10 minutes"), "event_type")
