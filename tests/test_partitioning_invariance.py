@@ -112,6 +112,12 @@ def test_sharded_sequence_gaps_boundary_stitch(spark):
     keys.update(range(-150, -100))          # dense run inside shard -1
     keys.update({-1005, -995})              # gap crossing the -1000 boundary
     keys.update({-3, 5})                    # gap crossing the 0 boundary
+    # BEYOND-2^53 key domain: shard assignment must be exact integer
+    # floor-division — double true-division carries ~2^9 absolute error
+    # at 2^62, enough to misassign a boundary key to a non-adjacent
+    # shard and silently drop its stitch.
+    big = 4611686018427388000  # multiple of W=1000, near 2^62
+    keys.update({big - 5, big + 3})         # gap crossing that boundary
     df = spark.createDataFrame([(k,) for k in sorted(keys)], "k long")
 
     got = {
@@ -140,6 +146,8 @@ def test_sharded_sequence_gaps_boundary_stitch(spark):
     assert (2990, 3042, 51) not in got
     # The negative-domain stitches really happened.
     assert (-1005, -995, 9) in got and (-3, 5, 7) in got
+    # ... and the beyond-2^53 boundary stitch survived exact shard math.
+    assert (big - 5, big + 3, 7) in got
 
 
 def test_sharded_sequence_gaps_property(spark):

@@ -639,4 +639,9 @@ def _unpartitioned_window_specs(plan: str) -> list:
         head = "".join(first).strip()
         if " ASC" in head or " DESC" in head:
             out.append(plan[j:k][:120])
-        i = k
+        # Resume right after the MARKER, not after the matched span: a
+        # truncated plan (maxToStringFields elision can drop a closing
+        # paren) would otherwise consume the rest of the string and
+        # silently skip every later occurrence.  Nested specs get
+        # examined independently — extra recall, never lost recall.
+        i = j + len(marker)

@@ -80,8 +80,9 @@ def load_all() -> None:
 # round-7 column bisect localized the 5-round red to the decimal128(28,2)
 # sum; the parent now ships the total as exact integer cents, see
 # sources/sinks.py), then the 35-key never-adjudicated backlog.  The
-# window math closes exactly: 1 red parent + 4 probes + 35 fresh = 40,
-# leaving 10 slots for the stalest-green refill (round-7 VERDICT item 3).
+# window math: 1 red parent + 4 probes + 35 fresh + 5 _FORCE_FRONT
+# re-proofs (round-8 logic changes, below) = 45, leaving 5 slots for
+# the stalest-green refill (round-7 VERDICT item 3).
 _FAMILY_RANK = (
     ("typed_probe_",),  # decimal representation probes (round-7 VERDICT item 1)
     ("scan_typed_columns",),  # red r3-r7 — cents-BIGINT re-emit, adjudicated with probes
@@ -103,7 +104,25 @@ _FAMILY_RANK = (
 # post-change round records them green again.
 # (Round-6 entries join_fuzzy_levenshtein / meta_export / meta_import /
 # meta_roundtrip all re-recorded GREEN in CORRECTNESS_r06.json — cleared.)
-_FORCE_FRONT: set[str] = set()
+#
+# Round-8 entries — the keys whose round-8 edits changed LOGIC or batch
+# semantics, not just physical layout (the wide relayouts are
+# row-identical and the hash is order-insensitive; those rotate through
+# the normal stale-green refill):
+#   win_sequence_gaps      green r7; lookahead pmod + exact div shard math
+#   stream_foreach_upsert  green r7; maxFilesPerTrigger two-batch merge
+#   stream_sink_parquet    green r7; per-PID checkpoint/landing relocation
+#   stream_restart_checkpoint green r7; restart src/out/chk relocation +
+#                          race-safe stage promotion
+#   llm_cdc_chunking       green r7; wide documents staging feeds the
+#                          per-char fold (heaviest docs-wide consumer)
+_FORCE_FRONT: set[str] = {
+    "win_sequence_gaps",
+    "stream_foreach_upsert",
+    "stream_sink_parquet",
+    "stream_restart_checkpoint",
+    "llm_cdc_chunking",
+}
 
 
 # Keys registered after the CURRENT round's fresh window is already full

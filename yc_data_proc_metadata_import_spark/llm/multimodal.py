@@ -515,15 +515,28 @@ def _media_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
+def _media_fixture_dir(spark: SparkSession, kind: str, sf_dir: str) -> str:
+    """Fixture dir for a width-dependent media table: the build fans out
+    over ``_media_doc_ids`` so its FILE COUNT equals the building
+    session's parallelism.  Baking the width into the fixture version
+    makes a session at a different parallelism rebuild (and the
+    ``_fixture_dir`` stale-sibling reaper remove the old layout) instead
+    of silently scanning a narrower stage — the same rule the streaming
+    sources and ``load_documents_wide`` encode in their dir names."""
+    from ..sources.io import _fixture_dir
+
+    return _fixture_dir(
+        kind, sf_dir, version=f"2w{spark.sparkContext.defaultParallelism}"
+    )
+
+
 def _ppm_fixture(spark: SparkSession, sf_dir: str) -> str:
     """One-time parquet of REAL binary PPM images, one per document:
     pixel (y, x, c) = (doc_id*7 + 3x + 5y + 11c) mod 256, dimensions
     8 + doc_id % 9 by 8 + (3*doc_id) % 9 — a pure function of doc_id, so
     the oracle can recompute expected stats arithmetically while the
     engine path decodes the actual bytes."""
-    from ..sources.io import _fixture_dir
-
-    out = _fixture_dir("ppm_media", sf_dir, version="2")
+    out = _media_fixture_dir(spark, "ppm_media", sf_dir)
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
 
@@ -634,9 +647,7 @@ def _png_fixture(spark: SparkSession, sf_dir: str) -> str:
     corpus, and everything is a pure function of doc_id so the oracle
     recomputes expected stats arithmetically while the engine path
     inflates and unfilters the actual bytes."""
-    from ..sources.io import _fixture_dir
-
-    out = _fixture_dir("png_media", sf_dir, version="2")
+    out = _media_fixture_dir(spark, "png_media", sf_dir)
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
 
@@ -1099,9 +1110,7 @@ def _jpeg_fixture(spark: SparkSession, sf_dir: str) -> str:
     YCbCr->RGB the identity — so the oracle recomputes the decoded
     means arithmetically while the engine path huffman-decodes and
     IDCTs the actual bytes."""
-    from ..sources.io import _fixture_dir
-
-    out = _fixture_dir("jpeg_media", sf_dir, version="2")
+    out = _media_fixture_dir(spark, "jpeg_media", sf_dir)
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
 
@@ -1242,9 +1251,7 @@ def _wav_fixture(spark: SparkSession, sf_dir: str) -> str:
     a pure function of doc_id so the oracle can recompute exact stats."""
     import struct
 
-    from ..sources.io import _fixture_dir
-
-    out = _fixture_dir("wav_media", sf_dir, version="2")
+    out = _media_fixture_dir(spark, "wav_media", sf_dir)
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
 

@@ -1076,18 +1076,24 @@ def sharded_sequence_gaps(
     ``max_missing + 1 < shard_w`` so a reportable gap spans at most one
     boundary."""
     assert max_missing + 1 < shard_w
-    own = keys.select(
-        "k", F.floor(F.col("k") / shard_w).alias("shard"), F.lit(True).alias("own")
-    )
+    # Shard = floor-division computed entirely in INTEGER arithmetic:
+    # subtracting pmod(k, w) makes k exactly divisible, so `div` (long
+    # division, no double round-trip) returns the exact floor quotient
+    # for the whole int64 domain — F.floor(k / w) goes through double
+    # true-division, inexact beyond 2^53.  (pmod matches floor-division
+    # semantics for negative k; `k - pmod` cannot underflow for the
+    # default shard_w because 65536 divides 2^63 exactly.)
+    shard = F.expr(f"(k - pmod(k, {shard_w})) div {shard_w}")
+    own = keys.select("k", shard.alias("shard"), F.lit(True).alias("own"))
     # pmod, not %: Spark's % is sign-preserving, so with negative keys
     # EVERY negative k would satisfy `k % shard_w <= max_missing` and be
     # duplicated as lookahead — results stay correct but the documented
     # <=(max_missing+1)/shard_w duplication bound breaks (round-7
-    # ADVICE).  pmod matches F.floor's toward-negative-infinity division,
-    # so the bound holds over any integer key domain.
+    # ADVICE).  pmod matches floor-division semantics, so the bound
+    # holds over any integer key domain.
     peek = keys.where(F.pmod(F.col("k"), F.lit(shard_w)) <= max_missing).select(
         "k",
-        (F.floor(F.col("k") / shard_w) - 1).alias("shard"),
+        (shard - 1).alias("shard"),
         F.lit(False).alias("own"),
     )
     w = Window.partitionBy("shard").orderBy(F.col("k").asc())

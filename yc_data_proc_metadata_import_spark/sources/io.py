@@ -128,12 +128,15 @@ def load_documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     if par <= 1:
         return load(spark, sf_dir, "documents")
+    # Width baked into the dir name (the streaming-source rule): a layout
+    # built by a narrower session must rebuild, not be silently reused —
+    # _SUCCESS alone can't tell an 8-file stage from a 32-file one.
     out = _materialize(
         lambda p: load(spark, sf_dir, "documents")
         .repartition(par)
         .write.mode("overwrite")
         .parquet(p),
-        os.path.join(SCRATCH, f"docs_wide_{sf_tag(sf_dir)}"),
+        os.path.join(SCRATCH, f"docs_wide_{sf_tag(sf_dir)}_w{par}"),
     )
     return spark.read.parquet(out)
 
@@ -228,6 +231,7 @@ def _materialize(writer, out: str) -> str:
     last-wins — both produce identical content (the build is a pure
     function of the immutable testdata), so whichever lands is valid.
     """
+    _reap_scratch_orphans()
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         tmp = f"{out}.tmp{os.getpid()}"
         writer(tmp)
@@ -235,22 +239,76 @@ def _materialize(writer, out: str) -> str:
     return out
 
 
-def _commit_fixture(tmp: str, out: str) -> None:
-    """Atomically promote a fully-built staging dir to its fixture path.
-    Used with PID-suffixed staging dirs: two cold drivers racing to
-    build the same missing fixture each write privately and the rename
-    is last-wins — both produce identical content (the build is a pure
-    function of the immutable testdata), so whichever lands is valid."""
+_ORPHANS_REAPED = False
+
+
+def _reap_scratch_orphans() -> None:
+    """Once per process: remove scratch debris no current code path can
+    reach — (a) PID-suffixed staging dirs whose builder died mid-write
+    (a crashed build would otherwise leak its ``*.tmp<pid>`` copy
+    forever, where the old fixed ``.tmp`` name at least self-overwrote),
+    and (b) legacy pre-width-suffix stream/documents layouts (the width
+    now lives in the dir name, so the un-suffixed dirs are permanently
+    stale).  Live builders are left alone (pid probe), as are
+    other-width siblings — a concurrent session at a different
+    parallelism may be scanning them."""
+    global _ORPHANS_REAPED
+    if _ORPHANS_REAPED:
+        return
+    _ORPHANS_REAPED = True
+    import re
     import shutil
 
+    try:
+        entries = os.listdir(SCRATCH)
+    except OSError:
+        return
+    for e in entries:
+        m = re.search(r"\.tmp(\d+)?$", e)
+        if m:
+            if m.group(1):
+                try:
+                    os.kill(int(m.group(1)), 0)
+                    continue  # builder still alive: not ours to touch
+                except ProcessLookupError:
+                    pass
+                except (PermissionError, OSError):
+                    continue
+            shutil.rmtree(os.path.join(SCRATCH, e), ignore_errors=True)
+        elif re.match(
+            r"(stream_events(_dup)?|docs_wide)_sf\w+$", e
+        ) and not re.search(r"_w\d+$", e):
+            shutil.rmtree(os.path.join(SCRATCH, e), ignore_errors=True)
+
+
+def _commit_fixture(tmp: str, out: str) -> None:
+    """Promote a fully-built staging dir to its fixture path.
+    Used with PID-suffixed staging dirs: two cold drivers racing to
+    build the same missing fixture each write privately; FIRST-wins —
+    both produce identical content (the build is a pure function of the
+    immutable testdata), so the late builder drops its copy rather than
+    clobbering a valid committed dir another session may already be
+    scanning.  Only marker-less debris (an interrupted pre-PID-suffix
+    write) is ever removed, and a promotion that still can't land
+    raises instead of silently serving whatever is in ``out``."""
+    import shutil
+
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        # Lost the race to a builder that committed while we wrote:
+        # their copy is valid and possibly mid-scan elsewhere — keep it.
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
     if os.path.exists(out):
-        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)  # marker-less debris only
     try:
         os.replace(tmp, out)
     except OSError:
-        # A concurrent builder renamed its copy in after our rmtree;
-        # identical content is already in place — drop ours.
-        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            # Concurrent builder renamed its identical copy in between
+            # our check and replace — drop ours.
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise  # partial delete / unexpected state: never serve debris
 
 
 def _csv_fixture(spark: SparkSession, sf_dir: str) -> str:
