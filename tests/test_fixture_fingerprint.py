@@ -170,3 +170,73 @@ def test_fixture_version_alternation_raises(regen_sf):
     _fixture_dir("fpalt_kind", regen_sf, version="2")  # forward bump: fine
     with pytest.raises(AssertionError, match="alternating"):
         _fixture_dir("fpalt_kind", regen_sf, version="1")
+
+
+def test_commit_fixture_first_wins(tmp_path):
+    """A late racer must DROP its identical copy, never delete a
+    committed fixture another session may be scanning (code-review
+    round 8): _commit_fixture is first-wins on a _SUCCESS-complete
+    destination."""
+    from yc_data_proc_metadata_import_spark.sources.io import _commit_fixture
+
+    out = tmp_path / "fix"
+    out.mkdir()
+    (out / "_SUCCESS").touch()
+    (out / "part-0.parquet").write_bytes(b"winner")
+    tmp = tmp_path / f"fix.tmp{os.getpid()}"
+    tmp.mkdir()
+    (tmp / "_SUCCESS").touch()
+    (tmp / "part-0.parquet").write_bytes(b"late copy")
+    _commit_fixture(str(tmp), str(out))
+    assert (out / "part-0.parquet").read_bytes() == b"winner"
+    assert not tmp.exists(), "late racer's staging dir not dropped"
+
+
+def test_commit_fixture_replaces_markerless_debris(tmp_path):
+    """Marker-less debris (an interrupted pre-PID-suffix write) is the
+    one thing promotion may remove; the staged copy must land."""
+    from yc_data_proc_metadata_import_spark.sources.io import _commit_fixture
+
+    out = tmp_path / "fix"
+    out.mkdir()
+    (out / "part-0.parquet").write_bytes(b"torn write, no _SUCCESS")
+    tmp = tmp_path / f"fix.tmp{os.getpid()}"
+    tmp.mkdir()
+    (tmp / "_SUCCESS").touch()
+    (tmp / "part-0.parquet").write_bytes(b"fresh build")
+    _commit_fixture(str(tmp), str(out))
+    assert (out / "_SUCCESS").exists()
+    assert (out / "part-0.parquet").read_bytes() == b"fresh build"
+    assert not tmp.exists()
+
+
+def test_reap_scratch_orphans(monkeypatch, tmp_path):
+    """Dead builders' PID-suffixed staging dirs and legacy
+    pre-width-suffix layouts are reaped; live-PID staging, width-suffixed
+    layouts, and the one-time 3-batch fixture are left alone."""
+    import yc_data_proc_metadata_import_spark.sources.io as io_mod
+
+    scratch = tmp_path / "scratch"
+    scratch.mkdir()
+    keep = [
+        f"docs_wide_sf0_01_ab12cd34ef_w32",      # current width-keyed layout
+        f"stream_events_sf0_01_ab12cd34ef_w32",  # current width-keyed layout
+        "stream_events_3b_sf0_01_ab12cd34ef",    # 3-batch fixture: no width rule
+        f"thing.tmp{os.getpid()}",               # live builder (this process)
+    ]
+    reap = [
+        "docs_wide_sf0_01_ab12cd34ef",           # legacy, pre-width-suffix
+        "stream_events_sf0_01_ab12cd34ef",       # legacy, pre-width-suffix
+        "stream_events_dup_sf0_01_ab12cd34ef",   # legacy, pre-width-suffix
+        "thing.tmp",                             # legacy fixed staging name
+        "thing.tmp999999999",                    # dead builder (pid_max < 2^22 + 1)
+    ]
+    for d in keep + reap:
+        (scratch / d).mkdir()
+    monkeypatch.setattr(io_mod, "SCRATCH", str(scratch))
+    monkeypatch.setattr(io_mod, "_ORPHANS_REAPED", False)
+    io_mod._reap_scratch_orphans()
+    for d in keep:
+        assert (scratch / d).exists(), f"wrongly reaped {d}"
+    for d in reap:
+        assert not (scratch / d).exists(), f"orphan survived: {d}"
