@@ -224,12 +224,19 @@ def test_reap_scratch_orphans(monkeypatch, tmp_path):
         "stream_events_3b_sf0_01_ab12cd34ef",    # 3-batch fixture: no width rule
         f"thing.tmp{os.getpid()}",               # live builder (this process)
     ]
+    keep.append("stream_restart_stage_sf0_01_ab12cd34ef")  # live shared fixture
     reap = [
         "docs_wide_sf0_01_ab12cd34ef",           # legacy, pre-width-suffix
         "stream_events_sf0_01_ab12cd34ef",       # legacy, pre-width-suffix
         "stream_events_dup_sf0_01_ab12cd34ef",   # legacy, pre-width-suffix
         "thing.tmp",                             # legacy fixed staging name
         "thing.tmp999999999",                    # dead builder (pid_max < 2^22 + 1)
+        "checkpoints",                           # pre-relocation checkpoint root
+        "stream_rate_sf0_01_ab12cd34ef",         # pre-relocation per-run dirs
+        "stream_restart_src_sf0_01_ab12cd34ef",
+        "stream_restart_out_sf0_01_ab12cd34ef",
+        "stream_sink_parquet_sf0_01_ab12cd34ef",
+        "upsert_state_sf0_01_ab12cd34ef",
     ]
     for d in keep + reap:
         (scratch / d).mkdir()

@@ -95,6 +95,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (NTZ).  Branch on the actual physical type so either fixture
     generation loads to the same logical column: TIMESTAMP_NTZ in UTC.
     """
+    _reap_scratch_orphans()  # once per process; every key passes through here
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
@@ -278,6 +279,15 @@ def _reap_scratch_orphans() -> None:
         elif re.match(
             r"(stream_events(_dup)?|docs_wide)_sf\w+$", e
         ) and not re.search(r"_w\d+$", e):
+            shutil.rmtree(os.path.join(SCRATCH, e), ignore_errors=True)
+        elif e == "checkpoints" or re.match(
+            # Per-run mutable dirs at their pre-relocation top-level
+            # paths (they now live under runs/pid<pid>/) — unreachable.
+            # stream_restart_STAGE_* stays: a live shared fixture.
+            r"(stream_rate_|stream_restart_(src|out)_"
+            r"|stream_sink_parquet_|upsert_state_)sf\w+$",
+            e,
+        ):
             shutil.rmtree(os.path.join(SCRATCH, e), ignore_errors=True)
 
 
