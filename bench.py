@@ -57,6 +57,47 @@ def main() -> int:
         .withColumn("v", _F.pandas_udf(lambda s: s + 1, "long")(_F.col("id")))
     )
 
+    # Python DataSource planner spin-up: the FIRST read through a
+    # registered Python data source pays ~3-4 s of one-time driver-side
+    # planner-process + Arrow-eval setup shared by every Python source
+    # thereafter (measured: scan_python_datasource 3.8 s cold, 0.6 s
+    # warm). Absorb it here with a one-row source so the timed key
+    # measures the source, not the machinery — same contract as the
+    # pandas_udf warm-up above.
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _WarmReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(0)]
+
+        def read(self, partition):
+            yield (0,)
+
+    class _WarmSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "bench_warmup_pyds"
+
+        def schema(self):
+            return "i int"
+
+        def reader(self, schema):
+            return _WarmReader()
+
+    spark.dataSource.register(_WarmSource)
+    run(spark.read.format("bench_warmup_pyds").load())
+
+    # Python UDTF path spin-up (same shared-machinery class, measured:
+    # udtf_polymorphic 2.4 s cold, 0.4 s warm): one-row lateral call.
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="x int")
+    class _WarmUDTF:
+        def eval(self, v: int):
+            yield (v,)
+
+    run(_WarmUDTF(_F.lit(1)))
+
     # Fixture prewarm: these keys build one-time derived fixtures
     # (_SUCCESS-guarded under .scratch/ — bucketed/typed/partitioned
     # tables, stream source dirs, media tables, shared shingle/token
