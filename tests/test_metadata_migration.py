@@ -192,6 +192,38 @@ def test_manifest_path_reaps_stale_versions(tmp_path, monkeypatch):
     assert left == [], f"stale manifests not reaped: {left}"
 
 
+def test_manifest_reaper_spares_other_sf_and_inflight_staging(
+    tmp_path, monkeypatch
+):
+    """The reaper must retire only SAME-SF stale siblings. Another scale
+    factor's committed manifest is a live artifact — a concurrent
+    session (bench at sf0.1 beside the correctness gate at sf0.01) may
+    be between its export and import, and reaping it injects a spurious
+    re-export into that run (observed: round-8 concurrent cold-start
+    bench + full-registry rehearsal, meta_import ENOENT). In-flight
+    ``*.json.tmp<pid>`` staging files are equally off-limits."""
+    from yc_data_proc_metadata_import_spark.plans import metadata as M
+
+    monkeypatch.setattr(
+        "yc_data_proc_metadata_import_spark.sources.io.SCRATCH", str(tmp_path)
+    )
+    sf = "/root/testdata/sf0.001"
+    other_sf = f"meta_manifest_v{M._MANIFEST_VERSION}_sf0_01_0e19330547.json"
+    same_sf_stale = (
+        f"meta_manifest_v{M._MANIFEST_VERSION}_sf0_001_deadbeef00.json"
+    )
+    inflight = same_sf_stale + ".tmp99999"
+    for name in (other_sf, same_sf_stale, inflight):
+        (tmp_path / name).write_text("[]")
+    M._manifest_path(sf)
+    left = sorted(
+        f for f in os.listdir(tmp_path) if f.startswith("meta_manifest_")
+    )
+    assert left == sorted([other_sf, inflight]), (
+        f"reaper touched the wrong files: {left}"
+    )
+
+
 def test_manifest_location_validation():
     """A manifest naming a vanished table location is not replayable —
     meta_import must re-export instead of registering tables over a

@@ -372,15 +372,30 @@ def _manifest_path(sf_dir: str) -> str:
     """Version- and fingerprint-keyed manifest file (a regenerated
     testdata dir OR a changed manifest format must never be satisfied by
     a stale manifest's locations). Stale siblings — other fingerprints
-    or other format versions — are reaped on access, mirroring
-    _fixture_dir's reaper."""
+    or other format versions OF THE SAME sf basename — are reaped on
+    access, mirroring _fixture_dir's reaper. Other scale factors'
+    manifests are live artifacts, not stale: a concurrent session at a
+    different SF (bench at sf0.1 beside the correctness gate at sf0.01)
+    may be between its export and import, and reaping its manifest
+    injects a spurious re-export into its run (observed: concurrent
+    cold-start bench + full-registry rehearsal, round 8). In-flight
+    ``*.tmp<pid>`` staging files are skipped for the same reason."""
     from ..sources.io import SCRATCH
 
     os.makedirs(SCRATCH, exist_ok=True)
     name = f"meta_manifest_v{_MANIFEST_VERSION}_{sf_tag(sf_dir)}.json"
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     for stale in os.listdir(SCRATCH):
-        if stale.startswith("meta_manifest_") and stale != name:
-            os.remove(os.path.join(SCRATCH, stale))
+        if (
+            stale.startswith("meta_manifest_")
+            and stale.endswith(".json")
+            and f"_{base}_" in stale
+            and stale != name
+        ):
+            try:
+                os.remove(os.path.join(SCRATCH, stale))
+            except FileNotFoundError:
+                pass  # a concurrent same-SF reaper won the race
     return os.path.join(SCRATCH, name)
 
 
@@ -395,11 +410,34 @@ def _manifest_locations_exist(manifest: list) -> bool:
     return True
 
 
+def _load_or_export_manifest(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """Committed manifest if one is readable and its locations are live,
+    else a fresh export. open() is attempted directly instead of an
+    exists() pre-check — between the two, a concurrent same-SF session's
+    reaper may retire the file (TOCTOU, observed round 8), and the
+    except branch is exactly the cold path anyway."""
+    try:
+        with open(_manifest_path(sf_dir)) as f:
+            manifest = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return _export_to_disk(spark, sf_dir)
+    _build_source(spark, sf_dir)
+    if not _manifest_locations_exist(manifest):
+        manifest = _export_to_disk(spark, sf_dir)
+    return manifest
+
+
 def _export_to_disk(spark: SparkSession, sf_dir: str) -> list[dict]:
     _build_source(spark, sf_dir)
     manifest = export_manifest(spark, _SRC_DB)
-    with open(_manifest_path(sf_dir), "w") as f:
+    # PID-staged + atomic replace (the fixture _commit_fixture pattern):
+    # a concurrent reader never sees a partially-written manifest, and
+    # two same-SF exporters last-win with identical content.
+    path = _manifest_path(sf_dir)
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2)
+    os.replace(tmp, path)
     return manifest
 
 
@@ -494,15 +532,7 @@ def meta_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared-metastore half of the reference's topology). Full
     process-level isolation is exercised by
     tests/test_metadata_migration.py."""
-    path = _manifest_path(sf_dir)
-    if os.path.exists(path):
-        _build_source(spark, sf_dir)
-        with open(path) as f:
-            manifest = json.load(f)
-        if not _manifest_locations_exist(manifest):
-            manifest = _export_to_disk(spark, sf_dir)
-    else:
-        manifest = _export_to_disk(spark, sf_dir)
+    manifest = _load_or_export_manifest(spark, sf_dir)
     import_manifest(spark.newSession(), manifest, _DST_DB)
     return spark.table(f"{_DST_DB}.{_VIEW_NAME}")
 
@@ -768,15 +798,7 @@ def meta_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta_export); the compare is a dict diff over canonical strings.
     At a 10k-table metastore this is two catalog scans and a
     set-difference, not a data read."""
-    path = _manifest_path(sf_dir)
-    if os.path.exists(path):
-        _build_source(spark, sf_dir)
-        with open(path) as f:
-            manifest = json.load(f)
-        if not _manifest_locations_exist(manifest):
-            manifest = _export_to_disk(spark, sf_dir)
-    else:
-        manifest = _export_to_disk(spark, sf_dir)
+    manifest = _load_or_export_manifest(spark, sf_dir)
     import_manifest(spark.newSession(), manifest, _DIFF_DB)
     # Controlled drift. DROP PARTITION deregisters metadata only — the
     # imported tables are EXTERNAL over shared storage (assert, as in

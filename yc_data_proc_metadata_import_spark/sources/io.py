@@ -275,7 +275,16 @@ def _reap_scratch_orphans() -> None:
                     pass
                 except (PermissionError, OSError):
                     continue
-            shutil.rmtree(os.path.join(SCRATCH, e), ignore_errors=True)
+            p = os.path.join(SCRATCH, e)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                # staging FILES too (manifest exports stage as
+                # ``<name>.json.tmp<pid>``; rmtree no-ops on a file)
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
         elif re.match(
             r"(stream_events(_dup)?|docs_wide)_sf\w+$", e
         ) and not re.search(r"_w\d+$", e):
