@@ -52,9 +52,24 @@ def main() -> int:
     run(queries["flagship_pricing_summary"](spark, sf_dir))
     from pyspark.sql import functions as _F
 
-    run(
-        spark.range(spark.sparkContext.defaultParallelism)
-        .withColumn("v", _F.pandas_udf(lambda s: s + 1, "long")(_F.col("id")))
+    def _warm(label, thunk):
+        # A broken warm-up path must degrade to that key's per-key error
+        # row in the timed loop, never abort the whole suite (the
+        # docstring contract above).
+        try:
+            run(thunk())
+        except Exception as e:  # noqa: BLE001 — the timed loop reports it
+            print(
+                f"[bench] warmup {label}: {type(e).__name__}: {e}"[:300],
+                file=sys.stderr,
+                flush=True,
+            )
+
+    _warm(
+        "pandas_udf",
+        lambda: spark.range(spark.sparkContext.defaultParallelism).withColumn(
+            "v", _F.pandas_udf(lambda s: s + 1, "long")(_F.col("id"))
+        ),
     )
 
     # Python DataSource planner spin-up: the FIRST read through a
@@ -64,39 +79,49 @@ def main() -> int:
     # warm). Absorb it here with a one-row source so the timed key
     # measures the source, not the machinery — same contract as the
     # pandas_udf warm-up above.
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    def _warm_datasource():
+        from pyspark.sql.datasource import (
+            DataSource,
+            DataSourceReader,
+            InputPartition,
+        )
 
-    class _WarmReader(DataSourceReader):
-        def partitions(self):
-            return [InputPartition(0)]
+        class _WarmReader(DataSourceReader):
+            def partitions(self):
+                return [InputPartition(0)]
 
-        def read(self, partition):
-            yield (0,)
+            def read(self, partition):
+                yield (0,)
 
-    class _WarmSource(DataSource):
-        @classmethod
-        def name(cls):
-            return "bench_warmup_pyds"
+        class _WarmSource(DataSource):
+            @classmethod
+            def name(cls):
+                return "bench_warmup_pyds"
 
-        def schema(self):
-            return "i int"
+            def schema(self):
+                return "i int"
 
-        def reader(self, schema):
-            return _WarmReader()
+            def reader(self, schema):
+                return _WarmReader()
 
-    spark.dataSource.register(_WarmSource)
-    run(spark.read.format("bench_warmup_pyds").load())
+        spark.dataSource.register(_WarmSource)
+        return spark.read.format("bench_warmup_pyds").load()
+
+    _warm("python_datasource", _warm_datasource)
 
     # Python UDTF path spin-up (same shared-machinery class, measured:
     # udtf_polymorphic 2.4 s cold, 0.4 s warm): one-row lateral call.
-    from pyspark.sql.functions import udtf as _udtf
+    def _warm_udtf():
+        from pyspark.sql.functions import udtf as _udtf
 
-    @_udtf(returnType="x int")
-    class _WarmUDTF:
-        def eval(self, v: int):
-            yield (v,)
+        @_udtf(returnType="x int")
+        class _WarmUDTF:
+            def eval(self, v: int):
+                yield (v,)
 
-    run(_WarmUDTF(_F.lit(1)))
+        return _WarmUDTF(_F.lit(1))
+
+    _warm("udtf", _warm_udtf)
 
     # Fixture prewarm: these keys build one-time derived fixtures
     # (_SUCCESS-guarded under .scratch/ — bucketed/typed/partitioned

@@ -209,19 +209,26 @@ def test_manifest_reaper_spares_other_sf_and_inflight_staging(
     )
     sf = "/root/testdata/sf0.001"
     other_sf = f"meta_manifest_v{M._MANIFEST_VERSION}_sf0_01_0e19330547.json"
+    # sanitized basename EMBEDS this SF's base ('sf0_001_old') — substring
+    # containment would misclassify it as a same-SF stale sibling
+    embedded_base = (
+        f"meta_manifest_v{M._MANIFEST_VERSION}_sf0_001_old_abcdef0123.json"
+    )
     same_sf_stale = (
         f"meta_manifest_v{M._MANIFEST_VERSION}_sf0_001_deadbeef00.json"
     )
+    # version-dead files are unreadable by EVERY session running this
+    # code, so they are reaped regardless of scale factor
+    other_sf_dead_version = "meta_manifest_v0_sf0_01_0e19330547.json"
     inflight = same_sf_stale + ".tmp99999"
-    for name in (other_sf, same_sf_stale, inflight):
+    survivors = (other_sf, embedded_base, inflight)
+    for name in survivors + (same_sf_stale, other_sf_dead_version):
         (tmp_path / name).write_text("[]")
     M._manifest_path(sf)
     left = sorted(
         f for f in os.listdir(tmp_path) if f.startswith("meta_manifest_")
     )
-    assert left == sorted([other_sf, inflight]), (
-        f"reaper touched the wrong files: {left}"
-    )
+    assert left == sorted(survivors), f"reaper touched the wrong files: {left}"
 
 
 def test_manifest_location_validation():

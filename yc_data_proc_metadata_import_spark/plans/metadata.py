@@ -382,15 +382,27 @@ def _manifest_path(sf_dir: str) -> str:
     ``*.tmp<pid>`` staging files are skipped for the same reason."""
     from ..sources.io import SCRATCH
 
+    import re
+
     os.makedirs(SCRATCH, exist_ok=True)
-    name = f"meta_manifest_v{_MANIFEST_VERSION}_{sf_tag(sf_dir)}.json"
-    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = sf_tag(sf_dir)
+    name = f"meta_manifest_v{_MANIFEST_VERSION}_{tag}.json"
+    base = tag.rsplit("_", 1)[0]
+    # Exact-shape matches (the _fixture_dir reaper idiom), never
+    # substring containment — a sibling dir whose sanitized name embeds
+    # this base (sf0.001_old) must not be mistaken for this SF. A file
+    # is stale if it is THIS SF at another fingerprint/version, or ANY
+    # SF at another format version (version-dead files are unreadable
+    # by every session running this code, so reaping them cannot race).
+    same_sf = re.compile(
+        rf"meta_manifest(_v\w+)?_{re.escape(base)}_[0-9a-f]+\.json$"
+    )
+    cur_version = re.compile(rf"meta_manifest_v{_MANIFEST_VERSION}_\w+\.json$")
     for stale in os.listdir(SCRATCH):
-        if (
-            stale.startswith("meta_manifest_")
-            and stale.endswith(".json")
-            and f"_{base}_" in stale
-            and stale != name
+        if not stale.startswith("meta_manifest_") or stale == name:
+            continue
+        if same_sf.fullmatch(stale) or (
+            stale.endswith(".json") and not cur_version.fullmatch(stale)
         ):
             try:
                 os.remove(os.path.join(SCRATCH, stale))
