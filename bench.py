@@ -191,28 +191,9 @@ def main() -> int:
             errors[key] = f"{type(e).__name__}: {e}"[:200]
             print(f"[bench] {key}: ERROR {errors[key]}", file=sys.stderr, flush=True)
 
-    # Decimal-representation probe dump (round-7 VERDICT item 1): the
-    # round-5/6 full-result dump proved the scan_typed_columns VALUES
-    # bit-identical to the oracle, so it is retired; what remains is one
-    # schema+values line per round-8 representation probe — at the
-    # driver's correctness SF (0.01) when that testdata exists — so the
-    # r8 hash verdicts map onto exactly what each re-encoding handed the
-    # harness.  Retire this block with the probes once CORRECTNESS_r08
-    # records them.
-    try:
-        dump_dir = os.path.join(os.path.dirname(os.path.normpath(sf_dir)), "sf0.01")
-        if not os.path.isdir(dump_dir):
-            dump_dir = sf_dir
-        print("[typed] sf_dir=" + dump_dir)
-        for pk in sorted(k for k in queries if k.startswith("typed_probe_")):
-            pt = queries[pk](spark, dump_dir).toArrow()
-            vals = sorted(str(next(iter(r.values()))) for r in pt.to_pylist())
-            print(
-                f"[typed] {pk}: {str(pt.schema).strip()} "
-                + json.dumps(vals, default=str)
-            )
-    except Exception as e:  # noqa: BLE001 — diagnostics never abort bench
-        print(f"[typed] dump failed: {type(e).__name__}: {e}"[:200])
+    # (The rounds-5..8 decimal-representation diagnostic dump lived here;
+    # retired with the typed_probe_* keys once CORRECTNESS_r08 recorded
+    # the finding — see SURVEY 6.1b.)
 
     # The driver captures only the TAIL of stdout: a JSON line carrying
     # all 158 per-key timings overflowed that capture in rounds 2-3 and

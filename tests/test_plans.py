@@ -600,7 +600,7 @@ def test_no_unpartitioned_window_anywhere(spark, sf_dir):
     over data-sized inputs.
     """
     bounded_input_ok = {"agg_gini", "win_pareto"}
-    skip_prefix = ("stream_", "meta_", "catalog_", "sink_", "scan_python", "typed_probe_")
+    skip_prefix = ("stream_", "meta_", "catalog_", "sink_", "scan_python")
     offenders = {}
     for key, fn in QUERIES.items():
         if key.startswith(skip_prefix) or key in bounded_input_ok:

@@ -75,17 +75,16 @@ def load_all() -> None:
 # committed CORRECTNESS_r*.json move to the BACK (their verdict is on
 # record); never-adjudicated keys fill the front, ordered by stakes.
 #
-# Round-8 ordering (round-7 VERDICT items 1-2): the four decimal
-# REPRESENTATION probes + the re-emitted parent lead the window (the
-# round-7 column bisect localized the 5-round red to the decimal128(28,2)
-# sum; the parent now ships the total as exact integer cents, see
-# sources/sinks.py), then the 35-key never-adjudicated backlog.  The
-# window math: 1 red parent + 4 probes + 35 fresh + 5 _FORCE_FRONT
-# re-proofs (round-8 logic changes, below) = 45, leaving 5 slots for
-# the stalest-green refill (round-7 VERDICT item 3).
+# Round-9 state (round-8 VERDICT items 1-2): the four typed_probe_* keys
+# are RETIRED (finding complete — the driver hash rejects Arrow
+# decimal128 at any precision; SURVEY 6.1b), the registry is 274
+# operator keys, every key has a recorded green, and zero keys are
+# never-adjudicated.  The whole 50-slot window therefore goes to the
+# stalest greens: the entire r3 cohort (48 keys, recorded before the
+# LTZ->NTZ registry cast and both fixture-layout overhauls) plus the two
+# oldest r4 greens.  _FAMILY_RANK only matters again if a future round
+# registers new keys.
 _FAMILY_RANK = (
-    ("typed_probe_",),  # decimal representation probes (round-7 VERDICT item 1)
-    ("scan_typed_columns",),  # red r3-r7 — cents-BIGINT re-emit, adjudicated with probes
     ("tpch_",),  # 15-query completion suite — headline claim, zero proof
     ("graph_", "dq_"),  # analytics wave
     ("merge_",),  # merge_cdc_delete + merge_incremental_aggregate
@@ -103,26 +102,13 @@ _FAMILY_RANK = (
 # window regardless of CORRECTNESS history. Remove entries once the
 # post-change round records them green again.
 # (Round-6 entries join_fuzzy_levenshtein / meta_export / meta_import /
-# meta_roundtrip all re-recorded GREEN in CORRECTNESS_r06.json — cleared.)
-#
-# Round-8 entries — the keys whose round-8 edits changed LOGIC or batch
-# semantics, not just physical layout (the wide relayouts are
-# row-identical and the hash is order-insensitive; those rotate through
-# the normal stale-green refill):
-#   win_sequence_gaps      green r7; lookahead pmod + exact div shard math
-#   stream_foreach_upsert  green r7; maxFilesPerTrigger two-batch merge
-#   stream_sink_parquet    green r7; per-PID checkpoint/landing relocation
-#   stream_restart_checkpoint green r7; restart src/out/chk relocation +
-#                          race-safe stage promotion
-#   llm_cdc_chunking       green r7; wide documents staging feeds the
-#                          per-char fold (heaviest docs-wide consumer)
-_FORCE_FRONT: set[str] = {
-    "win_sequence_gaps",
-    "stream_foreach_upsert",
-    "stream_sink_parquet",
-    "stream_restart_checkpoint",
-    "llm_cdc_chunking",
-}
+# meta_roundtrip all re-recorded GREEN in CORRECTNESS_r06.json — cleared.
+# Round-8 entries win_sequence_gaps / stream_foreach_upsert /
+# stream_sink_parquet / stream_restart_checkpoint / llm_cdc_chunking all
+# re-recorded GREEN in CORRECTNESS_r08.json — cleared.  Round-9 edits are
+# process/fixture hygiene only — no key's result logic changed, so the
+# set stays empty and the window is pure stalest-green rotation.)
+_FORCE_FRONT: set[str] = set()
 
 
 # Keys registered after the CURRENT round's fresh window is already full

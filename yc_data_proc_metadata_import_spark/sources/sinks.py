@@ -355,9 +355,13 @@ def scan_typed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic: the aggregation runs entirely in DECIMAL ((12,2) inputs,
     exact (28,2) sum -- any float rounding would corrupt the low cents),
     and the exact total is emitted as integer cents (BIGINT), a type the
-    round-7 probes proved hash-clean.  The four typed_probe_* keys below
-    re-emit the same decimal value in four encodings to identify the
-    driver's decimal canonicalization for the record (SURVEY 6.1b)."""
+    round-7 probes proved hash-clean.  The round-8 representation probes
+    (retired after CORRECTNESS_r08 recorded their verdicts) completed the
+    finding: the driver hash mis-canonicalizes Arrow decimal128 at ANY
+    precision (DECIMAL(18,2) failed exactly like (28,2)) while
+    BIGINT-cents / DOUBLE / VARCHAR re-emits of the same value all pass
+    -- so exact-decimal results must surface as scaled integers at this
+    driver's result boundary (SURVEY 6.1b)."""
     a = _typed_agg(spark, sf_dir)
     return a.select(
         "status_c",
@@ -368,66 +372,6 @@ def scan_typed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_due",
         "prio_max",
     )
-
-
-# --- decimal REPRESENTATION probes (round-7 VERDICT item 1) -----------------
-#
-# The round-7 column bisect proved the driver hash disagrees with
-# Spark+DuckDB on exactly one column: the decimal128(28,2) SUM (values
-# bit-identical; typed_probe_n / typed_probe_n_nullable exonerated int64
-# and nullability).  These four keys re-emit the SAME aggregate value in
-# four different encodings; whichever pass identify the driver hash's
-# decimal canonicalization (bit-width sensitivity vs decimal-anything
-# sensitivity).  The BIGINT re-emit is exact: the scale-2 sum times 100
-# is integral by construction (so DuckDB's round-on-int-cast vs Spark's
-# truncate-on-int-cast cannot diverge), and integer cents overflow
-# BIGINT only past ~9.2e16 dollars.  Retire these keys once
-# CORRECTNESS_r08 records the verdicts and SURVEY 6.1b documents the
-# finding.
-
-
-def _typed_repr_probe(key: str, spark_proj, sql_proj: str, note: str):
-    """Register one re-encoding of the scan_typed_columns decimal sum."""
-
-    def probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _typed_agg(spark, sf_dir).select(spark_proj())
-
-    # Name/doc BEFORE registration: @query copies fn.__name__/__doc__
-    # onto the registered wrapper at decoration time.
-    probe.__name__ = key
-    probe.__doc__ = (
-        "Decimal-representation driver-hash probe: the scan_typed_columns "
-        f"DECIMAL(28,2) sum re-emitted as {note} (see block comment above)."
-    )
-    query(key, oracle=_TYPED_AGG_SQL.format(projection=sql_proj))(probe)
-    return probe
-
-
-typed_probe_dec18 = _typed_repr_probe(
-    "typed_probe_dec18",
-    lambda: F.col("total_price_dec").cast("decimal(18,2)").alias("total_price_dec18"),
-    "CAST(total_price_dec AS DECIMAL(18,2)) AS total_price_dec18",
-    "DECIMAL(18,2) -- same value in a 64-bit-representable decimal "
-    "(tests bit-width sensitivity)",
-)
-typed_probe_cents_bigint = _typed_repr_probe(
-    "typed_probe_cents_bigint",
-    lambda: (F.col("total_price_dec") * 100).cast("long").alias("total_price_cents"),
-    "CAST(total_price_dec * 100 AS BIGINT) AS total_price_cents",
-    "exact integer cents BIGINT (the representation the parent now ships)",
-)
-typed_probe_double = _typed_repr_probe(
-    "typed_probe_double",
-    lambda: F.col("total_price_dec").cast("double").alias("total_price_dbl"),
-    "CAST(total_price_dec AS DOUBLE) AS total_price_dbl",
-    "DOUBLE (tests whether only exact decimal types mis-hash)",
-)
-typed_probe_varchar = _typed_repr_probe(
-    "typed_probe_varchar",
-    lambda: F.col("total_price_dec").cast("string").alias("total_price_str"),
-    "CAST(total_price_dec AS VARCHAR) AS total_price_str",
-    "its canonical VARCHAR rendering (scale-2 digit string, both engines)",
-)
 
 
 @query(
