@@ -172,6 +172,48 @@ def test_fixture_version_alternation_raises(regen_sf):
         _fixture_dir("fpalt_kind", regen_sf, version="1")
 
 
+def test_width_sibling_spared_stale_fp_reaped(regen_sf):
+    """Width-suffixed fixture dirs (round-8 ADVICE, both findings): a
+    sibling at the CURRENT fingerprint but a DIFFERENT width is a
+    concurrent session's live layout and must survive; a sibling at a
+    STALE fingerprint is pre-regeneration debris and must be reaped at
+    ANY width (previously width-suffixed dirs escaped reaping entirely
+    and accumulated across testdata regenerations)."""
+    cur = _fixture_dir("fpwidth_kind", regen_sf, width=32)
+    assert cur.endswith("_w32"), cur
+    base = cur[: -len("_w32")]
+    other_width = base + "_w8"
+    os.makedirs(cur, exist_ok=True)
+    os.makedirs(other_width, exist_ok=True)
+    prefix_dir, _fp = base.rsplit("_", 1)
+    stale_w = f"{prefix_dir}_{'0' * 10}_w32"
+    stale_other_w = f"{prefix_dir}_{'0' * 10}_w8"
+    stale_bare = f"{prefix_dir}_{'0' * 10}"  # legacy hashed-width layout
+    for d in (stale_w, stale_other_w, stale_bare):
+        os.makedirs(d, exist_ok=True)
+    assert _fixture_dir("fpwidth_kind", regen_sf, width=32) == cur
+    assert os.path.exists(other_width), "concurrent other-width layout reaped"
+    for d in (stale_w, stale_other_w, stale_bare):
+        assert not os.path.exists(d), f"stale-fingerprint sibling survived: {d}"
+    for d in (cur, other_width):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_media_fixture_width_visible_in_name(spark, sf_dir):
+    """The media fixtures must encode the building session's parallelism
+    as a VISIBLE _w<N> suffix, not hash it into the fingerprint — hashed,
+    a concurrent different-parallelism session's committed fixture looks
+    like a stale-fingerprint sibling and gets reaped mid-scan (round-8
+    ADVICE, medium)."""
+    from yc_data_proc_metadata_import_spark.llm.multimodal import (
+        _media_fixture_dir,
+    )
+
+    out = _media_fixture_dir(spark, "ppm_media", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    assert out.endswith(f"_w{par}"), out
+
+
 def test_commit_fixture_first_wins(tmp_path):
     """A late racer must DROP its identical copy, never delete a
     committed fixture another session may be scanning (code-review
@@ -208,6 +250,9 @@ def test_commit_fixture_replaces_markerless_debris(tmp_path):
     assert (out / "_SUCCESS").exists()
     assert (out / "part-0.parquet").read_bytes() == b"fresh build"
     assert not tmp.exists()
+    # The debris is shunted aside atomically (never rmtree'd in place —
+    # round-8 ADVICE TOCTOU) and cleaned up after the commit lands.
+    assert os.listdir(tmp_path) == ["fix"], os.listdir(tmp_path)
 
 
 def test_reap_scratch_orphans(monkeypatch, tmp_path):

@@ -217,11 +217,18 @@ def test_manifest_reaper_spares_other_sf_and_inflight_staging(
     same_sf_stale = (
         f"meta_manifest_v{M._MANIFEST_VERSION}_sf0_001_deadbeef00.json"
     )
+    # sanitized basename ENDS WITH this SF's base ('old_sf0.001') — a
+    # greedy version group (_v\w+ swallowing '_v2_old') would full-match
+    # it as same-SF; the version group is strictly numeric (round-8
+    # ADVICE, the prefix-direction twin of embedded_base)
+    suffixed_base = (
+        f"meta_manifest_v{M._MANIFEST_VERSION}_old_sf0_001_abcdef0123.json"
+    )
     # version-dead files are unreadable by EVERY session running this
     # code, so they are reaped regardless of scale factor
     other_sf_dead_version = "meta_manifest_v0_sf0_01_0e19330547.json"
     inflight = same_sf_stale + ".tmp99999"
-    survivors = (other_sf, embedded_base, inflight)
+    survivors = (other_sf, embedded_base, suffixed_base, inflight)
     for name in survivors + (same_sf_stale, other_sf_dead_version):
         (tmp_path / name).write_text("[]")
     M._manifest_path(sf)

@@ -518,15 +518,21 @@ def _media_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _media_fixture_dir(spark: SparkSession, kind: str, sf_dir: str) -> str:
     """Fixture dir for a width-dependent media table: the build fans out
     over ``_media_doc_ids`` so its FILE COUNT equals the building
-    session's parallelism.  Baking the width into the fixture version
-    makes a session at a different parallelism rebuild (and the
-    ``_fixture_dir`` stale-sibling reaper remove the old layout) instead
-    of silently scanning a narrower stage — the same rule the streaming
-    sources and ``load_documents_wide`` encode in their dir names."""
+    session's parallelism.  The width rides in the VISIBLE ``_w<N>`` dir
+    suffix (``_fixture_dir(width=...)``) — the same rule the streaming
+    sources and ``load_documents_wide`` encode — so a session at a
+    different parallelism rebuilds its own layout while the
+    stale-sibling reaper spares the other session's live dir.  (The
+    earlier scheme hashed the width into the fingerprint, which made a
+    concurrent different-parallelism session's committed fixture look
+    like a stale-fingerprint sibling and reapable mid-scan — the
+    cross-session race class the round-8 manifest fix closed; round-8
+    ADVICE.  Version bumped 2->3 so the legacy hashed-width dirs read as
+    stale and get reaped on first access.)"""
     from ..sources.io import _fixture_dir
 
     return _fixture_dir(
-        kind, sf_dir, version=f"2w{spark.sparkContext.defaultParallelism}"
+        kind, sf_dir, version="3", width=spark.sparkContext.defaultParallelism
     )
 
 

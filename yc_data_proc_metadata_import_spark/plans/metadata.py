@@ -394,8 +394,14 @@ def _manifest_path(sf_dir: str) -> str:
     # is stale if it is THIS SF at another fingerprint/version, or ANY
     # SF at another format version (version-dead files are unreadable
     # by every session running this code, so reaping them cannot race).
+    # The version group is strictly numeric: a greedy (_v\w+)? would
+    # swallow part of a FOREIGN SF basename that merely ends with this
+    # base (old_sf0.001 -> ..._v2_old_sf0_001_<fp>.json via
+    # _v\w+='_v2_old') and reap another session's live manifest — the
+    # prefix-direction twin of the embedded-base case above (round-8
+    # ADVICE).
     same_sf = re.compile(
-        rf"meta_manifest(_v\w+)?_{re.escape(base)}_[0-9a-f]+\.json$"
+        rf"meta_manifest(_v[0-9]+)?_{re.escape(base)}_[0-9a-f]+\.json$"
     )
     cur_version = re.compile(rf"meta_manifest_v{_MANIFEST_VERSION}_\w+\.json$")
     for stale in os.listdir(SCRATCH):

@@ -132,12 +132,14 @@ def load_documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Width baked into the dir name (the streaming-source rule): a layout
     # built by a narrower session must rebuild, not be silently reused —
     # _SUCCESS alone can't tell an 8-file stage from a 32-file one.
+    # Routed through _fixture_dir (same name shape) so stale-fingerprint
+    # siblings from a testdata regeneration get reaped (round-8 ADVICE).
     out = _materialize(
         lambda p: load(spark, sf_dir, "documents")
         .repartition(par)
         .write.mode("overwrite")
         .parquet(p),
-        os.path.join(SCRATCH, f"docs_wide_{sf_tag(sf_dir)}_w{par}"),
+        _fixture_dir("docs_wide", sf_dir, width=par),
     )
     return spark.read.parquet(out)
 
@@ -176,7 +178,9 @@ _FP_SUFFIX = __import__("re").compile(r"^[0-9a-f]{10}$")
 _KIND_VERSIONS: dict = {}
 
 
-def _fixture_dir(kind: str, sf_dir: str, version: str = "1") -> str:
+def _fixture_dir(
+    kind: str, sf_dir: str, version: str = "1", width: int | None = None
+) -> str:
     """Scratch path for a derived fixture of ``kind`` over ``sf_dir`` —
     fingerprint-keyed (see ``sf_tag``) AND keyed on the builder's declared
     logic ``version``.
@@ -189,7 +193,20 @@ def _fixture_dir(kind: str, sf_dir: str, version: str = "1") -> str:
     version is hashed into the fingerprint suffix, so exactly that
     fixture rebuilds.  Stale siblings (same kind and sf, different
     fingerprint) are removed so regenerating testdata each round doesn't
-    accumulate dead fixture copies."""
+    accumulate dead fixture copies.
+
+    ``width`` — for fixtures whose FILE LAYOUT depends on the building
+    session's parallelism — appends a VISIBLE ``_w<N>`` name suffix
+    instead of hashing the width into the fingerprint (round-8 ADVICE):
+    with the width hashed, a concurrent session at a different
+    parallelism looks like a stale FINGERPRINT sibling and gets reaped
+    mid-scan — the exact cross-session race class the round-8 manifest
+    fix closed.  With the width visible, the reaper distinguishes the
+    two cases: same-SF siblings at a STALE fingerprint (pre-regeneration
+    testdata — no live session can reference them, since every live
+    session fingerprints the same current testdata) are reaped at ANY
+    width, while other-width siblings at the CURRENT fingerprint are
+    spared as a concurrent session's live layout."""
     import hashlib
 
     state = _KIND_VERSIONS.setdefault(kind, {"last": version, "seen": {version}})
@@ -207,16 +224,27 @@ def _fixture_dir(kind: str, sf_dir: str, version: str = "1") -> str:
     if version != "1":
         fp = hashlib.sha256(f"{fp}|v{version}".encode()).hexdigest()[:10]
     prefix = f"{kind}_{base}_"
+    # Exact-shape suffix match (never substring containment): rest must
+    # be exactly <10-hex-fp> or <10-hex-fp>_w<digits>, so a foreign SF
+    # whose sanitized basename embeds or extends this base can never
+    # full-match (the metadata-manifest reaper discipline).
+    sib = __import__("re").compile(r"^([0-9a-f]{10})(?:_w(\d+))?$")
     try:
         for entry in os.listdir(SCRATCH):
-            rest = entry[len(prefix):]
-            if entry.startswith(prefix) and _FP_SUFFIX.match(rest) and rest != fp:
+            if not entry.startswith(prefix):
+                continue
+            m = sib.match(entry[len(prefix):])
+            if m and m.group(1) != fp:
+                # Stale fingerprint (any width) — reap; CURRENT
+                # fingerprint (any width, incl. a concurrent session's
+                # other-width layout) — never touched.
                 import shutil
 
                 shutil.rmtree(os.path.join(SCRATCH, entry), ignore_errors=True)
     except OSError:
         pass
-    return os.path.join(SCRATCH, f"{kind}_{base}_{fp}")
+    suffix = "" if width is None else f"_w{width}"
+    return os.path.join(SCRATCH, f"{kind}_{base}_{fp}{suffix}")
 
 
 def _materialize(writer, out: str) -> str:
@@ -317,8 +345,27 @@ def _commit_fixture(tmp: str, out: str) -> None:
         # their copy is valid and possibly mid-scan elsewhere — keep it.
         shutil.rmtree(tmp, ignore_errors=True)
         return
+    debris = None
     if os.path.exists(out):
-        shutil.rmtree(out, ignore_errors=True)  # marker-less debris only
+        # Marker-less debris from an interrupted pre-PID-suffix write —
+        # but between the _SUCCESS probe above and now, a concurrent
+        # builder may have COMMITTED a complete copy here (round-8
+        # ADVICE TOCTOU).  Re-check, then never recursively DELETE a
+        # possibly-committed dir: shunt it aside with one atomic rename
+        # to a dead-PID-collectable staging name.  If the shunted dir
+        # was in fact a fresh commit, the os.replace below immediately
+        # re-lands byte-identical content at ``out`` (the build is a
+        # pure function of immutable testdata), so a concurrent reader
+        # sees at worst a microsecond rename-to-rename gap instead of a
+        # half-deleted tree.
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        debris = f"{out}.debris.tmp{os.getpid()}"
+        try:
+            os.replace(out, debris)
+        except OSError:
+            debris = None  # out vanished — another session handled it
     try:
         os.replace(tmp, out)
     except OSError:
@@ -327,7 +374,18 @@ def _commit_fixture(tmp: str, out: str) -> None:
             # our check and replace — drop ours.
             shutil.rmtree(tmp, ignore_errors=True)
         else:
+            if debris is not None:
+                # Put the shunted dir back so state is as we found it.
+                try:
+                    os.replace(debris, out)
+                except OSError:
+                    pass
             raise  # partial delete / unexpected state: never serve debris
+    if debris is not None:
+        # Our commit landed; the shunted debris (ours to clean now —
+        # _reap_scratch_orphans would also collect it once this PID
+        # exits) can go.
+        shutil.rmtree(debris, ignore_errors=True)
 
 
 def _csv_fixture(spark: SparkSession, sf_dir: str) -> str:

@@ -35,7 +35,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.io import SCRATCH, _commit_fixture, _materialize, load, sf_tag
+from ..sources.io import (
+    SCRATCH,
+    _commit_fixture,
+    _fixture_dir,
+    _materialize,
+    load,
+    sf_tag,
+)
 from ..utils import dsum, sql_dsum
 
 # Fingerprint-keyed (io.sf_tag): a testdata regeneration renames every
@@ -95,7 +102,7 @@ def _stream_src(spark: SparkSession, sf_dir: str) -> str:
         .repartition(w)
         .write.mode("overwrite")
         .parquet(p),
-        os.path.join(SCRATCH, f"stream_events_{_sf_tag(sf_dir)}_w{w}"),
+        _fixture_dir("stream_events", sf_dir, width=w),
     )
 
 
@@ -108,7 +115,7 @@ def _stream_dup_src(spark: SparkSession, sf_dir: str) -> str:
         .repartition(w)
         .write.mode("overwrite")
         .parquet(p),
-        os.path.join(SCRATCH, f"stream_events_dup_{_sf_tag(sf_dir)}_w{w}"),
+        _fixture_dir("stream_events_dup", sf_dir, width=w),
     )
 
 
@@ -123,7 +130,7 @@ def _stream_three_batch_src(spark: SparkSession, sf_dir: str) -> str:
 
     Single-file writes are fine here: a tiny one-time TEST fixture whose
     whole point is exact batch boundaries, not a data path."""
-    out = os.path.join(SCRATCH, f"stream_events_3b_{_sf_tag(sf_dir)}")
+    out = _fixture_dir("stream_events_3b", sf_dir)  # same name; stale-fp reaping
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         import shutil
