@@ -105,10 +105,17 @@ _FAMILY_RANK = (
 # meta_roundtrip all re-recorded GREEN in CORRECTNESS_r06.json — cleared.
 # Round-8 entries win_sequence_gaps / stream_foreach_upsert /
 # stream_sink_parquet / stream_restart_checkpoint / llm_cdc_chunking all
-# re-recorded GREEN in CORRECTNESS_r08.json — cleared.  Round-9 edits are
-# process/fixture hygiene only — no key's result logic changed, so the
-# set stays empty and the window is pure stalest-green rotation.)
-_FORCE_FRONT: set[str] = set()
+# re-recorded GREEN in CORRECTNESS_r08.json — cleared.)
+#
+# Round-9 entry — the one key whose RESULT SET changed this round:
+#   udf_cogrouped   green r4; keyset cap tightened %100 -> %400 (the
+#                   per-key Python invocation overhead was ~4 s at
+#                   sf0.1 for a deliberately join-expressible demo) —
+#                   fewer result rows, so the r4 green no longer covers
+#                   the shipped code.  Everything else in round 9 is
+#                   process/fixture hygiene with unchanged results; the
+#                   rest of the window is pure stalest-green rotation.
+_FORCE_FRONT: set[str] = {"udf_cogrouped"}
 
 
 # Keys registered after the CURRENT round's fresh window is already full

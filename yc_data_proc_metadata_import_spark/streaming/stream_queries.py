@@ -207,9 +207,10 @@ def _state_partitions(spark: SparkSession) -> int:
 def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
     """Drive the stream to completion into a memory sink table ``name``."""
     spark = df.sparkSession
-    spark.catalog.dropTempView(name) if name in [
-        t.name for t in spark.catalog.listTables()
-    ] else None
+    # Direct drop — no-op when absent. (Enumerating listTables() first
+    # walked the whole temp-view catalog per stream key; in a full-suite
+    # session that catalog holds 100+ registered views.)
+    spark.catalog.dropTempView(name)
     chk = os.path.join(_run_scratch(), "checkpoints", name)
     import shutil
 
