@@ -36,25 +36,37 @@ def main() -> int:
     # convention — check this flag before recording one.
     load_start = os.getloadavg()[0]
     solo_env = os.environ.get("SPARK_GRAFT_SOLO")
-    solo = (solo_env == "1") if solo_env in ("0", "1") else load_start < 4.0
+    # Provenance of the solo tag matters (round-9 ADVICE): loadavg is
+    # exponentially damped, so a sibling launched seconds before us reads
+    # near 0 and would be mislabeled solo. An explicit SPARK_GRAFT_SOLO
+    # declaration is trustworthy; the loadavg inference is only a hint —
+    # record WHICH one produced the tag so the commit convention
+    # ("BENCH_r*.json rows are solo cold runs") can require "declared".
+    if solo_env in ("0", "1"):
+        solo, solo_source = solo_env == "1", "declared"
+    else:
+        solo, solo_source = load_start < 4.0, "inferred"
 
-    def _calibrate() -> float:
+    def _calibrate() -> dict[str, float]:
         # Fixed single-thread work unit (~100 ms uncontended): host-level
         # CPU contention on this VM is invisible to loadavg yet swings
         # the suite wall ±15% between idle solo runs of identical code
         # (round-9 measurement: 218 s vs 251 s, per-key delta uniform at
         # p50 +0.11 s). Dividing walls by the calibration factor makes
-        # rows comparable across host states.
-        best = float("inf")
-        for _ in range(3):  # best-of-3: first pass pays interpreter warm-up
+        # rows comparable across host states. Best-of-N measures the best
+        # scheduling slice; MEDIAN tracks sustained contention (round-9
+        # ADVICE) — normalization below uses the median.
+        samples = []
+        for _ in range(5):  # first pass pays interpreter warm-up
             t0 = time.perf_counter()
             x = 0
             for i in range(2_000_000):
                 x += i * i
-            best = min(best, time.perf_counter() - t0)
-        return round(best * 1000.0, 1)
+            samples.append((time.perf_counter() - t0) * 1000.0)
+        samples.sort()
+        return {"best": round(samples[0], 1), "med": round(samples[2], 1)}
 
-    cal_start_ms = _calibrate()
+    cal_start = _calibrate()
     try:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf"))
     except ValueError:
@@ -260,15 +272,25 @@ def main() -> int:
         "win_retention_cohorts",
         "dq_expectations",
     )
+    cal_end = _calibrate()
+    value = round(sum(times.values()), 3)
+    # Calibration-normalized wall (round-9 VERDICT task 3): scale to the
+    # 120 ms reference work-unit so a ±15% host-load swing can't
+    # masquerade as (or mask) a plan regression. Median-of-5 at start and
+    # end; the mean of the two medians is the run's sustained CPU factor.
+    cal_mean = (cal_start["med"] + cal_end["med"]) / 2.0
     result = {
         "metric": "full_suite_wall",
-        "value": round(sum(times.values()), 3),
+        "value": value,
+        "value_norm": round(value * (120.0 / cal_mean), 3),
         "unit": "sec",
         "queries": {k: times[k] for k in headline if k in times},
         "n_queries": len(times),
         "sf": sf,
         "solo": solo,
-        "cal_ms": [cal_start_ms, _calibrate()],
+        "solo_source": solo_source,
+        "cal_ms": [cal_start["best"], cal_end["best"]],
+        "cal_ms_med": [cal_start["med"], cal_end["med"]],
     }
     if errors:
         # Key NAMES are short and diagnostic (round-4 ADVICE); the long

@@ -251,8 +251,13 @@ def test_commit_fixture_replaces_markerless_debris(tmp_path):
     assert (out / "part-0.parquet").read_bytes() == b"fresh build"
     assert not tmp.exists()
     # The debris is shunted aside atomically (never rmtree'd in place —
-    # round-8 ADVICE TOCTOU) and cleaned up after the commit lands.
-    assert os.listdir(tmp_path) == ["fix"], os.listdir(tmp_path)
+    # round-8 ADVICE TOCTOU) and cleaned up after the commit lands. The
+    # 0-byte flock file that serializes promotion (round-9 ADVICE) is
+    # the one permitted leftover — it must NEVER be deleted (unlinking a
+    # lock another process holds open would let two committers into the
+    # critical section on different inodes).
+    assert sorted(os.listdir(tmp_path)) == ["fix", "fix.lock"], os.listdir(tmp_path)
+    assert os.path.getsize(tmp_path / "fix.lock") == 0
 
 
 def test_reap_scratch_orphans(monkeypatch, tmp_path):

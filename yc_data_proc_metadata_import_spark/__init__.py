@@ -107,15 +107,14 @@ _FAMILY_RANK = (
 # stream_sink_parquet / stream_restart_checkpoint / llm_cdc_chunking all
 # re-recorded GREEN in CORRECTNESS_r08.json — cleared.)
 #
-# Round-9 entry — the one key whose RESULT SET changed this round:
-#   udf_cogrouped   green r4; keyset cap tightened %100 -> %400 (the
-#                   per-key Python invocation overhead was ~4 s at
-#                   sf0.1 for a deliberately join-expressible demo) —
-#                   fewer result rows, so the r4 green no longer covers
-#                   the shipped code.  Everything else in round 9 is
-#                   process/fixture hygiene with unchanged results; the
-#                   rest of the window is pure stalest-green rotation.
-_FORCE_FRONT: set[str] = {"udf_cogrouped"}
+# Round-9 entry udf_cogrouped (keyset cap %100 -> %400) re-recorded
+# GREEN in CORRECTNESS_r09.json — cleared.  Round 10 registers no
+# result-changing edits (streaming-floor shave keeps per-key semantics
+# and hashes identical; verified by a full-registry rehearsal), so the
+# whole 50-slot window is pure stalest-green rotation: the r4 cohort
+# (48 keys) plus the two oldest r5 greens, lifting min(latest-green)
+# to round 5 registry-wide (round-9 VERDICT task 1).
+_FORCE_FRONT: set[str] = set()
 
 
 # Keys registered after the CURRENT round's fresh window is already full

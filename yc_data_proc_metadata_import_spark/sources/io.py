@@ -335,9 +335,21 @@ def _commit_fixture(tmp: str, out: str) -> None:
     both produce identical content (the build is a pure function of the
     immutable testdata), so the late builder drops its copy rather than
     clobbering a valid committed dir another session may already be
-    scanning.  Only marker-less debris (an interrupted pre-PID-suffix
-    write) is ever removed, and a promotion that still can't land
-    raises instead of silently serving whatever is in ``out``."""
+    scanning.
+
+    Promotion is serialized by an flock on ``{out}.lock`` (round-9
+    ADVICE: the lock-free version had a residual window between the
+    _SUCCESS re-check and the debris shunt where a concurrent builder's
+    FRESH commit could be renamed aside, leaving ``out`` briefly
+    absent).  With every committer inside the lock, a committed dir is
+    never moved aside; only genuine marker-less debris (which no reader
+    could have been serving — no _SUCCESS) is shunted.  The flock is
+    kernel-released on process death, so a crashed builder can't
+    wedge the fixture; readers never take the lock (the critical
+    section is rename-only, microseconds).  A promotion that still
+    can't land raises instead of silently serving whatever is in
+    ``out``."""
+    import fcntl
     import shutil
 
     if os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -345,47 +357,47 @@ def _commit_fixture(tmp: str, out: str) -> None:
         # their copy is valid and possibly mid-scan elsewhere — keep it.
         shutil.rmtree(tmp, ignore_errors=True)
         return
-    debris = None
-    if os.path.exists(out):
-        # Marker-less debris from an interrupted pre-PID-suffix write —
-        # but between the _SUCCESS probe above and now, a concurrent
-        # builder may have COMMITTED a complete copy here (round-8
-        # ADVICE TOCTOU).  Re-check, then never recursively DELETE a
-        # possibly-committed dir: shunt it aside with one atomic rename
-        # to a dead-PID-collectable staging name.  If the shunted dir
-        # was in fact a fresh commit, the os.replace below immediately
-        # re-lands byte-identical content at ``out`` (the build is a
-        # pure function of immutable testdata), so a concurrent reader
-        # sees at worst a microsecond rename-to-rename gap instead of a
-        # half-deleted tree.
-        if os.path.exists(os.path.join(out, "_SUCCESS")):
-            shutil.rmtree(tmp, ignore_errors=True)
-            return
-        debris = f"{out}.debris.tmp{os.getpid()}"
+    with open(f"{out}.lock", "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
         try:
-            os.replace(out, debris)
-        except OSError:
-            debris = None  # out vanished — another session handled it
-    try:
-        os.replace(tmp, out)
-    except OSError:
-        if os.path.exists(os.path.join(out, "_SUCCESS")):
-            # Concurrent builder renamed its identical copy in between
-            # our check and replace — drop ours.
-            shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            if debris is not None:
-                # Put the shunted dir back so state is as we found it.
+            if os.path.exists(os.path.join(out, "_SUCCESS")):
+                # A builder committed while we waited on the lock.
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            debris = None
+            if os.path.exists(out):
+                # Under the lock this can only be marker-less debris
+                # from an interrupted pre-PID-suffix write (every
+                # committer serializes here, and committed dirs carry
+                # _SUCCESS) — shunt it aside with one atomic rename to
+                # a dead-PID-collectable staging name rather than
+                # recursively deleting in place.
+                debris = f"{out}.debris.tmp{os.getpid()}"
                 try:
-                    os.replace(debris, out)
+                    os.replace(out, debris)
                 except OSError:
-                    pass
-            raise  # partial delete / unexpected state: never serve debris
-    if debris is not None:
-        # Our commit landed; the shunted debris (ours to clean now —
-        # _reap_scratch_orphans would also collect it once this PID
-        # exits) can go.
-        shutil.rmtree(debris, ignore_errors=True)
+                    debris = None  # out vanished — another session handled it
+            try:
+                os.replace(tmp, out)
+            except OSError:
+                if os.path.exists(os.path.join(out, "_SUCCESS")):
+                    # Shouldn't happen under the lock; tolerate anyway.
+                    shutil.rmtree(tmp, ignore_errors=True)
+                else:
+                    if debris is not None:
+                        # Put the shunted dir back so state is as found.
+                        try:
+                            os.replace(debris, out)
+                        except OSError:
+                            pass
+                    raise  # unexpected state: never serve debris
+            if debris is not None:
+                # Our commit landed; the shunted debris (ours to clean
+                # now — _reap_scratch_orphans would also collect it once
+                # this PID exits) can go.
+                shutil.rmtree(debris, ignore_errors=True)
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
 
 
 def _csv_fixture(spark: SparkSession, sf_dir: str) -> str:

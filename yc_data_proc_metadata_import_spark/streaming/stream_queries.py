@@ -204,8 +204,23 @@ def _state_partitions(spark: SparkSession) -> int:
     return max(8, spark.sparkContext.defaultParallelism // 4)
 
 
-def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
-    """Drive the stream to completion into a memory sink table ``name``."""
+def _run_to_memory(
+    df: DataFrame, name: str, mode: str, final_no_data_batch: bool = True
+) -> None:
+    """Drive the stream to completion into a memory sink table ``name``.
+
+    ``final_no_data_batch=False`` suppresses the trailing no-data
+    micro-batch (``spark.sql.streaming.noDataMicroBatches.enabled``) for
+    operators whose OUTPUT is emitted in-batch — streaming dedup and
+    stream-stream inner join — where that extra batch only evicts state
+    that the availableNow drain is about to discard anyway (round-9
+    VERDICT task 2: it cost 0.3-0.85 s/key of the suite wall, ~30% of
+    those keys' time, for zero emitted rows; hash-equivalence of the
+    suppressed runs verified before adoption). Append-mode AGGREGATIONS
+    (session/watermark windows) emit closed windows IN the no-data batch
+    and must keep the default. On a 24x7 production stream the flag is
+    moot — there is always a next data batch to advance eviction.
+    """
     spark = df.sparkSession
     # Direct drop — no-op when absent. (Enumerating listTables() first
     # walked the whole temp-view catalog per stream key; in a full-suite
@@ -215,8 +230,11 @@ def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
     import shutil
 
     shutil.rmtree(chk, ignore_errors=True)  # fresh run each invocation
+    nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nd = spark.conf.get(nd_key)
     spark.conf.set("spark.sql.shuffle.partitions", str(_state_partitions(spark)))
+    spark.conf.set(nd_key, str(final_no_data_batch).lower())
     try:
         q = (
             df.writeStream.format("memory")
@@ -229,6 +247,7 @@ def _run_to_memory(df: DataFrame, name: str, mode: str) -> None:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(nd_key, prev_nd)
 
 
 _WINDOWED_SQL = """
@@ -421,7 +440,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .select("event_id", "event_type", "ts")
     )
-    _run_to_memory(dedup, "mem_stream_dedup", "append")
+    _run_to_memory(dedup, "mem_stream_dedup", "append", final_no_data_batch=False)
     return spark.table("mem_stream_dedup")
 
 
@@ -564,7 +583,7 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("delay_ms"),
         )
     )
-    _run_to_memory(joined, "mem_stream_join", "append")
+    _run_to_memory(joined, "mem_stream_join", "append", final_no_data_batch=False)
     return spark.table("mem_stream_join")
 
 
@@ -982,5 +1001,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "event_type", "ts")
     )
-    _run_to_memory(dedup, "mem_stream_dedup_wm", "append")
+    _run_to_memory(
+        dedup, "mem_stream_dedup_wm", "append", final_no_data_batch=False
+    )
     return spark.table("mem_stream_dedup_wm")
