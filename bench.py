@@ -272,6 +272,14 @@ def main() -> int:
         "win_retention_cohorts",
         "dq_expectations",
     )
+    # Re-sample load AFTER the run (round-10 ADVICE): loadavg is
+    # exponentially damped, so contention that arrives mid-run reads
+    # near 0 at start and would stay labeled solo. An inferred tag is
+    # demoted when the run ENDS contended; a declared tag is the
+    # operator's statement and is left alone.
+    load_end = os.getloadavg()[0]
+    if solo_source == "inferred" and load_end >= 4.0:
+        solo, solo_source = False, "inferred_contended"
     cal_end = _calibrate()
     value = round(sum(times.values()), 3)
     # Calibration-normalized wall (round-9 VERDICT task 3): scale to the
@@ -310,7 +318,7 @@ def main() -> int:
                         "ts": int(time.time()),
                         **result,
                         "load_start": round(load_start, 2),
-                        "load_end": round(os.getloadavg()[0], 2),
+                        "load_end": round(load_end, 2),
                         "all_queries": times,
                         "errors": errors,
                     }

@@ -288,12 +288,25 @@ def test_reap_scratch_orphans(monkeypatch, tmp_path):
         "stream_sink_parquet_sf0_01_ab12cd34ef",
         "upsert_state_sf0_01_ab12cd34ef",
     ]
+    # _commit_fixture's flock files are PERMANENT (deleting one while a
+    # committer holds it would hand a second committer a fresh inode at
+    # the same path — both "locked" at once). The exclusion must win even
+    # over a name that would otherwise match a reap pattern (round-10
+    # ADVICE: enforce the invariant in code, not only a comment).
+    keep_locks = [
+        "csv_nation_sf0_01_ab12cd34ef.lock",
+        "thing.tmp999999999.lock",
+    ]
     for d in keep + reap:
         (scratch / d).mkdir()
+    for f in keep_locks:
+        (scratch / f).touch()
     monkeypatch.setattr(io_mod, "SCRATCH", str(scratch))
     monkeypatch.setattr(io_mod, "_ORPHANS_REAPED", False)
     io_mod._reap_scratch_orphans()
     for d in keep:
         assert (scratch / d).exists(), f"wrongly reaped {d}"
+    for f in keep_locks:
+        assert (scratch / f).exists(), f"wrongly reaped lock {f}"
     for d in reap:
         assert not (scratch / d).exists(), f"orphan survived: {d}"

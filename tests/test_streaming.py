@@ -18,6 +18,7 @@ from yc_data_proc_metadata_import_spark.sources.io import SCRATCH
 from yc_data_proc_metadata_import_spark.streaming.stream_queries import (
     _read_stream,
     _run_to_memory,
+    _stream_dup_src,
     _stream_src,
     _stream_three_batch_src,
 )
@@ -68,10 +69,16 @@ def test_no_data_batch_suppression_boundary(spark, sf_dir):
     suppressing it loses rows. Pin both sides of that boundary so a
     future "optimization" can't widen the suppression past it."""
     src = _stream_src(spark, sf_dir)
+    # The dedup half must read the DUPLICATED source (round-10 ADVICE):
+    # on _stream_src every event_id is unique, dropDuplicates is a no-op,
+    # and the with/without-suppression equality would hold even if
+    # suppression wrongly dropped late-deduped output. _stream_dup_src is
+    # what the production stream_dedup key dedups.
+    dup_src = _stream_dup_src(spark, sf_dir)
 
     def dedup_rows(final_no_data_batch):
         df = (
-            _read_stream(spark, src)
+            _read_stream(spark, dup_src)
             .withWatermark("ts", "10 minutes")
             .dropDuplicates(["event_id"])
             .select("event_id", "event_type", "ts")
@@ -80,7 +87,10 @@ def test_no_data_batch_suppression_boundary(spark, sf_dir):
         _run_to_memory(df, name, "append", final_no_data_batch=final_no_data_batch)
         return sorted(map(tuple, spark.table(name).collect()))
 
-    assert dedup_rows(True) == dedup_rows(False)  # suppression is invariant
+    with_nd_rows = dedup_rows(True)
+    assert with_nd_rows == dedup_rows(False)  # suppression is invariant
+    # sanity: the input really carried duplicates and they were dropped
+    assert len(with_nd_rows) * 2 == spark.read.parquet(dup_src).count()
 
     def session_count(final_no_data_batch):
         agg = (

@@ -227,7 +227,10 @@ def _fixture_dir(
     # Exact-shape suffix match (never substring containment): rest must
     # be exactly <10-hex-fp> or <10-hex-fp>_w<digits>, so a foreign SF
     # whose sanitized basename embeds or extends this base can never
-    # full-match (the metadata-manifest reaper discipline).
+    # full-match (the metadata-manifest reaper discipline). This shape
+    # also structurally spares ``*.lock`` files (``_commit_fixture``'s
+    # permanent flock inodes — see the inode-swap note in
+    # ``_reap_scratch_orphans``); keep it exact if ever widened.
     sib = __import__("re").compile(r"^([0-9a-f]{10})(?:_w(\d+))?$")
     try:
         for entry in os.listdir(SCRATCH):
@@ -293,6 +296,14 @@ def _reap_scratch_orphans() -> None:
     except OSError:
         return
     for e in entries:
+        if e.endswith(".lock"):
+            # ``{out}.lock`` files (``_commit_fixture``) are PERMANENT by
+            # design: deleting one while a committer holds the flock would
+            # let a second committer open a NEW inode at the same path and
+            # both "hold the lock" at once, reopening the two-committers
+            # race (inode-swap hazard). They are 0-byte; never reap them,
+            # whatever patterns below are widened to.
+            continue
         m = re.search(r"\.tmp(\d+)?$", e)
         if m:
             if m.group(1):
