@@ -471,10 +471,13 @@ def catalog_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     name = "eng_cached_orders"
-    try:
+    # Guarded, not try/except: a failing uncacheTable on a cold session
+    # posts an analysis-failure event to ExecutionListenerBus, and the
+    # session-global ObservationManager listener (registered the first
+    # time any key used an Observation) re-logs it as a spurious ERROR
+    # in every cold run's stderr. tableExists never enters execution.
+    if spark.catalog.tableExists(name):
         spark.catalog.uncacheTable(name)
-    except Exception:  # noqa: BLE001 — first run: nothing cached yet
-        pass
     load(spark, sf_dir, "orders").createOrReplaceTempView(name)
     spark.catalog.cacheTable(name)
     return (
