@@ -23,6 +23,28 @@ import sys
 import time
 
 
+def demote_if_contended(
+    solo: bool, solo_source: str, cal_start_med: float, cal_end_med: float
+) -> tuple[bool, str]:
+    """Demote an inferred solo tag when contention ARRIVED mid-run.
+
+    Detector is the single-thread calibration probe, not end-of-run
+    loadavg: loadavg at suite end is polluted by the bench's own
+    32-thread Spark work (16.28 measured on the solo r10 run, 4.38 on
+    solo r11 — a loadavg rule would self-demote every inferred row),
+    while the probe runs after the suite with our executors idle, so
+    only a sibling process inflates it. End median >20% over start
+    median = a sibling arrived mid-run (r11 drill, truly contended:
+    159.7→165.1 ms; solo runs: 123.9→134.9, 132.8→130.5). Contention
+    present from before start shows in load_start and is handled by
+    the start inference; a declared tag is the operator's statement
+    and is never touched.
+    """
+    if solo_source == "inferred" and cal_end_med > 1.2 * cal_start_med:
+        return False, "inferred_contended"
+    return solo, solo_source
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -272,15 +294,17 @@ def main() -> int:
         "win_retention_cohorts",
         "dq_expectations",
     )
-    # Re-sample load AFTER the run (round-10 ADVICE): loadavg is
+    # Re-check contention AFTER the run (round-10 ADVICE): loadavg is
     # exponentially damped, so contention that arrives mid-run reads
-    # near 0 at start and would stay labeled solo. An inferred tag is
-    # demoted when the run ENDS contended; a declared tag is the
-    # operator's statement and is left alone.
+    # near 0 at start and would stay labeled solo. See
+    # demote_if_contended for why the detector is the calibration
+    # probe and not end-of-run loadavg (self-load pollution);
+    # load_end is recorded below as audit only.
     load_end = os.getloadavg()[0]
-    if solo_source == "inferred" and load_end >= 4.0:
-        solo, solo_source = False, "inferred_contended"
     cal_end = _calibrate()
+    solo, solo_source = demote_if_contended(
+        solo, solo_source, cal_start["med"], cal_end["med"]
+    )
     value = round(sum(times.values()), 3)
     # Calibration-normalized wall (round-9 VERDICT task 3): scale to the
     # 120 ms reference work-unit so a ±15% host-load swing can't

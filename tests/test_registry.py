@@ -95,3 +95,33 @@ def test_round7_window_composition():
     if len(fresh) >= 50:
         stale_in_window = [k for k in window if k in green]
         assert not stale_in_window, stale_in_window
+
+
+def test_bench_solo_demotion_is_self_load_immune():
+    """The inferred-solo demotion must key on the calibration probe, not
+    end-of-run loadavg: the bench's own 32-thread suite pushes loadavg
+    past any sane threshold on genuinely solo runs (16.28 measured r10,
+    4.38 r11), while the single-thread probe after suite end only moves
+    when a SIBLING process competes. Pin the rule on the recorded rows'
+    actual numbers."""
+    import bench
+
+    # Solo r11 cold run: cal med 123.9 -> 134.9 (ratio 1.09) — stays solo.
+    assert bench.demote_if_contended(True, "inferred", 123.9, 134.9) == (
+        True,
+        "inferred",
+    )
+    # Mid-run arrival: end median blows past 1.2x start — demoted.
+    assert bench.demote_if_contended(True, "inferred", 123.9, 160.0) == (
+        False,
+        "inferred_contended",
+    )
+    # A declared tag is the operator's statement — never touched.
+    assert bench.demote_if_contended(True, "declared", 123.9, 999.0) == (
+        True,
+        "declared",
+    )
+    assert bench.demote_if_contended(False, "declared", 123.9, 999.0) == (
+        False,
+        "declared",
+    )
