@@ -94,6 +94,22 @@ def main() -> int:
     except ValueError:
         sf = None
 
+    # Scratch provenance (round 11): ~26 s of the sf0.1 suite wall is
+    # derived-fixture builds (CSV/JSON/manifest/export fixtures under
+    # .scratch), paid only when this SF's fixtures aren't already
+    # committed — the r10 committed row ran warm (scan_manifest_files
+    # 0.33 s) while the r11 cold run paid 3.32 s for the same key, a
+    # 13% wall swing that is amortization, not regression. Tag every
+    # row so cold and warm walls are never compared directly.
+    import glob as _glob
+
+    _sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    _repo = os.path.dirname(os.path.abspath(__file__))
+    _n_warm = len(
+        _glob.glob(os.path.join(_repo, ".scratch", f"*_{_sf_tag}_*", "_SUCCESS"))
+    )
+    scratch_state = "warm" if _n_warm else "cold"
+
     from yc_data_proc_metadata_import_spark.session import get_spark
 
     spark = get_spark(
@@ -323,6 +339,7 @@ def main() -> int:
         "solo_source": solo_source,
         "cal_ms": [cal_start["best"], cal_end["best"]],
         "cal_ms_med": [cal_start["med"], cal_end["med"]],
+        "scratch": scratch_state,
     }
     if errors:
         # Key NAMES are short and diagnostic (round-4 ADVICE); the long
