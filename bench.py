@@ -33,14 +33,26 @@ def demote_if_contended(
     32-thread Spark work (16.28 measured on the solo r10 run, 4.38 on
     solo r11 — a loadavg rule would self-demote every inferred row),
     while the probe runs after the suite with our executors idle, so
-    only a sibling process inflates it. End median >20% over start
-    median = a sibling arrived mid-run (r11 drill, truly contended:
-    159.7→165.1 ms; solo runs: 123.9→134.9, 132.8→130.5). Contention
-    present from before start shows in load_start and is handled by
-    the start inference; a declared tag is the operator's statement
-    and is never touched.
+    only a sibling process inflates it. Two triggers:
+
+    - RATIO: end median >20% over start median = a sibling ARRIVED
+      mid-run (solo runs measured 123.9→134.9, 132.8→130.5).
+    - ABSOLUTE: both medians over 145 ms = contended THROUGHOUT. The
+      ratio alone misses this (the r11 drill row — truly concurrent
+      for its whole duration — read 159.7→165.1, ratio 1.03, and
+      load_start 0.63 because loadavg is exponentially damped when the
+      sibling launched seconds earlier). 145 ms is host-calibrated:
+      every recorded solo median sits at 118.3-134.9 even across the
+      ±15% host-state swing, every recorded contended median at
+      157.8-165.1; re-derive the bound if the probe or host changes.
+
+    A declared tag is the operator's statement and is never touched.
     """
-    if solo_source == "inferred" and cal_end_med > 1.2 * cal_start_med:
+    if solo_source != "inferred":
+        return solo, solo_source
+    if cal_end_med > 1.2 * cal_start_med or (
+        cal_start_med > 145.0 and cal_end_med > 145.0
+    ):
         return False, "inferred_contended"
     return solo, solo_source
 
@@ -100,13 +112,19 @@ def main() -> int:
     # committed — the r10 committed row ran warm (scan_manifest_files
     # 0.33 s) while the r11 cold run paid 3.32 s for the same key, a
     # 13% wall swing that is amortization, not regression. Tag every
-    # row so cold and warm walls are never compared directly.
+    # row so cold and warm walls are never compared directly. Probe
+    # with the engine's own SCRATCH path and fingerprinted sf_tag —
+    # the tag embeds a content fingerprint of the testdata dir, so
+    # fixtures from a REGENERATED testdata (stale fingerprint, still
+    # carrying _SUCCESS until lazily reaped) correctly read as cold;
+    # n_warm_fixtures is recorded so a partial scratch (aborted prior
+    # run) is auditable rather than a silent binary flip.
     import glob as _glob
 
-    _sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    _repo = os.path.dirname(os.path.abspath(__file__))
+    from yc_data_proc_metadata_import_spark.sources.io import SCRATCH, sf_tag
+
     _n_warm = len(
-        _glob.glob(os.path.join(_repo, ".scratch", f"*_{_sf_tag}_*", "_SUCCESS"))
+        _glob.glob(os.path.join(SCRATCH, f"*_{sf_tag(sf_dir)}*", "_SUCCESS"))
     )
     scratch_state = "warm" if _n_warm else "cold"
 
@@ -340,6 +358,7 @@ def main() -> int:
         "cal_ms": [cal_start["best"], cal_end["best"]],
         "cal_ms_med": [cal_start["med"], cal_end["med"]],
         "scratch": scratch_state,
+        "n_warm_fixtures": _n_warm,
     }
     if errors:
         # Key NAMES are short and diagnostic (round-4 ADVICE); the long

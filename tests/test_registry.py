@@ -116,6 +116,19 @@ def test_bench_solo_demotion_is_self_load_immune():
         False,
         "inferred_contended",
     )
+    # Contended THROUGHOUT (the r11 drill row's actual numbers): ratio
+    # is only 1.03, but both medians sit far above every recorded solo
+    # median — the absolute trigger demotes it.
+    assert bench.demote_if_contended(True, "inferred", 159.7, 165.1) == (
+        False,
+        "inferred_contended",
+    )
+    # Slow-but-solo host state (±15% swing): high-ish but under the
+    # host-calibrated bound — stays solo.
+    assert bench.demote_if_contended(True, "inferred", 134.9, 132.8) == (
+        True,
+        "inferred",
+    )
     # A declared tag is the operator's statement — never touched.
     assert bench.demote_if_contended(True, "declared", 123.9, 999.0) == (
         True,
