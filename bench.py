@@ -22,6 +22,32 @@ import os
 import sys
 import time
 
+# Contention-demotion bounds (round-11 ADVICE: hoisted from inline
+# literals so re-calibration is a one-line, greppable change — and
+# env-overridable like SPARK_GRAFT_SOLO so a host/probe change doesn't
+# require an edit). Calibrated to THIS host + the 2M-iteration probe in
+# _calibrate(): every recorded solo median sits at 118.3-134.9 ms even
+# across the ±15% host-state swing, every recorded contended median at
+# 157.8-165.1 ms. Re-derive both if the probe workload or host changes.
+CAL_CONTENDED_ABS_MS = float(os.environ.get("SPARK_GRAFT_CAL_ABS_MS", "145.0"))
+CAL_CONTENDED_RATIO = float(os.environ.get("SPARK_GRAFT_CAL_RATIO", "1.2"))
+
+
+def scratch_state_of(n_start: int, n_end: int) -> str:
+    """Tri-state scratch provenance from fixture counts at run start/end.
+
+    "warm" only when the suite built ZERO new fixtures (end == start > 0)
+    — self-calibrating, no hard-coded expected-count to drift as fixtures
+    are added; "cold" when the scratch started empty; "partial" otherwise
+    (an aborted prior run left SOME fixtures but most of the ~26 s build
+    cost was still paid — round-11 ADVICE: such a row must not compare as
+    warm)."""
+    if n_start == 0:
+        return "cold"
+    if n_end == n_start:
+        return "warm"
+    return "partial"
+
 
 def demote_if_contended(
     solo: bool, solo_source: str, cal_start_med: float, cal_end_med: float
@@ -35,23 +61,23 @@ def demote_if_contended(
     while the probe runs after the suite with our executors idle, so
     only a sibling process inflates it. Two triggers:
 
-    - RATIO: end median >20% over start median = a sibling ARRIVED
-      mid-run (solo runs measured 123.9→134.9, 132.8→130.5).
-    - ABSOLUTE: both medians over 145 ms = contended THROUGHOUT. The
-      ratio alone misses this (the r11 drill row — truly concurrent
-      for its whole duration — read 159.7→165.1, ratio 1.03, and
-      load_start 0.63 because loadavg is exponentially damped when the
-      sibling launched seconds earlier). 145 ms is host-calibrated:
-      every recorded solo median sits at 118.3-134.9 even across the
-      ±15% host-state swing, every recorded contended median at
-      157.8-165.1; re-derive the bound if the probe or host changes.
+    - RATIO (CAL_CONTENDED_RATIO): end median >20% over start median =
+      a sibling ARRIVED mid-run (solo runs measured 123.9→134.9,
+      132.8→130.5).
+    - ABSOLUTE (CAL_CONTENDED_ABS_MS): both medians over the bound =
+      contended THROUGHOUT. The ratio alone misses this (the r11 drill
+      row — truly concurrent for its whole duration — read 159.7→165.1,
+      ratio 1.03, and load_start 0.63 because loadavg is exponentially
+      damped when the sibling launched seconds earlier). See the module
+      constants above for the calibration data behind both bounds.
 
     A declared tag is the operator's statement and is never touched.
     """
     if solo_source != "inferred":
         return solo, solo_source
-    if cal_end_med > 1.2 * cal_start_med or (
-        cal_start_med > 145.0 and cal_end_med > 145.0
+    if cal_end_med > CAL_CONTENDED_RATIO * cal_start_med or (
+        cal_start_med > CAL_CONTENDED_ABS_MS
+        and cal_end_med > CAL_CONTENDED_ABS_MS
     ):
         return False, "inferred_contended"
     return solo, solo_source
@@ -116,17 +142,24 @@ def main() -> int:
     # with the engine's own SCRATCH path and fingerprinted sf_tag —
     # the tag embeds a content fingerprint of the testdata dir, so
     # fixtures from a REGENERATED testdata (stale fingerprint, still
-    # carrying _SUCCESS until lazily reaped) correctly read as cold;
-    # n_warm_fixtures is recorded so a partial scratch (aborted prior
-    # run) is auditable rather than a silent binary flip.
+    # carrying _SUCCESS until lazily reaped) correctly read as cold.
+    # The state is derived from a start + END count (round-11 ADVICE:
+    # a single-fixture leftover from an aborted run must not tag the
+    # row warm while ~26 s of build cost is still paid): "warm" only
+    # when the suite built ZERO new fixtures (end == start > 0) — self-
+    # calibrating, no hard-coded expected-count to drift as fixtures
+    # are added; "cold" when it started empty; "partial" otherwise.
+    # Both counts are recorded as audit fields.
     import glob as _glob
 
     from yc_data_proc_metadata_import_spark.sources.io import SCRATCH, sf_tag
 
-    _n_warm = len(
-        _glob.glob(os.path.join(SCRATCH, f"*_{sf_tag(sf_dir)}*", "_SUCCESS"))
-    )
-    scratch_state = "warm" if _n_warm else "cold"
+    def _count_warm_fixtures() -> int:
+        return len(
+            _glob.glob(os.path.join(SCRATCH, f"*_{sf_tag(sf_dir)}*", "_SUCCESS"))
+        )
+
+    _n_warm = _count_warm_fixtures()
 
     from yc_data_proc_metadata_import_spark.session import get_spark
 
@@ -336,6 +369,8 @@ def main() -> int:
     # load_end is recorded below as audit only.
     load_end = os.getloadavg()[0]
     cal_end = _calibrate()
+    _n_warm_end = _count_warm_fixtures()
+    scratch_state = scratch_state_of(_n_warm, _n_warm_end)
     solo, solo_source = demote_if_contended(
         solo, solo_source, cal_start["med"], cal_end["med"]
     )
@@ -359,6 +394,7 @@ def main() -> int:
         "cal_ms_med": [cal_start["med"], cal_end["med"]],
         "scratch": scratch_state,
         "n_warm_fixtures": _n_warm,
+        "n_warm_fixtures_end": _n_warm_end,
     }
     if errors:
         # Key NAMES are short and diagnostic (round-4 ADVICE); the long

@@ -138,3 +138,23 @@ def test_bench_solo_demotion_is_self_load_immune():
         False,
         "declared",
     )
+
+
+def test_bench_scratch_state_is_tri_state():
+    """Scratch provenance must distinguish a PARTIAL scratch (aborted
+    prior run left some fixtures; most of the ~26 s build cost still
+    paid) from a genuinely warm one (round-11 ADVICE: a single leftover
+    fixture flipped the old binary tag to warm). The rule is
+    self-calibrating — warm means the suite built zero NEW fixtures —
+    so adding fixtures to the engine never requires re-deriving an
+    expected count."""
+    import bench
+
+    assert bench.scratch_state_of(0, 26) == "cold"
+    assert bench.scratch_state_of(26, 26) == "warm"
+    # One leftover from an aborted run, 25 built during the suite: the
+    # old rule tagged this warm; it must read partial.
+    assert bench.scratch_state_of(1, 26) == "partial"
+    # Degenerate but possible: empty start, nothing built (e.g. a
+    # filtered key subset) — still cold, never warm.
+    assert bench.scratch_state_of(0, 0) == "cold"
