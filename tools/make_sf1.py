@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Build a deterministic ~sf1 (10x sf0.1) scale rung under .scratch/sf1.
+
+Round-11 VERDICT item 2: the engine's 100 TB claims are plan-asserted but
+the largest measured data point was sf0.1 (600 k lineitem rows).  This
+tool manufactures the next rung — one decade up, ~6 M lineitem rows —
+WITHOUT touching the read-only driver testdata: each scalable table is
+replicated COPIES times with every key column offset by ``copy * span``
+(span = max(key)+1, keys are 0-based dense), so referential integrity
+holds exactly (copy i's lineitem rows reference copy i's orders/parts/
+suppliers, copy i's orders reference copy i's customers).  The fixed
+dimensions (region, nation) are byte-identical copies; nationkey FKs
+therefore stay valid in every replica.
+
+Replication is NOT a no-op for the interesting operators, by design:
+
+- ``documents``: copy i>0 gets a 3-char ``c<i> `` text prefix (and the
+  recomputed n_chars), so the 10 replicas of a doc are NEAR-duplicates,
+  not exact ones — every MinHash/SimHash collision bucket gains a
+  10-clique, a deliberate skew stress for the banded dedup family
+  (quadratic work stays confined to buckets; this rung measures that).
+- ``embeddings``: copy i adds a constant i*1e-3 to every coordinate —
+  a direction change (cosine is scale-invariant, so scaling would be a
+  degenerate tie), keeping ANN/top-k rankings tie-free and exact ties
+  out of the Spark-vs-DuckDB comparison.  The perturbed float32 values
+  are baked into the parquet, so both engines read identical bits.
+- everything else replicates verbatim with offset keys: groupBy results
+  scale their counts 10x, joins scale their row counts, distributions
+  (dates, prices, flags) are preserved exactly.
+
+Pure SQL over fixed input — no RNG, no timestamps — so the output is
+bit-reproducible (TESTDATA.md seed-42 discipline).  DuckDB does the
+transform; output is one parquet per table (zstd), ~10x sf0.1 bytes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+SRC = os.environ.get("SPARK_GRAFT_SF1_SRC", "/root/testdata/sf0.1")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.environ.get("SPARK_GRAFT_SF1_OUT", os.path.join(REPO, ".scratch", "sf1"))
+COPIES = int(os.environ.get("SPARK_GRAFT_SF1_COPIES", "10"))
+
+# (table, [key columns offset by that table's OWN span], {fk column -> parent table})
+FIXED = ("region", "nation")
+SCALED: dict[str, dict] = {
+    "customer": {"own": ["c_custkey"], "fk": {}},
+    "supplier": {"own": ["s_suppkey"], "fk": {}},
+    "part": {"own": ["p_partkey"], "fk": {}},
+    "orders": {"own": ["o_orderkey"], "fk": {"o_custkey": "customer"}},
+    "lineitem": {
+        "own": [],
+        "fk": {"l_orderkey": "orders", "l_partkey": "part", "l_suppkey": "supplier"},
+    },
+    "events": {"own": ["event_id"], "fk": {}, "user": ["user_id"]},
+    "documents": {"own": ["doc_id"], "fk": {}},
+    "embeddings": {"own": ["vec_id"], "fk": {}},
+}
+# span lookup key: which table's key defines the offset for an fk column
+SPAN_KEY = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "event_id",
+}
+
+
+def main() -> int:
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    spans: dict[str, int] = {}
+    for t, keycol in SPAN_KEY.items():
+        spans[t] = (
+            con.sql(
+                f"SELECT max({keycol}) + 1 FROM read_parquet('{SRC}/{t}.parquet')"
+            ).fetchone()[0]
+        )
+    # user_id shares events' row space but has its own span
+    user_span = con.sql(
+        f"SELECT max(user_id) + 1 FROM read_parquet('{SRC}/events.parquet')"
+    ).fetchone()[0]
+
+    for t in FIXED:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) TO "
+            f"'{OUT}/{t}.parquet' (FORMAT parquet, COMPRESSION zstd)"
+        )
+        print(f"[sf1] {t}: copied verbatim", flush=True)
+
+    for t, spec in SCALED.items():
+        cols = [
+            c[0]
+            for c in con.sql(
+                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+            ).fetchall()
+        ]
+        exprs = []
+        for c in cols:
+            if c in spec["own"]:
+                exprs.append(f"{c} + copy_i * {spans[t]} AS {c}")
+            elif c in spec["fk"]:
+                exprs.append(f"{c} + copy_i * {spans[spec['fk'][c]]} AS {c}")
+            elif c in spec.get("user", ()):
+                exprs.append(f"{c} + copy_i * {user_span} AS {c}")
+            elif t == "documents" and c == "text":
+                exprs.append(
+                    "CASE WHEN copy_i = 0 THEN text "
+                    "ELSE 'c' || copy_i || ' ' || text END AS text"
+                )
+            elif t == "documents" and c == "n_chars":
+                exprs.append(
+                    "CAST(CASE WHEN copy_i = 0 THEN length(text) "
+                    "ELSE length(text) + 3 END AS BIGINT) AS n_chars"
+                )
+            elif t == "embeddings" and c == "embedding":
+                exprs.append(
+                    "list_transform(embedding, x -> "
+                    "CAST(x + copy_i * 0.001 AS FLOAT)) AS embedding"
+                )
+            else:
+                exprs.append(c)
+        sql = (
+            f"COPY (SELECT {', '.join(exprs)} "
+            f"FROM read_parquet('{SRC}/{t}.parquet') "
+            f"CROSS JOIN (SELECT unnest(range({COPIES})) AS copy_i) "
+            f"ORDER BY copy_i) TO '{OUT}/{t}.parquet' "
+            f"(FORMAT parquet, COMPRESSION zstd)"
+        )
+        con.execute(sql)
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')").fetchone()[0]
+        print(f"[sf1] {t}: {n} rows", flush=True)
+
+    # integrity audit: FK joins lose no rows, key spaces stay disjoint-dense
+    audits = [
+        ("lineitem->orders", "SELECT count(*) FROM read_parquet('{o}/lineitem.parquet') l LEFT JOIN read_parquet('{o}/orders.parquet') o ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL"),
+        ("orders->customer", "SELECT count(*) FROM read_parquet('{o}/orders.parquet') o LEFT JOIN read_parquet('{o}/customer.parquet') c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL"),
+        ("lineitem->part", "SELECT count(*) FROM read_parquet('{o}/lineitem.parquet') l LEFT JOIN read_parquet('{o}/part.parquet') p ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL"),
+        ("lineitem->supplier", "SELECT count(*) FROM read_parquet('{o}/lineitem.parquet') l LEFT JOIN read_parquet('{o}/supplier.parquet') s ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL"),
+        ("custkey-unique", "SELECT count(*) - count(DISTINCT c_custkey) FROM read_parquet('{o}/customer.parquet')"),
+        ("orderkey-unique", "SELECT count(*) - count(DISTINCT o_orderkey) FROM read_parquet('{o}/orders.parquet')"),
+        ("docid-unique", "SELECT count(*) - count(DISTINCT doc_id) FROM read_parquet('{o}/documents.parquet')"),
+        ("nchars-consistent", "SELECT count(*) FROM read_parquet('{o}/documents.parquet') WHERE n_chars != length(text)"),
+    ]
+    ok = True
+    for name, sql in audits:
+        v = con.sql(sql.format(o=OUT)).fetchone()[0]
+        status = "OK" if v == 0 else f"FAIL ({v})"
+        ok = ok and v == 0
+        print(f"[sf1] audit {name}: {status}", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Replay a representative key subset + the invariance suite at sf1 (10x).
+
+Round-11 VERDICT item 2: turn the 100 TB plan claims into a measured
+second data point.  Runs three passes against the .scratch/sf1 rung
+built by tools/make_sf1.py (6 M lineitem rows, 10x every sf0.1 table):
+
+1. CORRECTNESS: each representative key runs on Spark AND its
+   registered DuckDB oracle over the same sf1 parquet; results compared
+   with tests.compare.assert_match — the exact driver comparator
+   (row count + arrow types + order-insensitive values).
+2. WALL: Spark execution wall per key via the bench's noop-sink
+   convention (full plan runs, nothing collected), recorded next to the
+   same key's sf0.1 wall so the scaling exponent is visible.
+3. INVARIANCE: the partitioning-invariance suite's key list re-executed
+   at sf1 under shuffle.partitions 32 vs 7 — bit-identical normalized
+   rows required (the cross-SHAPE determinism claim at the new scale).
+
+Output: one JSON line to stdout + .scratch/sf1_rung_report.json.
+Run solo (it assumes the host, like a bench run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+SF1 = os.path.join(REPO, ".scratch", "sf1")
+
+# Representative subset (round-11 VERDICT: joins, dedup family, windows,
+# TPC-H Q6/Q21 named explicitly; one representative per remaining family).
+KEYS = [
+    # scans / flagship
+    "scan_parquet",
+    "flagship_pricing_summary",
+    # joins
+    "join_inner",
+    "join_star",
+    "join_asof",
+    "join_range",
+    "join_skew_salted",
+    "merge_upsert",
+    "bucketed_join_noshuffle",
+    # aggregates
+    "agg_groupby",
+    "agg_cube",
+    "agg_approx_distinct",
+    "agg_median_absolute_deviation",
+    # windows
+    "win_ranking",
+    "win_running_sum",
+    "win_sessionize",
+    "topk_per_group",
+    "win_sequence_gaps",
+    "win_retention_cohorts",
+    # TPC-H
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q21_waiting_supplier",
+    # dedup family
+    "llm_dedup_exact",
+    "llm_dedup_near",
+    "llm_dedup_simhash",
+    "llm_dedup_ngram",
+    "llm_dedup_cluster",
+    "llm_contamination_check",
+    # similarity family
+    "llm_topk_cosine",
+    "llm_sim_join_lsh",
+    "llm_ann_ivf",
+    "llm_semdedup",
+    # text family
+    "llm_tokenize",
+    "llm_tfidf",
+    "llm_gopher_quality",
+]
+
+INVARIANCE_KEYS = [
+    "agg_groupby",
+    "agg_share_of_total",
+    "win_running_sum",
+    "win_time_weighted_avg",
+    "agg_countmin_sketch",
+    "graph_pagerank",
+    "llm_tfidf",
+    "win_retention_cohorts",
+    "merge_incremental_aggregate",
+    "agg_gini",
+    "win_pareto",
+    "agg_weighted_median",
+]
+
+
+def main() -> int:
+    if not os.path.isdir(SF1):
+        print(f"sf1 rung missing — run tools/make_sf1.py first ({SF1})")
+        return 2
+
+    import duckdb
+
+    from tests.compare import _norm, assert_match
+    from yc_data_proc_metadata_import_spark.session import get_spark
+    from yc_data_proc_metadata_import_spark.sources.io import TABLES, table_path
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="sf1-rung", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    import yc_data_proc_metadata_import_spark as engine
+
+    queries, oracles = engine.queries(), engine.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SF1, t)}')"
+        )
+
+    def run_noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    # Warm-up (bench convention): JVM/codegen + Arrow-Python machinery.
+    run_noop(queries["flagship_pricing_summary"](spark, SF1))
+
+    report: dict = {"sf": 1.0, "src": SF1, "keys": {}, "invariance": {}}
+    failures: list[str] = []
+
+    for key in KEYS:
+        row: dict = {}
+        try:
+            t0 = time.perf_counter()
+            run_noop(queries[key](spark, SF1))
+            row["spark_sec"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            assert_match(queries[key](spark, SF1), con, oracles[key], key)
+            row["compare_sec"] = round(time.perf_counter() - t0, 3)
+            row["match"] = True
+        except Exception as e:  # noqa: BLE001 — record, keep going
+            row["match"] = False
+            row["err"] = f"{type(e).__name__}: {e}"[:400]
+            failures.append(key)
+        report["keys"][key] = row
+        print(f"[sf1-rung] {key}: {row}", file=sys.stderr, flush=True)
+
+    def rows_of(df):
+        return sorted(
+            tuple(_norm(v) for v in row) for row in (tuple(r) for r in df.collect())
+        )
+
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    for key in INVARIANCE_KEYS:
+        row = {}
+        try:
+            a = rows_of(queries[key](spark, SF1))
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            try:
+                b = rows_of(queries[key](spark, SF1))
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", base)
+            row["invariant"] = a == b
+            row["n_rows"] = len(a)
+            if a != b:
+                failures.append(f"invariance:{key}")
+        except Exception as e:  # noqa: BLE001
+            row["invariant"] = False
+            row["err"] = f"{type(e).__name__}: {e}"[:400]
+            failures.append(f"invariance:{key}")
+        report["invariance"][key] = row
+        print(f"[sf1-rung] invariance {key}: {row}", file=sys.stderr, flush=True)
+
+    report["n_keys"] = len(KEYS)
+    report["n_match"] = sum(1 for r in report["keys"].values() if r.get("match"))
+    report["n_invariant"] = sum(
+        1 for r in report["invariance"].values() if r.get("invariant")
+    )
+    report["failures"] = failures
+    report["wall_total_sec"] = round(
+        sum(r.get("spark_sec", 0.0) for r in report["keys"].values()), 3
+    )
+    line = json.dumps(report)
+    print(line)
+    with open(os.path.join(REPO, ".scratch", "sf1_rung_report.json"), "w") as f:
+        f.write(line + "\n")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
