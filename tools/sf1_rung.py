@@ -8,7 +8,23 @@ built by tools/make_sf1.py (6 M lineitem rows, 10x every sf0.1 table):
 1. CORRECTNESS: each representative key runs on Spark AND its
    registered DuckDB oracle over the same sf1 parquet; results compared
    with tests.compare.assert_match — the exact driver comparator
-   (row count + arrow types + order-insensitive values).
+   (row count + arrow types + order-insensitive values).  Two keys get
+   scale-appropriate comparators instead (first rung run, r12):
+   - llm_dedup_near: the oracle is the EXACT pair set and LSH recall is
+     probabilistic — 100% on the driver fixtures (no pairs below
+     J~0.95) but 99.94% on this rung's adversarial J in [0.5,1] pair
+     mass, per-J recall matching the 8x4 banding curve 1-(1-J^4)^8
+     almost exactly (0.966 vs 0.952 theory at J~0.7).  The rung
+     therefore adjudicates what the algorithm PROMISES: precision
+     == 1.0 (the verify stage recomputes exact Jaccard, so a single
+     false pair is a bug) and recall >= 0.999.
+   - llm_dedup_simhash: the pair-list OUTPUT is inherently quadratic on
+     the driver corpus (~40% of all doc pairs sit within Hamming 10 at
+     every tier: 48,957 pairs at n=500; 5.05M at n=5,000; 544,259,317
+     at n=50,000) — a 544M-row collect is the wrong comparator shape,
+     so both engines reduce to an exact-integer checksum
+     (count, sum(doc_a), sum(doc_b), sum(hamming)) computed
+     engine-side.  Order-insensitive and overflow-free (sums <= 2^48).
 2. WALL: Spark execution wall per key via the bench's noop-sink
    convention (full plan runs, nothing collected), recorded next to the
    same key's sf0.1 wall so the scaling exponent is visible.
@@ -128,6 +144,63 @@ def main() -> int:
     report: dict = {"sf": 1.0, "src": SF1, "keys": {}, "invariance": {}}
     failures: list[str] = []
 
+    def compare_full(key, row):
+        assert_match(queries[key](spark, SF1), con, oracles[key], key)
+        row["match"] = True
+
+    def compare_recall(key, row):
+        # precision must be exact (verify stage recomputes exact Jaccard);
+        # recall is the published probabilistic property of 8x4 banding.
+        got = {
+            (r.doc_a, r.doc_b) for r in queries[key](spark, SF1).collect()
+        }
+        want = {
+            (a, b) for a, b, _ in con.execute(oracles[key]).fetchall()
+        }
+        extra = len(got - want)
+        row["precision"] = 1.0 if not got else round(1 - extra / len(got), 6)
+        row["recall"] = round(len(got & want) / len(want), 6) if want else 1.0
+        row["n_spark"], row["n_exact"] = len(got), len(want)
+        row["match"] = extra == 0 and row["recall"] >= 0.999
+
+    def compare_checksum(key, row):
+        from pyspark.sql import functions as F
+
+        df = queries[key](spark, SF1)
+        num_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() in ("bigint", "int", "integer")
+        ]
+        got = (
+            df.agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(c).alias(f"s_{c}") for c in num_cols],
+            )
+            .collect()[0]
+            .asDict()
+        )
+        sums = ", ".join(f"sum({c}) AS s_{c}" for c in num_cols)
+        want = dict(
+            zip(
+                ["n"] + [f"s_{c}" for c in num_cols],
+                con.execute(
+                    f"SELECT count(*) AS n, {sums} FROM ({oracles[key]})"
+                ).fetchone(),
+            )
+        )
+        got = {k: int(v) for k, v in got.items()}
+        want = {k: int(v) for k, v in want.items()}
+        row["checksum"] = got
+        row["match"] = got == want
+        if not row["match"]:
+            row["oracle_checksum"] = want
+
+    COMPARATORS = {
+        "llm_dedup_near": compare_recall,
+        "llm_dedup_simhash": compare_checksum,
+    }
+
     for key in KEYS:
         row: dict = {}
         try:
@@ -135,9 +208,10 @@ def main() -> int:
             run_noop(queries[key](spark, SF1))
             row["spark_sec"] = round(time.perf_counter() - t0, 3)
             t0 = time.perf_counter()
-            assert_match(queries[key](spark, SF1), con, oracles[key], key)
+            COMPARATORS.get(key, compare_full)(key, row)
             row["compare_sec"] = round(time.perf_counter() - t0, 3)
-            row["match"] = True
+            if not row.get("match"):
+                failures.append(key)
         except Exception as e:  # noqa: BLE001 — record, keep going
             row["match"] = False
             row["err"] = f"{type(e).__name__}: {e}"[:400]

@@ -346,6 +346,17 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches the exact set. Precision is structurally 1.0 (the
     verify stage recomputes exact Jaccard).
 
+    Recall boundary, measured (round-12 sf1 rung): the driver fixtures
+    contain no near-dup pairs below J~0.95, which is WHY recall is 100%
+    there. The 10x rung's adversarial replication creates pair mass
+    across J in [0.5, 1]; against its exact oracle this implementation
+    measured precision 1.0, recall 0.99939 overall, with per-J recall
+    tracking the banding formula 1-(1-J^4)^8 almost exactly (0.966
+    measured vs 0.952 theory at J~0.7; 0.988 vs 0.985 at 0.8; 0.99975
+    vs 0.99985 at 0.9). That curve — not 100% — is the honest 100 TB
+    claim; `llm_lsh_recall_audit` adjudicates it as a first-class key,
+    and tools/sf1_rung.py re-measures it each rung run.
+
     Scale shape (the 100 TB path, VERDICT.md round 1): shingle -> minhash
     (map-only) -> explode 8 band keys -> self-join on (band, band_hash) ->
     distinct candidate pairs -> verify exact Jaccard. Every stage is a
@@ -480,6 +491,21 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs with distance <= 10, trading a little recall in 4..10 for a
     linear-shuffle plan. Fingerprints are 8 bytes/doc — at 100 TB the
     entire candidate structure is ~0.01% of corpus size.
+
+    Scale boundary, measured (round-12 sf1 rung): the PLAN is linear-
+    shuffle, but the OUTPUT is a pair list whose size is a data
+    property. On the driver's synthetic corpus the shared template
+    vocabulary concentrates fingerprints, so ~40% of ALL doc pairs sit
+    within Hamming 10 at every tier — 48,957 pairs at n=500, 5.05M at
+    n=5,000, 544,259,317 at n=50,000 (and one 15-bit block bucket holds
+    75% of the 50k corpus, 705M candidate pairs). Any implementation
+    must emit that set; the quadratic mass is the threshold-x-corpus
+    combination, not the blocking. The 100 TB deliverable for a corpus
+    this homogeneous is therefore never the materialized pair list —
+    compose the fingerprints into cluster labels / keep-first verdicts
+    (`llm_dedup_cluster`'s shape) or tighten the Hamming threshold;
+    tools/sf1_rung.py adjudicates this key at 10x by engine-side
+    exact-integer checksum for exactly this reason.
 
     Hash-checked: token hashes and hyperplane signs are exact-integer
     expressions (see module constants) that DuckDB replays verbatim, so
