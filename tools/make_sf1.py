@@ -115,9 +115,11 @@ def main() -> int:
                     "ELSE 'c' || copy_i || ' ' || text END AS text"
                 )
             elif t == "documents" and c == "n_chars":
+                # recompute from the constructed text (prefix length is
+                # 2 + digits(copy_i), so never hard-code it)
                 exprs.append(
-                    "CAST(CASE WHEN copy_i = 0 THEN length(text) "
-                    "ELSE length(text) + 3 END AS BIGINT) AS n_chars"
+                    "CAST(length(CASE WHEN copy_i = 0 THEN text "
+                    "ELSE 'c' || copy_i || ' ' || text END) AS BIGINT) AS n_chars"
                 )
             elif t == "embeddings" and c == "embedding":
                 exprs.append(

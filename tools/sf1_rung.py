@@ -32,7 +32,19 @@ built by tools/make_sf1.py (6 M lineitem rows, 10x every sf0.1 table):
    at sf1 under shuffle.partitions 32 vs 7 — bit-identical normalized
    rows required (the cross-SHAPE determinism claim at the new scale).
 
-Output: one JSON line to stdout + .scratch/sf1_rung_report.json.
+PRESETS (SPARK_GRAFT_RUNG_PRESET): "sf1" (default, the full 35-key
+10x subset above) and "sf10" — the 100x-the-bench-tier decade
+(SPARK_GRAFT_SF1_OUT=.scratch/sf10 SPARK_GRAFT_SF1_COPIES=100
+tools/make_sf1.py; 60 M lineitem rows).  sf10 restricts to the
+relational core + linear-text/embedding keys (the quadratic-OUTPUT
+dedup keys are the sf1 finding — their pair lists are data-quadratic,
+so re-running them a decade up measures nothing new and costs hours)
+and swaps the full-collect comparator for the engine-side
+exact-integer/decimal checksum on keys whose OUTPUT scales with the
+data (window/join row streams) — full value compare stays on every
+key with an aggregated output.
+
+Output: one JSON line to stdout + .scratch/<preset>_rung_report.json.
 Run solo (it assumes the host, like a bench run).
 """
 
@@ -110,10 +122,80 @@ INVARIANCE_KEYS = [
     "agg_weighted_median",
 ]
 
+# sf10: relational core + linear llm keys; big-output keys move to the
+# checksum comparator (full collect of a 10M-row window stream is a
+# harness cost, not an engine property — the sf0.01 gate and the sf1
+# rung already value-compare these keys in full).
+KEYS_SF10 = [
+    "scan_parquet",
+    "flagship_pricing_summary",
+    "join_inner",
+    "join_star",
+    "join_asof",
+    "join_range",
+    "join_skew_salted",
+    "merge_upsert",
+    "bucketed_join_noshuffle",
+    "agg_groupby",
+    "agg_cube",
+    "agg_approx_distinct",
+    "agg_median_absolute_deviation",
+    "win_ranking",
+    "win_running_sum",
+    "win_sessionize",
+    "topk_per_group",
+    "win_sequence_gaps",
+    "win_retention_cohorts",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q21_waiting_supplier",
+    "llm_dedup_exact",
+    "llm_topk_cosine",
+    "llm_tokenize",
+    "llm_tfidf",
+    "llm_gopher_quality",
+]
+
+CHECKSUM_KEYS_SF10 = {
+    "join_inner",
+    "join_asof",
+    "merge_upsert",
+    "bucketed_join_noshuffle",
+    "win_ranking",
+    "win_running_sum",
+    "win_sessionize",
+    "llm_dedup_exact",
+    "llm_tokenize",
+    "llm_tfidf",
+}
+
+INVARIANCE_KEYS_SF10 = [
+    "agg_groupby",
+    "agg_share_of_total",
+    "agg_countmin_sketch",
+    "graph_pagerank",
+    "win_retention_cohorts",
+    "merge_incremental_aggregate",
+    "agg_gini",
+    "win_pareto",
+    "agg_weighted_median",
+]
+
 
 def main() -> int:
+    preset = os.environ.get("SPARK_GRAFT_RUNG_PRESET", "sf1")
+    global SF1
+    if preset == "sf10":
+        SF1 = os.path.join(REPO, ".scratch", "sf10")
+        keys, inv_keys = KEYS_SF10, INVARIANCE_KEYS_SF10
+        checksum_keys = CHECKSUM_KEYS_SF10
+        sf_val = 10.0
+    else:
+        keys, inv_keys = KEYS, INVARIANCE_KEYS
+        checksum_keys = {"llm_dedup_simhash"}
+        sf_val = 1.0
     if not os.path.isdir(SF1):
-        print(f"sf1 rung missing — run tools/make_sf1.py first ({SF1})")
+        print(f"{preset} rung missing — run tools/make_sf1.py first ({SF1})")
         return 2
 
     import duckdb
@@ -124,7 +206,7 @@ def main() -> int:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
-        app_name="sf1-rung", master=f"local[{cpus}]", shuffle_partitions=cpus
+        app_name=f"{preset}-rung", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     import yc_data_proc_metadata_import_spark as engine
 
@@ -141,7 +223,7 @@ def main() -> int:
     # Warm-up (bench convention): JVM/codegen + Arrow-Python machinery.
     run_noop(queries["flagship_pricing_summary"](spark, SF1))
 
-    report: dict = {"sf": 1.0, "src": SF1, "keys": {}, "invariance": {}}
+    report: dict = {"sf": sf_val, "src": SF1, "keys": {}, "invariance": {}}
     failures: list[str] = []
 
     def compare_full(key, row):
@@ -167,20 +249,49 @@ def main() -> int:
         from pyspark.sql import functions as F
 
         df = queries[key](spark, SF1)
+        # exact-integer AND exact-decimal columns sum order-independently
+        # in both engines; doubles are excluded (float addition is
+        # order-dependent — a checksum over them would flake, and the
+        # full-value tiers already cover them).
         num_cols = [
             f.name
             for f in df.schema.fields
             if f.dataType.simpleString() in ("bigint", "int", "integer")
+            or f.dataType.simpleString().startswith("decimal")
         ]
+        # Sum in DECIMAL(38,0) on the Spark side: sum(bigint) wraps at
+        # 2^63 in Spark but auto-widens to HUGEINT in DuckDB — measured
+        # live on win_sessionize at sf10, where sum(epoch_ms) over 9.5M
+        # rows is ~1.6e19 and the wrapped Spark sum differed from the
+        # DuckDB sum by exactly 2^64. Decimal sums are exact and
+        # order-independent in both engines.
+        int_cols = {
+            f.name
+            for f in df.schema.fields
+            if not f.dataType.simpleString().startswith("decimal")
+        }
+
+        def _sexpr(c):  # widen ints; decimals keep their scale (a cast
+            return (  # to (38,0) would truncate with engine-specific
+                F.sum(F.col(c).cast("decimal(38,0)"))  # rounding)
+                if c in int_cols
+                else F.sum(c)
+            )
+
         got = (
             df.agg(
                 F.count(F.lit(1)).alias("n"),
-                *[F.sum(c).alias(f"s_{c}") for c in num_cols],
+                *[_sexpr(c).alias(f"s_{c}") for c in num_cols],
             )
             .collect()[0]
             .asDict()
         )
-        sums = ", ".join(f"sum({c}) AS s_{c}" for c in num_cols)
+        sums = ", ".join(
+            f"sum(CAST({c} AS DECIMAL(38,0))) AS s_{c}"
+            if c in int_cols
+            else f"sum({c}) AS s_{c}"
+            for c in num_cols
+        )
         want = dict(
             zip(
                 ["n"] + [f"s_{c}" for c in num_cols],
@@ -189,19 +300,23 @@ def main() -> int:
                 ).fetchone(),
             )
         )
-        got = {k: int(v) for k, v in got.items()}
-        want = {k: int(v) for k, v in want.items()}
+        from decimal import Decimal
+
+        def _cnorm(v):
+            return str(v.normalize()) if isinstance(v, Decimal) else int(v)
+
+        got = {k: _cnorm(v) for k, v in got.items()}
+        want = {k: _cnorm(v) for k, v in want.items()}
         row["checksum"] = got
         row["match"] = got == want
         if not row["match"]:
             row["oracle_checksum"] = want
 
-    COMPARATORS = {
-        "llm_dedup_near": compare_recall,
-        "llm_dedup_simhash": compare_checksum,
-    }
+    COMPARATORS = {k: compare_checksum for k in checksum_keys}
+    if preset == "sf1":
+        COMPARATORS["llm_dedup_near"] = compare_recall
 
-    for key in KEYS:
+    for key in keys:
         row: dict = {}
         try:
             t0 = time.perf_counter()
@@ -217,7 +332,7 @@ def main() -> int:
             row["err"] = f"{type(e).__name__}: {e}"[:400]
             failures.append(key)
         report["keys"][key] = row
-        print(f"[sf1-rung] {key}: {row}", file=sys.stderr, flush=True)
+        print(f"[{preset}-rung] {key}: {row}", file=sys.stderr, flush=True)
 
     def rows_of(df):
         return sorted(
@@ -225,7 +340,7 @@ def main() -> int:
         )
 
     base = spark.conf.get("spark.sql.shuffle.partitions")
-    for key in INVARIANCE_KEYS:
+    for key in inv_keys:
         row = {}
         try:
             a = rows_of(queries[key](spark, SF1))
@@ -243,9 +358,9 @@ def main() -> int:
             row["err"] = f"{type(e).__name__}: {e}"[:400]
             failures.append(f"invariance:{key}")
         report["invariance"][key] = row
-        print(f"[sf1-rung] invariance {key}: {row}", file=sys.stderr, flush=True)
+        print(f"[{preset}-rung] invariance {key}: {row}", file=sys.stderr, flush=True)
 
-    report["n_keys"] = len(KEYS)
+    report["n_keys"] = len(keys)
     report["n_match"] = sum(1 for r in report["keys"].values() if r.get("match"))
     report["n_invariant"] = sum(
         1 for r in report["invariance"].values() if r.get("invariant")
@@ -256,7 +371,9 @@ def main() -> int:
     )
     line = json.dumps(report)
     print(line)
-    with open(os.path.join(REPO, ".scratch", "sf1_rung_report.json"), "w") as f:
+    with open(
+        os.path.join(REPO, ".scratch", f"{preset}_rung_report.json"), "w"
+    ) as f:
         f.write(line + "\n")
     return 1 if failures else 0
 
