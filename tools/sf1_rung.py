@@ -105,6 +105,29 @@ KEYS = [
     "llm_tokenize",
     "llm_tfidf",
     "llm_gopher_quality",
+    # streaming (availableNow drains over the 1M-event sf1 stream
+    # fixtures; outputs stay window-bounded because replicas share the
+    # source time range)
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_watermark",
+    "stream_dedup",
+    "stream_stateful",
+    # metadata / catalog lifecycle
+    "meta_roundtrip",
+    "meta_profile_table",
+    "catalog_save_as_table",
+    # pruning / partitioned layout (fixture-building keys — the sf1
+    # partitioned/bucketed fixtures are built here, once)
+    "scan_partition_pruned",
+    "join_dpp_pruned",
+    "sink_partitioned",
+    # UDF surface + analytics
+    "udf_pandas",
+    "udaf_grouped",
+    "sql_recursive_cte",
+    "graph_pagerank",
+    "reshape_pivot",
 ]
 
 INVARIANCE_KEYS = [
