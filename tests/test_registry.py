@@ -158,3 +158,25 @@ def test_bench_scratch_state_is_tri_state():
     # Degenerate but possible: empty start, nothing built (e.g. a
     # filtered key subset) — still cold, never warm.
     assert bench.scratch_state_of(0, 0) == "cold"
+
+
+def test_scale_rung_presets_reference_registered_keys():
+    """The sf1/sf10 rung presets (tools/sf1_rung.py) must only name
+    registered queries — a key rename would otherwise rot the scale
+    evidence silently (the rung is run manually, not per-pytest)."""
+    import importlib.util
+    import os
+
+    import yc_data_proc_metadata_import_spark as engine
+
+    spec = importlib.util.spec_from_file_location(
+        "sf1_rung",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "sf1_rung.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    registered = set(engine.queries())
+    for name in ("KEYS", "KEYS_SF10", "INVARIANCE_KEYS", "INVARIANCE_KEYS_SF10"):
+        unknown = set(getattr(mod, name)) - registered
+        assert not unknown, f"{name} names unregistered keys: {sorted(unknown)}"
+    assert mod.CHECKSUM_KEYS_SF10 <= set(mod.KEYS_SF10)
