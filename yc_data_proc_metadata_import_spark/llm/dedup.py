@@ -440,10 +440,10 @@ def simhash_fingerprints_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_cached(_SIMHASH_FP_CACHE, spark, sf_dir, build)
 
 
-@query(
-    "llm_dedup_simhash",
-    oracle=f"""
-    WITH tok AS (
+# tok/fp/blocks CTE chain shared by the simhash PAIR oracle and the
+# simhash LABEL oracle — one definition so the two keys can never verify
+# against divergent fingerprint pipelines.
+_SIMHASH_CTES = f"""tok AS (
         SELECT doc_id,
                list_transform(
                    list_distinct(list_filter(
@@ -474,7 +474,13 @@ def simhash_fingerprints_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks AS (
         SELECT doc_id, simhash, j.block_id,
                (simhash >> (j.block_id * {_BLOCK_BITS})) & {2**_BLOCK_BITS - 1} AS block_key
-        FROM fp, (SELECT unnest(range(0, 4)) AS block_id) j)
+        FROM fp, (SELECT unnest(range(0, 4)) AS block_id) j)"""
+
+
+@query(
+    "llm_dedup_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_CTES}
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
            CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
     FROM blocks x JOIN blocks y
@@ -512,6 +518,14 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle verifies fingerprints, blocking, and Hamming verify
     bit-exactly.
     """
+    return _simhash_pairs(spark, sf_dir)
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified (doc_a, doc_b, hamming) pair set: 15-bit band block →
+    equi-self-join → exact Hamming verify. Shared by the pair-list key
+    (llm_dedup_simhash) and the label key (llm_dedup_simhash_labels) so
+    both deliverables are over the identical verified graph."""
     docs = simhash_fingerprints_cached(spark, sf_dir)
     blocks = docs.select(
         "doc_id",
@@ -547,6 +561,71 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= _HAMMING_T)
         .distinct()
+    )
+
+
+@query(
+    "llm_dedup_simhash_labels",
+    oracle=f"""
+    WITH RECURSIVE {_SIMHASH_CTES},
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM blocks x JOIN blocks y
+          ON x.block_id = y.block_id AND x.block_key = y.block_key
+         AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= {_HAMMING_T}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs),
+    reach(u, v) AS (
+        SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+    lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+    SELECT f.doc_id,
+           COALESCE(l.cluster_id, f.doc_id) AS cluster_id,
+           (COALESCE(l.cluster_id, f.doc_id) = f.doc_id) AS keep
+    FROM fp f LEFT JOIN lab l ON f.doc_id = l.doc_id
+    """,
+)
+def llm_dedup_simhash_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup as LINEAR-OUTPUT cluster labels — the 100 TB
+    deliverable of the simhash family (round-12 VERDICT task 1).
+
+    One row per non-empty document: (doc_id, cluster_id, keep), where
+    cluster_id is the lowest doc_id in the document's connected component
+    of the Hamming<=10 verified pair graph and keep marks the canonical
+    representative (singletons keep themselves). The round-12 sf1 rung
+    proved the PAIR-LIST deliverable (llm_dedup_simhash) goes
+    data-quadratic on homogeneous corpora (544M pairs at 50k docs — OOM'd
+    an 8 GB harness collect); this key composes the identical verified
+    pairs into min-label-propagation components so the OUTPUT is always
+    exactly one row per document, safe to collect/sink at any corpus
+    size. The intermediate pair mass is still a data property of the
+    threshold-corpus combination, but it stays executor-side: edges are
+    localCheckpointed once and every propagation round is one shuffle
+    join + aggregate (llm_dedup_cluster's loop, shared via
+    _propagate_min_labels).
+
+    Oracle: DuckDB replays the exact-integer fingerprint pipeline
+    (shared _SIMHASH_CTES), re-derives the pair set, and computes
+    components via a recursive reachability CTE — labels verify
+    bit-exactly, including the keep flag.
+    """
+    fps = simhash_fingerprints_cached(spark, sf_dir)
+    pairs = _simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _propagate_min_labels(pairs)
+    return (
+        fps.select("doc_id")
+        .join(labels, labels.node == fps.doc_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+            (F.coalesce(F.col("label"), F.col("doc_id")) == F.col("doc_id")).alias(
+                "keep"
+            ),
+        )
     )
 
 
@@ -650,8 +729,26 @@ def dedup_clusters_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = llm_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _propagate_min_labels(p)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
+
+
+def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
+    """Distributed min-label propagation over an undirected pair graph:
+    (doc_a, doc_b) pairs in, converged (node, label) out, label = the
+    component's minimum node id. Only nodes appearing in >=1 pair are
+    emitted — callers decide how to label singletons. Each round is one
+    shuffle join + aggregate with localCheckpoint truncating lineage
+    (large-star/small-star's core step); shared by llm_dedup_cluster
+    (ngram-Jaccard graph) and llm_dedup_simhash_labels (Hamming graph)."""
     edges = (
-        p.union(p.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
         .withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
         .localCheckpoint(eager=True)  # materialize the pair pipeline ONCE
     )
@@ -685,11 +782,7 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        (F.col("node") == F.col("label")).alias("keep"),
-    )
+    return labels
 
 
 @query(
