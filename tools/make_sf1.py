@@ -95,20 +95,27 @@ def main() -> int:
         print(f"[sf1] {t}: copied verbatim", flush=True)
 
     for t, spec in SCALED.items():
+        # (name, duckdb type) pairs: the offset arithmetic below
+        # (col + copy_i * span, with range() yielding BIGINT) widens
+        # 32-bit key columns to BIGINT, so every offset expression casts
+        # back to the SOURCE type — the rung parquet stays byte-
+        # compatible with the sf0.1 schema (round-12 ADVICE).
         cols = [
-            c[0]
+            (c[0], c[1])
             for c in con.sql(
                 f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
             ).fetchall()
         ]
         exprs = []
-        for c in cols:
+        for c, typ in cols:
             if c in spec["own"]:
-                exprs.append(f"{c} + copy_i * {spans[t]} AS {c}")
+                exprs.append(f"CAST({c} + copy_i * {spans[t]} AS {typ}) AS {c}")
             elif c in spec["fk"]:
-                exprs.append(f"{c} + copy_i * {spans[spec['fk'][c]]} AS {c}")
+                exprs.append(
+                    f"CAST({c} + copy_i * {spans[spec['fk'][c]]} AS {typ}) AS {c}"
+                )
             elif c in spec.get("user", ()):
-                exprs.append(f"{c} + copy_i * {user_span} AS {c}")
+                exprs.append(f"CAST({c} + copy_i * {user_span} AS {typ}) AS {c}")
             elif t == "documents" and c == "text":
                 exprs.append(
                     "CASE WHEN copy_i = 0 THEN text "

@@ -32,8 +32,8 @@ built by tools/make_sf1.py (6 M lineitem rows, 10x every sf0.1 table):
    at sf1 under shuffle.partitions 32 vs 7 — bit-identical normalized
    rows required (the cross-SHAPE determinism claim at the new scale).
 
-PRESETS (SPARK_GRAFT_RUNG_PRESET): "sf1" (default, the full 35-key
-10x subset above) and "sf10" — the 100x-the-bench-tier decade
+PRESETS (SPARK_GRAFT_RUNG_PRESET): "sf1" (default, the full KEYS
+subset above — len(KEYS) entries; no hard-coded count) and "sf10" — the 100x-the-bench-tier decade
 (SPARK_GRAFT_SF1_OUT=.scratch/sf10 SPARK_GRAFT_SF1_COPIES=100
 tools/make_sf1.py; 60 M lineitem rows).  sf10 restricts to the
 relational core + linear-text/embedding keys (the quadratic-OUTPUT
@@ -205,6 +205,63 @@ INVARIANCE_KEYS_SF10 = [
 ]
 
 
+def checksum_plan(df, key: str):
+    """Engine-side exact checksum plan for a quadratic-output key:
+    (num_cols, spark agg exprs, duckdb sum-expression sql).
+
+    Module-level (not a closure) so tests/test_scale_rung_tools.py can
+    pin the two load-bearing rules without running a rung:
+
+    - exact-integer AND exact-decimal columns sum order-independently in
+      both engines; doubles are EXCLUDED (float addition is order-
+      dependent — a checksum over them would flake; the full-value tiers
+      already cover them). Zero summable columns is an ERROR, not a
+      count-only comparison (round-12 ADVICE: silent degradation would
+      report "oracle-exact" backed by nothing but a row count).
+    - integer sums are widened to DECIMAL(38,0) on BOTH sides:
+      sum(bigint) wraps at 2^63 in Spark but auto-widens to HUGEINT in
+      DuckDB — measured live on win_sessionize at sf10, where
+      sum(epoch_ms) over 9.5M rows is ~1.6e19 and the wrapped Spark sum
+      differed from the DuckDB sum by exactly 2^64. Decimal columns keep
+      their own scale (a cast to (38,0) would truncate with engine-
+      specific rounding).
+    """
+    from pyspark.sql import functions as F
+
+    num_cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() in ("bigint", "int", "integer")
+        or f.dataType.simpleString().startswith("decimal")
+    ]
+    if not num_cols:
+        raise ValueError(
+            f"{key}: no int/decimal columns to checksum — "
+            "use the full-value comparator for this key"
+        )
+    int_cols = {
+        f.name
+        for f in df.schema.fields
+        if not f.dataType.simpleString().startswith("decimal")
+    }
+
+    def _sexpr(c):
+        return (
+            F.sum(F.col(c).cast("decimal(38,0)")) if c in int_cols else F.sum(c)
+        )
+
+    spark_exprs = [F.count(F.lit(1)).alias("n")] + [
+        _sexpr(c).alias(f"s_{c}") for c in num_cols
+    ]
+    sums = ", ".join(
+        f"sum(CAST({c} AS DECIMAL(38,0))) AS s_{c}"
+        if c in int_cols
+        else f"sum({c}) AS s_{c}"
+        for c in num_cols
+    )
+    return num_cols, spark_exprs, sums
+
+
 def main() -> int:
     preset = os.environ.get("SPARK_GRAFT_RUNG_PRESET", "sf1")
     global SF1
@@ -269,52 +326,9 @@ def main() -> int:
         row["match"] = extra == 0 and row["recall"] >= 0.999
 
     def compare_checksum(key, row):
-        from pyspark.sql import functions as F
-
         df = queries[key](spark, SF1)
-        # exact-integer AND exact-decimal columns sum order-independently
-        # in both engines; doubles are excluded (float addition is
-        # order-dependent — a checksum over them would flake, and the
-        # full-value tiers already cover them).
-        num_cols = [
-            f.name
-            for f in df.schema.fields
-            if f.dataType.simpleString() in ("bigint", "int", "integer")
-            or f.dataType.simpleString().startswith("decimal")
-        ]
-        # Sum in DECIMAL(38,0) on the Spark side: sum(bigint) wraps at
-        # 2^63 in Spark but auto-widens to HUGEINT in DuckDB — measured
-        # live on win_sessionize at sf10, where sum(epoch_ms) over 9.5M
-        # rows is ~1.6e19 and the wrapped Spark sum differed from the
-        # DuckDB sum by exactly 2^64. Decimal sums are exact and
-        # order-independent in both engines.
-        int_cols = {
-            f.name
-            for f in df.schema.fields
-            if not f.dataType.simpleString().startswith("decimal")
-        }
-
-        def _sexpr(c):  # widen ints; decimals keep their scale (a cast
-            return (  # to (38,0) would truncate with engine-specific
-                F.sum(F.col(c).cast("decimal(38,0)"))  # rounding)
-                if c in int_cols
-                else F.sum(c)
-            )
-
-        got = (
-            df.agg(
-                F.count(F.lit(1)).alias("n"),
-                *[_sexpr(c).alias(f"s_{c}") for c in num_cols],
-            )
-            .collect()[0]
-            .asDict()
-        )
-        sums = ", ".join(
-            f"sum(CAST({c} AS DECIMAL(38,0))) AS s_{c}"
-            if c in int_cols
-            else f"sum({c}) AS s_{c}"
-            for c in num_cols
-        )
+        num_cols, spark_exprs, sums = checksum_plan(df, key)
+        got = df.agg(*spark_exprs).collect()[0].asDict()
         want = dict(
             zip(
                 ["n"] + [f"s_{c}" for c in num_cols],
@@ -330,6 +344,7 @@ def main() -> int:
 
         got = {k: _cnorm(v) for k, v in got.items()}
         want = {k: _cnorm(v) for k, v in want.items()}
+        row["checksum_cols"] = num_cols
         row["checksum"] = got
         row["match"] = got == want
         if not row["match"]:

@@ -485,8 +485,16 @@ def catalog_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     if spark.catalog.tableExists(name):
         try:
             spark.catalog.uncacheTable(name)
-        except Exception:  # noqa: BLE001 — view is replaced just below
-            pass
+        except Exception as e:  # noqa: BLE001 — view is replaced just below
+            # Degrading to a stranded cache entry is deliberate (never
+            # abort the key), but it must be AUDITABLE: a leak repeated
+            # across a long session eats executor storage memory with no
+            # trace if swallowed silently (round-12 ADVICE).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "uncacheTable(%s) failed; cache entry may be stranded: %s", name, e
+            )
     load(spark, sf_dir, "orders").createOrReplaceTempView(name)
     spark.catalog.cacheTable(name)
     return (
