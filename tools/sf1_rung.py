@@ -93,6 +93,7 @@ KEYS = [
     "llm_dedup_exact",
     "llm_dedup_near",
     "llm_dedup_simhash",
+    "llm_dedup_simhash_labels",
     "llm_dedup_ngram",
     "llm_dedup_cluster",
     "llm_contamination_check",
@@ -177,6 +178,23 @@ KEYS_SF10 = [
     "llm_tokenize",
     "llm_tfidf",
     "llm_gopher_quality",
+    # round-12 VERDICT task 3: close the 100x evidence gap for the
+    # state-bearing families — streaming drains, metadata round-trip,
+    # and the banded/clustered dedup keys. llm_dedup_simhash stays OUT:
+    # the sf1 rung proved its pair list is data-quadratic on this corpus
+    # (~40% pair density at every tier => ~5e10 pairs at 500k docs);
+    # its scale deliverable llm_dedup_simhash_labels is adjudicated at
+    # sf1, where the 544M-pair intermediate is already the stress case.
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_watermark",
+    "stream_dedup",
+    "stream_stateful",
+    "meta_roundtrip",
+    "meta_profile_table",
+    "llm_dedup_near",
+    "llm_dedup_ngram",
+    "llm_dedup_cluster",
 ]
 
 CHECKSUM_KEYS_SF10 = {
@@ -190,6 +208,12 @@ CHECKSUM_KEYS_SF10 = {
     "llm_dedup_exact",
     "llm_tokenize",
     "llm_tfidf",
+    # exact pair-list output (~25M rows from the 100-copy near-dup
+    # cliques): exact-integer checksum, never a full collect.
+    # llm_dedup_near is NOT here: its oracle is the exact pair set while
+    # LSH recall is the 1-(1-J^4)^8 curve, so counts legitimately differ
+    # — it gets the recall comparator in every preset.
+    "llm_dedup_ngram",
 }
 
 INVARIANCE_KEYS_SF10 = [
@@ -274,6 +298,13 @@ def main() -> int:
         keys, inv_keys = KEYS, INVARIANCE_KEYS
         checksum_keys = {"llm_dedup_simhash"}
         sf_val = 1.0
+    # Explicit smoke-test override: point the preset's key/comparator mix
+    # at a smaller generated fixture dir (tests and pre-flight runs).
+    # abspath is load-bearing: a RELATIVE dir reaches the metadata keys'
+    # DDL replay as a relative LOCATION, which the imported namespace
+    # resolves against the warehouse dir instead of the fixture dir —
+    # meta_roundtrip then reads an empty path (UNABLE_TO_INFER_SCHEMA).
+    SF1 = os.path.abspath(os.environ.get("SPARK_GRAFT_RUNG_DIR", SF1))
     if not os.path.isdir(SF1):
         print(f"{preset} rung missing — run tools/make_sf1.py first ({SF1})")
         return 2
@@ -313,17 +344,130 @@ def main() -> int:
     def compare_recall(key, row):
         # precision must be exact (verify stage recomputes exact Jaccard);
         # recall is the published probabilistic property of 8x4 banding.
-        got = {
-            (r.doc_a, r.doc_b) for r in queries[key](spark, SF1).collect()
-        }
-        want = {
-            (a, b) for a, b, _ in con.execute(oracles[key]).fetchall()
-        }
-        extra = len(got - want)
-        row["precision"] = 1.0 if not got else round(1 - extra / len(got), 6)
-        row["recall"] = round(len(got & want) / len(want), 6) if want else 1.0
-        row["n_spark"], row["n_exact"] = len(got), len(want)
+        # Set ops run in DuckDB over the Arrow-registered Spark result —
+        # never Python sets (25M-pair outputs at sf10).
+        got = queries[key](spark, SF1).select("doc_a", "doc_b").toArrow()
+        con.register("rcl_spark", got)
+        con.execute(
+            f"CREATE OR REPLACE TABLE rcl_exact AS "
+            f"SELECT doc_a, doc_b FROM ({oracles[key]})"
+        )
+        n_spark = got.num_rows
+        n_exact = con.execute("SELECT count(*) FROM rcl_exact").fetchone()[0]
+        extra = con.execute(
+            "SELECT count(*) FROM rcl_spark s ANTI JOIN rcl_exact e"
+            " USING (doc_a, doc_b)"
+        ).fetchone()[0]
+        recalled = con.execute(
+            "SELECT count(*) FROM rcl_exact e SEMI JOIN rcl_spark s"
+            " USING (doc_a, doc_b)"
+        ).fetchone()[0]
+        con.unregister("rcl_spark")
+        row["precision"] = 1.0 if not n_spark else round(1 - extra / n_spark, 6)
+        row["recall"] = round(recalled / n_exact, 6) if n_exact else 1.0
+        row["n_spark"], row["n_exact"] = n_spark, n_exact
         row["match"] = extra == 0 and row["recall"] >= 0.999
+
+    def duck_propagate(pair_sql: str) -> None:
+        """Exact connected components in DuckDB: min-label propagation
+        to fixpoint over the pair graph => table cc_l(node, label),
+        label = component minimum. The recursive-reach CTE the sf0.01
+        oracle uses is quadratic in component SIZE (the sf1 simhash
+        graph has a ~37k-node component => ~1.4e9 reach rows), so the
+        rung's independent ground truth iterates instead — same
+        converged fixpoint, cost O(edges * diameter)."""
+        con.execute(
+            f"CREATE OR REPLACE TABLE cc_e AS WITH p AS ({pair_sql}) "
+            "SELECT doc_a AS u, doc_b AS v FROM p "
+            "UNION ALL SELECT doc_b, doc_a FROM p"
+        )
+        con.execute(
+            "CREATE OR REPLACE TABLE cc_l AS "
+            "SELECT DISTINCT u AS node, u AS label FROM cc_e"
+        )
+        while True:
+            con.execute(
+                "CREATE OR REPLACE TABLE cc_n AS "
+                "SELECT l.node, LEAST(l.label, COALESCE(MIN(nb.label), l.label))"
+                " AS label "
+                "FROM cc_l l LEFT JOIN "
+                "(SELECT e.u, l2.label FROM cc_e e JOIN cc_l l2 ON e.v = l2.node)"
+                " nb ON nb.u = l.node "
+                "GROUP BY l.node, l.label"
+            )
+            changed = con.execute(
+                "SELECT count(*) FROM cc_n n JOIN cc_l l USING (node) "
+                "WHERE n.label <> l.label"
+            ).fetchone()[0]
+            con.execute("CREATE OR REPLACE TABLE cc_l AS SELECT * FROM cc_n")
+            if changed == 0:
+                return
+
+    def compare_component_labels(key, row, pair_sql, universe_sql=None):
+        """Adjudicate a (doc_id, cluster_id, keep) label deliverable
+        against DuckDB's independently-propagated exact components.
+        universe_sql (optional) supplies the singleton universe —
+        llm_dedup_simhash_labels emits every non-empty doc; the
+        edge-members-only llm_dedup_cluster passes None."""
+        duck_propagate(pair_sql)
+        if universe_sql is None:
+            truth = (
+                "SELECT node AS doc_id, label AS cluster_id, "
+                "node = label AS keep FROM cc_l"
+            )
+        else:
+            truth = (
+                f"WITH u AS ({universe_sql}) "
+                "SELECT u.doc_id, COALESCE(l.label, u.doc_id) AS cluster_id, "
+                "COALESCE(l.label, u.doc_id) = u.doc_id AS keep "
+                "FROM u LEFT JOIN cc_l l ON l.node = u.doc_id"
+            )
+        got = queries[key](spark, SF1).toArrow()
+        con.register("cc_spark", got)
+        n_truth = con.execute(f"SELECT count(*) FROM ({truth})").fetchone()[0]
+        mismatch = con.execute(
+            f"WITH t AS ({truth}) SELECT count(*) FROM t "
+            "FULL JOIN cc_spark s ON t.doc_id = s.doc_id "
+            "AND t.cluster_id = s.cluster_id AND t.keep = s.keep "
+            "WHERE t.doc_id IS NULL OR s.doc_id IS NULL"
+        ).fetchone()[0]
+        con.unregister("cc_spark")
+        n_edges = con.execute("SELECT count(*) FROM cc_e").fetchone()[0] // 2
+        row["n_spark"], row["n_truth"] = got.num_rows, n_truth
+        row["n_pairs"], row["mismatches"] = n_edges, mismatch
+        row["n_clusters"] = con.execute(
+            "SELECT count(DISTINCT label) FROM cc_l"
+        ).fetchone()[0]
+        # doc_id is unique on both sides (groupBy output), so zero
+        # unmatched FULL-JOIN rows == exact set equality
+        row["match"] = mismatch == 0 and got.num_rows == n_truth
+
+    def compare_ivf(key, row):
+        # plumbing is exact: full-value compare vs the trained-codebook
+        # oracle replay; THEN measure recall vs the exact top-k (the
+        # number an ANN user actually tunes nprobe against)
+        assert_match(queries[key](spark, SF1), con, oracles[key], key)
+        from yc_data_proc_metadata_import_spark.llm import similarity as _sim
+
+        exact_sql = (
+            f"WITH v AS ({_sim._VECS_SQL}) "
+            "SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id "
+            "FROM v q JOIN v n ON n.vec_id <> q.vec_id "
+            f"WHERE q.vec_id < {_sim._N_QUERIES} "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+            + _sim._DOT_SQL.format(a="q.emb", b="n.emb")
+            + f" / (q.norm * n.norm) DESC, n.vec_id) <= {_sim._TOP_K}"
+        )
+        want = set(map(tuple, con.execute(exact_sql).fetchall()))
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in queries[key](spark, SF1).select(
+                "query_id", "neighbor_id"
+            ).collect()
+        }
+        row["recall_vs_exact"] = round(len(got & want) / len(want), 6)
+        row["n_exact"] = len(want)
+        row["match"] = True  # exactness gate is the oracle assert above
 
     def compare_checksum(key, row):
         df = queries[key](spark, SF1)
@@ -350,9 +494,37 @@ def main() -> int:
         if not row["match"]:
             row["oracle_checksum"] = want
 
+    from yc_data_proc_metadata_import_spark.llm import dedup as _dedup
+
+    # Hamming<=T simhash pair set (the labels key's edge relation),
+    # built from the SAME CTE constants the shipped oracle uses.
+    simhash_pair_sql = (
+        f"WITH {_dedup._SIMHASH_CTES} "
+        "SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
+        "FROM blocks x JOIN blocks y "
+        "ON x.block_id = y.block_id AND x.block_key = y.block_key "
+        "AND x.doc_id < y.doc_id "
+        f"WHERE bit_count(xor(x.simhash, y.simhash)) <= {_dedup._HAMMING_T}"
+    )
+    ngram_pair_sql = f"SELECT doc_a, doc_b FROM ({_dedup._PAIRS_SQL})"
+    nonempty_docs_sql = "SELECT doc_id FROM documents WHERE trim(text) <> ''"
+
     COMPARATORS = {k: compare_checksum for k in checksum_keys}
+    COMPARATORS["llm_dedup_near"] = compare_recall
     if preset == "sf1":
-        COMPARATORS["llm_dedup_near"] = compare_recall
+        COMPARATORS["llm_ann_ivf"] = compare_ivf
+        COMPARATORS["llm_dedup_simhash_labels"] = lambda key, row: (
+            compare_component_labels(
+                key, row, simhash_pair_sql, universe_sql=nonempty_docs_sql
+            )
+        )
+    else:
+        # sf10: the recursive-reach oracle over the 25M-pair clique graph
+        # is infeasible; adjudicate the cluster labels against the
+        # iterated ground truth instead (exact, same fixpoint).
+        COMPARATORS["llm_dedup_cluster"] = lambda key, row: (
+            compare_component_labels(key, row, ngram_pair_sql)
+        )
 
     for key in keys:
         row: dict = {}

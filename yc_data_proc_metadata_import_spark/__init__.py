@@ -114,7 +114,10 @@ _FAMILY_RANK = (
 # whole 50-slot window is pure stalest-green rotation: the r4 cohort
 # (48 keys) plus the two oldest r5 greens, lifting min(latest-green)
 # to round 5 registry-wide (round-9 VERDICT task 1).
-_FORCE_FRONT: set[str] = set()
+# Round-13 entry: llm_ann_ivf rebuilt on the trained k-means codebook
+# (round-12 VERDICT task 4) — its r11 green covered the modulo-sampled
+# stand-in, not the shipped Lloyd-trained quantizer.
+_FORCE_FRONT: set[str] = {"llm_ann_ivf"}
 
 
 # Keys registered after the CURRENT round's fresh window is already full

@@ -17,9 +17,11 @@ the vector half of an LLM training-data pipeline.
   running the full join is llm_sim_join's job.
 - llm_sim_join_lsh: sign-random-projection LSH — linear-shuffle candidate
   generation when even blocked matmul is too much; verify stage is exact.
-- llm_ann_ivf: IVF — assign every vector to its nearest centroid
-  (broadcast centroids), probe the 3 nearest lists per query. The
-  classic recall/cost dial at billion-vector scale.
+- llm_ann_ivf: IVF over a TRAINED codebook — centroids come from
+  llm_kmeans_cluster's Lloyd iterations (one update step over the final
+  assignment), every vector is assigned to its nearest centroid
+  (driver-literal codebook, map-only), queries probe the 3 nearest
+  lists. The classic recall/cost dial at billion-vector scale.
 
 Determinism: expression-path dot products fold left-to-right in double —
 bit-identical to the DuckDB oracle's list_reduce (verified). The matmul
@@ -54,7 +56,6 @@ _BUCKETS = 8
 _SIM_T = 0.4
 _NEAR_DUP_T = 0.95
 _SAMPLE_MOD = 50  # llm_dedup_embedding audits vec_id % 50 == 0 (2%)
-_IVF_MOD = 47  # centroid seed set: vec_id % 47 == 0 (~2% of corpus)
 _IVF_NPROBE = 3
 
 
@@ -446,111 +447,6 @@ def llm_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "llm_ann_ivf",
-    oracle=f"""
-    WITH v AS ({_VECS_SQL}),
-    cent AS (
-        SELECT vec_id AS cent_id, emb AS cemb, norm AS cnorm
-        FROM v WHERE vec_id % {_IVF_MOD} = 0),
-    assign AS (
-        SELECT vec_id, emb, norm, cent_id AS list_id FROM (
-            SELECT v.vec_id, v.emb, v.norm, c.cent_id,
-                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                       ORDER BY {_DOT_SQL.format(a="v.emb", b="c.cemb")}
-                                / (v.norm * c.cnorm) DESC,
-                                c.cent_id ASC) AS rn
-            FROM v CROSS JOIN cent c)
-        WHERE rn = 1),
-    probes AS (
-        SELECT query_id, qemb, qnorm, cent_id AS list_id FROM (
-            SELECT q.vec_id AS query_id, q.emb AS qemb, q.norm AS qnorm,
-                   c.cent_id,
-                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                       ORDER BY {_DOT_SQL.format(a="q.emb", b="c.cemb")}
-                                / (q.norm * c.cnorm) DESC,
-                                c.cent_id ASC) AS rn
-            FROM v q CROSS JOIN cent c WHERE q.vec_id < {_N_QUERIES})
-        WHERE rn <= {_IVF_NPROBE}),
-    hits AS (
-        SELECT p.query_id, a.vec_id AS neighbor_id,
-               {_DOT_SQL.format(a="p.qemb", b="a.emb")}
-                 / (p.qnorm * a.norm) AS cosine
-        FROM probes p JOIN assign a ON p.list_id = a.list_id
-        WHERE a.vec_id <> p.query_id)
-    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, cosine FROM (
-        SELECT query_id, neighbor_id, cosine,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
-        FROM hits)
-    WHERE rnk <= {_TOP_K}
-    """,
-)
-def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: assign every vector to its nearest centroid,
-    probe the {_IVF_NPROBE} nearest lists per query, exact-rank within.
-
-    Centroids are the deterministic vec_id % {_IVF_MOD} == 0 subset (~2%),
-    standing in for a k-means codebook — the partition/probe plumbing is
-    identical. At scale: centroid set broadcasts (~2% of corpus), list
-    assignment is one scan, probed search touches nprobe/nlist of the
-    corpus (~6% here) instead of 100%.
-
-    Hash-checked despite being "approximate": approximation is vs the
-    exact-NN ground truth, but the ALGORITHM is fully deterministic
-    (modulo-selected centroids, cent_id-tiebroken argmax assignment,
-    ordered probes, left-fold dot products), so the oracle mirrors the
-    IVF spec itself in SQL and the driver verifies every stage of the
-    plumbing bit-exactly.
-    """
-    v = _vecs(spark, sf_dir)
-    cent = v.filter(F.col("vec_id") % _IVF_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"), F.col("norm").alias("cnorm")
-    )
-    ccos = _dot(F.col("emb"), F.col("cemb")) / (F.col("norm") * F.col("cnorm"))
-    # Inverted lists: argmax centroid per vector via max(struct) — one scan.
-    assign = (
-        v.join(F.broadcast(cent), how="cross")
-        .select("vec_id", "emb", "norm", "cent_id", ccos.alias("ccos"))
-        .groupBy("vec_id")
-        .agg(
-            F.first("emb").alias("emb"),
-            F.first("norm").alias("norm"),
-            F.max(F.struct(F.col("ccos"), (-F.col("cent_id")).alias("neg"))).alias("best"),
-        )
-        .select("vec_id", "emb", "norm", (-F.col("best.neg")).alias("list_id"))
-    )
-    # Probe plan: top-nprobe centroid lists per query vector.
-    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), F.col("norm").alias("qnorm")
-    )
-    qcos = _dot(F.col("qemb"), F.col("cemb")) / (F.col("qnorm") * F.col("cnorm"))
-    wq = Window.partitionBy("query_id").orderBy(F.desc("qccos"), F.asc("cent_id"))
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select("query_id", "qemb", "qnorm", "cent_id", qcos.alias("qccos"))
-        .withColumn("prb", F.row_number().over(wq))
-        .filter(F.col("prb") <= _IVF_NPROBE)
-        .select("query_id", "qemb", "qnorm", F.col("cent_id").alias("list_id"))
-    )
-    # Search only the probed lists.
-    scos = _dot(F.col("qemb"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))
-    # probes = queries x nprobe rows (tiny) — broadcast so the inverted
-    # lists never shuffle (the window above defeats size estimation, which
-    # otherwise picks a sort-merge join on the skewed list_id key).
-    hits = (
-        F.broadcast(probes).join(assign, "list_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), scos.alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        hits.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _TOP_K)
-        .select("query_id", "neighbor_id", "rnk", "cosine")
-    )
-
-
-@query(
     "llm_embedding_normalize",
     oracle=f"""
     WITH v AS ({_VECS_SQL})
@@ -799,14 +695,21 @@ def _km_oracle_sql() -> str:
 
 
 def _km_assign(cents: list, max_abs_qv: int) -> F.Column:
-    """Assignment expression against a driver-held centroid list: ONE
+    """Argmin-centroid assignment: array_min over the (cost, j) struct
+    array — struct ordering = (cost, then j), mirroring the oracle's
+    ROW_NUMBER ... ORDER BY cost, j."""
+    return F.array_min(_km_cost_array(cents, max_abs_qv))["j"]
+
+
+def _km_cost_array(cents: list, max_abs_qv: int) -> F.Column:
+    """(cost, j) struct array against a driver-held centroid list: ONE
     higher-order ``transform`` over an array-of-centroid-structs literal
-    computes every (cost, j) pair, then ``array_min`` picks the argmin —
-    struct ordering = (cost, then j), mirroring the oracle's
-    ROW_NUMBER ... ORDER BY cost, j. The single-HOF spelling keeps the
-    expression tree K times smaller than unrolling one dot product per
-    centroid (measured ~3x lower Catalyst/codegen latency at K=8), and
-    the arithmetic is identical: s2/n are embedded as exact literals and
+    computes every pair — argmin assignment (``_km_assign``) and
+    top-nprobe probe ranking (llm_ann_ivf: array_sort + slice) both read
+    it. The single-HOF spelling keeps the expression tree K times
+    smaller than unrolling one dot product per centroid (measured ~3x
+    lower Catalyst/codegen latency at K=8), and the arithmetic is
+    identical to the oracle's: s2/n are embedded as exact literals and
     each division is the same correctly-rounded IEEE op."""
     zero = F.lit(0).cast("long")
     x2 = F.aggregate(
@@ -867,7 +770,7 @@ def _km_assign(cents: list, max_abs_qv: int) -> F.Column:
         )
         return F.struct(cost.alias("cost"), c["j"].alias("j"))
 
-    return F.array_min(F.transform(cent_lit, cost_of))["j"]
+    return F.transform(cent_lit, cost_of)
 
 
 @query("llm_kmeans_cluster", oracle=_km_oracle_sql())
@@ -967,6 +870,181 @@ def _km_fit_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j, d in by_cluster.items()
         )
     return assigned
+
+
+# IVF codebook = ONE more centroid-update step over the final Lloyd
+# assignment — the "final centroids" a k-means trainer ships. Cached
+# per (session, scale): two K-bounded collects (K*d sums + K counts).
+_IVF_CODEBOOK_CACHE: dict = {}
+
+
+def _ivf_codebook(spark: SparkSession, sf_dir: str):
+    """(cents, max_abs_qv): the trained IVF quantizer. cents is the
+    driver-held exact-integer (j, sum-vector, count) list computed from
+    llm_kmeans_cluster's FINAL assignment; max_abs_qv feeds the int64
+    overflow guards. Collects are K*d rows — independent of corpus size
+    (the broadcast-codebook pattern)."""
+    from ..sources.io import sf_tag
+    from ..utils import session_cached
+
+    def build():
+        assigned = _km_fit(spark, sf_dir)
+        sums = (
+            assigned.select("cluster", F.posexplode("qv").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(
+                    F.array_max(F.transform("qv", lambda v: F.abs(v)))
+                ).alias("m"),
+            )
+            .collect()
+        )
+        by_cluster: dict = {}
+        for r in sums:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim"])] = int(r["s"])
+        counts = {int(r["cluster"]): int(r["n"]) for r in stats}
+        if len(counts) != _KM_K:
+            raise AssertionError(
+                f"IVF codebook expects {_KM_K} trained lists, got {sorted(counts)}"
+            )
+        max_abs_qv = max(int(r["m"]) for r in stats)
+        cents = sorted(
+            (j, [d[i] for i in range(len(d))], counts[j])
+            for j, d in by_cluster.items()
+        )
+        return cents, max_abs_qv
+
+    return session_cached(_IVF_CODEBOOK_CACHE, spark, sf_tag(sf_dir), build)
+
+
+def _ivf_oracle_sql() -> str:
+    cost = (
+        f"CAST({_km_dot_sql('q.qv', 'q.qv')} AS DOUBLE) "
+        f"- (2 * {_km_dot_sql('q.qv', 'c.s')}) / c.n "
+        f"+ CAST({_km_dot_sql('c.s', 'c.s')} AS DOUBLE) / (c.n * c.n)"
+    )
+    n = _KM_ITERS
+    ctes = _km_oracle() + [
+        # cfin: one centroid-update step over the final assignment —
+        # exactly what _ivf_codebook collects
+        f"ufin AS (SELECT a.cluster, ii.i, SUM(list_extract(qq.qv, ii.i)) AS s "
+        f"FROM a{n} a JOIN q qq USING (vec_id), "
+        f"LATERAL (SELECT unnest(range(1, len(qq.qv) + 1)) AS i) ii "
+        f"GROUP BY a.cluster, ii.i)",
+        f"nfin AS (SELECT cluster, COUNT(*) AS n FROM a{n} GROUP BY cluster)",
+        "cfin AS (SELECT u.cluster AS j, list(u.s ORDER BY u.i) AS s, "
+        "MIN(n.n) AS n FROM ufin u JOIN nfin n ON n.cluster = u.cluster "
+        "GROUP BY u.cluster)",
+        f"v AS ({_VECS_SQL})",
+        "assign AS (SELECT vec_id, j AS list_id FROM ("
+        "SELECT q.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY q.vec_id "
+        f"ORDER BY {cost}, c.j) AS rn FROM q CROSS JOIN cfin c) WHERE rn = 1)",
+        "probes AS (SELECT vec_id AS query_id, j AS list_id FROM ("
+        "SELECT q.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY q.vec_id "
+        f"ORDER BY {cost}, c.j) AS rn FROM q CROSS JOIN cfin c "
+        f"WHERE q.vec_id < {_N_QUERIES}) WHERE rn <= {_IVF_NPROBE})",
+        "hits AS (SELECT p.query_id, a.vec_id AS neighbor_id, "
+        + _DOT_SQL.format(a="vq.emb", b="va.emb")
+        + " / (vq.norm * va.norm) AS cosine "
+        "FROM probes p JOIN assign a ON p.list_id = a.list_id "
+        "JOIN v vq ON vq.vec_id = p.query_id "
+        "JOIN v va ON va.vec_id = a.vec_id "
+        "WHERE a.vec_id <> p.query_id)",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, cosine FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        FROM hits)
+    WHERE rnk <= {_TOP_K}
+    """
+    )
+
+
+@query("llm_ann_ivf", oracle=_ivf_oracle_sql())
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k over a TRAINED codebook: centroids are one
+    update step over llm_kmeans_cluster's final Lloyd assignment (the
+    "final centroids" a trainer ships — round-12 VERDICT task 4;
+    previously a modulo-sampled stand-in), every vector is assigned to
+    its argmin-cost list, queries probe the nprobe cheapest lists, exact
+    cosine ranks within.
+
+    Scale shape: the codebook is K*(d+1) exact integers held driver-side
+    and embedded as a literal — list assignment and probe ranking are
+    MAP-ONLY (no join, no shuffle; at huge K swap the literal for a
+    broadcast join, llm_kmeans_cluster's documented path). The probed
+    search touches nprobe/nlist of the corpus instead of 100%; probes
+    broadcast so the inverted lists never shuffle.
+
+    Hash-checked despite being "approximate": approximation is vs the
+    exact-NN ground truth, but the ALGORITHM is fully deterministic —
+    integer-exact Lloyd training (llm_kmeans_cluster's exactness
+    contract), integer-exact cost ranking with j tiebreaks, left-fold
+    double cosines — so the oracle replays training + one centroid
+    update + assignment + probing + ranking bit-exactly. Recall vs the
+    exact top-k is measured per rung run (tools/sf1_rung.py).
+    """
+    v = _vecs(spark, sf_dir)
+    assigned = _km_fit(spark, sf_dir)  # (vec_id, qv, cluster)
+    cents, max_abs_qv = _ivf_codebook(spark, sf_dir)
+    # Inverted lists: argmin-cost assignment against the trained
+    # codebook literal — one map-only scan, then attach emb/norm.
+    inv = (
+        assigned.select(
+            "vec_id", _km_assign(cents, max_abs_qv).alias("list_id")
+        )
+        .join(v, "vec_id")
+    )
+    # Probe plan: sort the K-entry (cost, j) array per query, keep the
+    # nprobe cheapest — map-only on 10 query rows.
+    probes = (
+        assigned.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(
+                    F.array_sort(_km_cost_array(cents, max_abs_qv)),
+                    1,
+                    _IVF_NPROBE,
+                )
+            ).alias("pc"),
+        )
+        .select("query_id", F.col("pc.j").alias("list_id"))
+        .join(
+            v.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("emb").alias("qemb"),
+                F.col("norm").alias("qnorm"),
+            ),
+            "query_id",
+        )
+    )
+    scos = _dot(F.col("qemb"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))
+    # probes = queries x nprobe rows (tiny) — broadcast so the inverted
+    # lists never shuffle.
+    hits = (
+        F.broadcast(probes)
+        .join(inv, "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), scos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        hits.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )
 
 
 # The fixture embeddings are near-orthogonal (max within-cluster cosine
