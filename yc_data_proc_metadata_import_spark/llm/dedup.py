@@ -744,14 +744,29 @@ def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
     emitted — callers decide how to label singletons. Each round is one
     shuffle join + aggregate with localCheckpoint truncating lineage
     (large-star/small-star's core step); shared by llm_dedup_cluster
-    (ngram-Jaccard graph) and llm_dedup_simhash_labels (Hamming graph)."""
-    edges = (
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
-        .localCheckpoint(eager=True)  # materialize the pair pipeline ONCE
-    )
+    (ngram-Jaccard graph) and llm_dedup_simhash_labels (Hamming graph).
+
+    Memory shape (round-13 sf1 finding): the Hamming graph on the
+    homogeneous rung corpus carries 544M pairs, and localCheckpointing
+    the SYMMETRIZED edge list OOM'd an 8 GB local-mode heap twice — the
+    checkpoint's unroll path stores DESERIALIZED rows, so even 4x-wider
+    partitions blew the heap inside LocalRDDCheckpointData.doCheckpoint.
+    So: materialize ONE pair direction only (reverse derived lazily per
+    round — a free map that halves stored bytes), repartitioned 4x wider
+    than session parallelism, persisted DISK_ONLY (serialized, streamed
+    reads, heap-bounded at any pair count) and materialized by a single
+    count. The small per-round LABEL table keeps using localCheckpoint —
+    that is where lineage truncation matters. On a real cluster the same
+    blocks spread over executors; DISK_ONLY is the local-mode analogue
+    of "bigger than one node's memory"."""
+    from pyspark import StorageLevel
+
+    n = pairs.sparkSession.sparkContext.defaultParallelism
+    half = pairs.repartition(n * 4, "doc_a").persist(StorageLevel.DISK_ONLY)
+    half.count()  # materialize the pair pipeline ONCE
+    edges = half.union(
+        half.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
     labels = (
         edges.select(F.col("u").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -782,6 +797,9 @@ def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # converged labels are checkpointed; the disk-persisted edge blocks
+    # have no further consumer — release the executor storage
+    half.unpersist()
     return labels
 
 
