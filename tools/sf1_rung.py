@@ -188,13 +188,29 @@ KEYS_SF10 = [
     "stream_tumbling",
     "stream_sliding",
     "stream_watermark",
-    "stream_dedup",
+    # stream_dedup is deliberately NOT in the sf10 preset (round-13
+    # finding): its dropDuplicates state is one entry per event_id, so a
+    # 10M-event availableNow drain holds 10M keys in the default
+    # IN-HEAP state store and OOMs an 8 GB single node (Spark caught the
+    # task OOM but the heap never recovered — maintenance/shuffle
+    # threads kept dying). The key stays proven at sf1 (1M events); the
+    # 100x state-bearing representative is the RocksDB-backed store,
+    # which spills state to local disk — exactly the production answer
+    # for state >> heap.
+    "stream_rocksdb_state",
     "stream_stateful",
     "meta_roundtrip",
     "meta_profile_table",
-    "llm_dedup_near",
-    "llm_dedup_ngram",
-    "llm_dedup_cluster",
+    # The EXACT-quadratic dedup keys are measurably infeasible at 500k
+    # docs on one node (round-13 finding, details in SURVEY 6.2d): the
+    # template shingles shared corpus-wide make the exact inverted-index
+    # self-join's INTERMEDIATE ~1e11 rows — Spark's own exact-ngram
+    # shuffle exhausted the 250 GB disk, and llm_dedup_near's exact
+    # ground-truth oracle ate >100 GB RAM + all temp space in DuckDB
+    # while Spark's banded LSH side finished in 112.7 s. They stay
+    # adjudicated at sf1 (50k docs); the 100x dedup representatives are
+    # the LINEAR keys below.
+    "llm_dedup_incremental",
 ]
 
 CHECKSUM_KEYS_SF10 = {
