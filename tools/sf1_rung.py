@@ -224,12 +224,11 @@ CHECKSUM_KEYS_SF10 = {
     "llm_dedup_exact",
     "llm_tokenize",
     "llm_tfidf",
-    # exact pair-list output (~25M rows from the 100-copy near-dup
-    # cliques): exact-integer checksum, never a full collect.
-    # llm_dedup_near is NOT here: its oracle is the exact pair set while
-    # LSH recall is the 1-(1-J^4)^8 curve, so counts legitimately differ
-    # — it gets the recall comparator in every preset.
-    "llm_dedup_ngram",
+    # (round-13: the exact-quadratic dedup keys left the sf10 preset —
+    # see the KEYS_SF10 comment — so no pair-list checksum rows remain;
+    # llm_dedup_near would in any case need the recall comparator, since
+    # its oracle is the exact pair set while LSH recall is the
+    # 1-(1-J^4)^8 curve.)
 }
 
 INVARIANCE_KEYS_SF10 = [
