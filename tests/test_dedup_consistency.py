@@ -64,3 +64,69 @@ def test_shared_derived_indexes_build_once(spark, sf_dir):
     labels = dedup.dedup_clusters_cached(spark, sf_dir)
     QUERIES["llm_curation_pipeline"](spark, sf_dir).count()
     assert dedup.dedup_clusters_cached(spark, sf_dir) is labels
+
+
+def test_popcount64_matches_python_bitcount():
+    """SWAR popcount kernel (numpy 1.26 lacks bitwise_count) vs
+    int.bit_count over boundary values and a seeded random sample."""
+    import numpy as np
+
+    from yc_data_proc_metadata_import_spark.llm.dedup import _popcount64
+
+    rng = np.random.default_rng(42)
+    vals = np.concatenate(
+        [
+            np.array([0, 1, 2**63, 2**64 - 1, 0x5555555555555555], np.uint64),
+            rng.integers(0, 2**64, size=2000, dtype=np.uint64),
+        ]
+    )
+    got = _popcount64(vals.copy())
+    want = np.array([int(v).bit_count() for v in vals], np.uint64)
+    assert (got == want).all()
+
+
+def test_bucket_cc_edges_matches_bruteforce_components():
+    """The batched-BFS bucket kernel's star edges must induce EXACTLY
+    the Hamming<=T pair graph's components — checked against a
+    brute-force union-find over all pairs on seeded random fingerprints
+    (mixed density: low bits random so plenty of near pairs)."""
+    import numpy as np
+    import pandas as pd
+
+    from yc_data_proc_metadata_import_spark.llm.dedup import (
+        _HAMMING_T,
+        _bucket_cc_edges,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 300
+    # half tightly clustered (few high bits), half uniform
+    tight = rng.integers(0, 2**12, size=n // 2, dtype=np.uint64)
+    loose = rng.integers(0, 2**60, size=n - n // 2, dtype=np.uint64)
+    fps = np.concatenate([tight, loose])
+    md = rng.permutation(np.arange(10, 10 + n, dtype=np.int64))
+    pdf = pd.DataFrame({"simhash": fps.view(np.int64), "min_doc": md})
+
+    # brute-force union-find
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if int(fps[i] ^ fps[j]).bit_count() <= _HAMMING_T:
+                parent[find(i)] = find(j)
+    want = {}
+    for i in range(n):
+        want.setdefault(find(i), set()).add(int(md[i]))
+    want_edges = {
+        (min(s), v) for s in want.values() if len(s) > 1 for v in s if v != min(s)
+    }
+
+    got = _bucket_cc_edges(pdf)
+    got_edges = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+    assert got_edges == want_edges

@@ -270,7 +270,8 @@ def checksum_plan(df, key: str):
     num_cols = [
         f.name
         for f in df.schema.fields
-        if f.dataType.simpleString() in ("bigint", "int", "integer")
+        if f.dataType.simpleString()
+        in ("bigint", "int", "integer", "smallint", "tinyint")
         or f.dataType.simpleString().startswith("decimal")
     ]
     if not num_cols:
@@ -360,14 +361,22 @@ def main() -> int:
         # precision must be exact (verify stage recomputes exact Jaccard);
         # recall is the published probabilistic property of 8x4 banding.
         # Set ops run in DuckDB over the Arrow-registered Spark result —
-        # never Python sets (25M-pair outputs at sf10).
+        # never Python sets (25M-pair outputs at sf10).  The Spark side is
+        # DISTINCT'd in DuckDB so precision/recall keep r12's SET
+        # semantics even if a future implementation emits duplicate rows
+        # (round-13 ADVICE: raw row counts would silently inflate).
         got = queries[key](spark, SF1).select("doc_a", "doc_b").toArrow()
-        con.register("rcl_spark", got)
+        con.register("rcl_raw", got)
+        con.execute(
+            "CREATE OR REPLACE TABLE rcl_spark AS "
+            "SELECT DISTINCT doc_a, doc_b FROM rcl_raw"
+        )
+        con.unregister("rcl_raw")
         con.execute(
             f"CREATE OR REPLACE TABLE rcl_exact AS "
             f"SELECT doc_a, doc_b FROM ({oracles[key]})"
         )
-        n_spark = got.num_rows
+        n_spark = con.execute("SELECT count(*) FROM rcl_spark").fetchone()[0]
         n_exact = con.execute("SELECT count(*) FROM rcl_exact").fetchone()[0]
         extra = con.execute(
             "SELECT count(*) FROM rcl_spark s ANTI JOIN rcl_exact e"
@@ -377,7 +386,7 @@ def main() -> int:
             "SELECT count(*) FROM rcl_exact e SEMI JOIN rcl_spark s"
             " USING (doc_a, doc_b)"
         ).fetchone()[0]
-        con.unregister("rcl_spark")
+        con.execute("DROP TABLE rcl_spark")
         row["precision"] = 1.0 if not n_spark else round(1 - extra / n_spark, 6)
         row["recall"] = round(recalled / n_exact, 6) if n_exact else 1.0
         row["n_spark"], row["n_exact"] = n_spark, n_exact

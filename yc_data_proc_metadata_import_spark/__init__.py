@@ -114,10 +114,13 @@ _FAMILY_RANK = (
 # whole 50-slot window is pure stalest-green rotation: the r4 cohort
 # (48 keys) plus the two oldest r5 greens, lifting min(latest-green)
 # to round 5 registry-wide (round-9 VERDICT task 1).
-# Round-13 entry: llm_ann_ivf rebuilt on the trained k-means codebook
-# (round-12 VERDICT task 4) — its r11 green covered the modulo-sampled
-# stand-in, not the shipped Lloyd-trained quantizer.
-_FORCE_FRONT: set[str] = {"llm_ann_ivf"}
+# Round-13 entry llm_ann_ivf (trained-codebook rebuild) re-recorded
+# GREEN in CORRECTNESS_r13.json — cleared.
+# Round-14 entry: llm_dedup_simhash_labels redesigned from
+# pair-list-composition to bucket-BFS star edges (llm/dedup.py — the
+# r13 green covered the 544M-pair materializing implementation, not
+# the linear star-edge plan that now ships).
+_FORCE_FRONT: set[str] = {"llm_dedup_simhash_labels"}
 
 
 # Keys registered after the CURRENT round's fresh window is already full

@@ -564,6 +564,169 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _popcount64(x):
+    """Vectorized 64-bit popcount (SWAR) over a numpy uint64 array —
+    numpy 1.26 has no ``bitwise_count``; this is the classic
+    shift-mask-multiply spelling, ~5 vector ops, no lookup-table memory
+    traffic."""
+    import numpy as np
+
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def _bucket_cc_edges(pdf):
+    """Exact connected components of ONE block bucket's Hamming<=T graph
+    over DISTINCT fingerprints, emitted as LINEAR star edges
+    (component-min min_doc -> member min_doc, one row per non-root
+    member) instead of the quadratic pair list.
+
+    Batched-BFS: a frontier batch's XOR+popcount against every
+    still-unassigned fingerprint is one vectorized numpy pass (SWAR
+    popcount, chunked so temporaries stay ~35 MB), and a node leaves the
+    candidate pool the moment it joins a component — the dense
+    near-duplicate clusters that make the pair list quadratic are
+    exactly the ones BFS absorbs in one or two rounds. Worst case is
+    still O(d^2) popcounts for d distinct fingerprints in the bucket
+    (that is the verify lower bound — Hamming is pairwise), but nothing
+    quadratic is ever materialized: no edge list, no distance matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    fp = pdf["simhash"].to_numpy(np.int64).view(np.uint64)
+    md = pdf["min_doc"].to_numpy(np.int64)
+    n = len(fp)
+    t = np.uint64(_HAMMING_T)
+    comp = np.full(n, -1, np.int64)
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for seed in range(n):
+        if comp[seed] >= 0:
+            continue
+        comp[seed] = seed
+        members = [seed]
+        frontier = np.array([seed], np.int64)
+        while frontier.size:
+            rem = np.flatnonzero(comp < 0)
+            if rem.size == 0:
+                break
+            hit = np.zeros(rem.size, bool)
+            for i in range(0, frontier.size, 32):
+                fb = fp[frontier[i : i + 32]][:, None]
+                for j in range(0, rem.size, 1 << 17):
+                    sl = rem[j : j + (1 << 17)]
+                    d = _popcount64(fb ^ fp[sl][None, :])
+                    hit[j : j + sl.size] |= (d <= t).any(axis=0)
+            frontier = rem[hit]
+            comp[frontier] = seed
+            members.extend(frontier.tolist())
+        if len(members) > 1:
+            mm = md[members]
+            rep = int(mm.min())
+            out_a.extend(rep for v in mm if v != rep)
+            out_b.extend(int(v) for v in mm if v != rep)
+    return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+
+def _bucket_group_cc_edges(pdf):
+    """Kernel for a HASH GROUP of whole buckets: sub-group per
+    (block_id, block_key) python-side and BFS each. Grouping Spark-side
+    on a coarse hash of the bucket key instead of the bucket key itself
+    cuts the Arrow/pandas per-group round-trips from one per bucket
+    (~11k tiny frames at sf0.1 — measured ~5 s of pure overhead) to one
+    per core-slot; every bucket still lands whole in exactly one group."""
+    import pandas as pd
+
+    frames = [
+        _bucket_cc_edges(sub)
+        for _, sub in pdf.groupby(["block_id", "block_key"], sort=False)
+        if len(sub) > 1
+    ]
+    if not frames:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64")})
+    return pd.concat(frames, ignore_index=True)
+
+
+def _simhash_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR star-edge relation of the simhash Hamming graph: one
+    (component-min, member) row per non-root bucket-component member,
+    over DISTINCT fingerprints — at most 4 x |distinct fp| rows total,
+    versus the data-quadratic verified pair list (544M rows at sf1,
+    ~9e9 at sf10 even after fp-collapse: measured distinct-fp counts are
+    29,741 of 50k docs at sf1 and 216,443 of 500k at sf10, so collapsing
+    alone only halves the graph). Connectivity is EXACTLY the pair
+    graph's: any Hamming<=T pair shares a block (same blocking), both
+    endpoints land in that bucket's BFS component, and docs sharing a
+    fingerprint meet at their min_doc node."""
+    dfp = (
+        simhash_fingerprints_cached(spark, sf_dir)
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("min_doc"))
+    )
+    blocks = dfp.select(
+        "simhash",
+        "min_doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("block_id"),
+                        F.shiftright("simhash", j * _BLOCK_BITS)
+                        .bitwiseAND(F.lit(2**_BLOCK_BITS - 1))
+                        .alias("block_key"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select("simhash", "min_doc", "blk.block_id", "blk.block_key")
+    n_groups = 8 * spark.sparkContext.defaultParallelism
+    return (
+        blocks.withColumn(
+            "grp", F.pmod(F.hash("block_id", "block_key"), F.lit(n_groups))
+        )
+        .groupBy("grp")
+        .applyInPandas(_bucket_group_cc_edges, "doc_a bigint, doc_b bigint")
+    )
+
+
+# Converged (doc_id, cluster_id, keep) labels, one materialization per
+# (session, scale): the propagation loop is a multi-job iteration whose
+# output is a stable derived artifact — the rung's wall pass and
+# comparator pass (and any downstream consumer) share it (round-13
+# ADVICE; same pattern as dedup_clusters_cached).
+_SIMHASH_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def simhash_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..utils import session_cached
+
+    def build() -> DataFrame:
+        fps = simhash_fingerprints_cached(spark, sf_dir)
+        dfp = fps.groupBy("simhash").agg(F.min("doc_id").alias("min_doc"))
+        labels = _propagate_min_labels(_simhash_star_edges(spark, sf_dir))
+        lab = F.coalesce(F.col("label"), F.col("min_doc"))
+        return (
+            fps.join(dfp, "simhash")
+            .join(labels, F.col("min_doc") == labels.node, "left")
+            .select(
+                "doc_id",
+                lab.alias("cluster_id"),
+                (lab == F.col("doc_id")).alias("keep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return session_cached(_SIMHASH_LABELS_CACHE, spark, sf_dir, build)
+
+
 @query(
     "llm_dedup_simhash_labels",
     oracle=f"""
@@ -595,38 +758,48 @@ def llm_dedup_simhash_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One row per non-empty document: (doc_id, cluster_id, keep), where
     cluster_id is the lowest doc_id in the document's connected component
-    of the Hamming<=10 verified pair graph and keep marks the canonical
-    representative (singletons keep themselves). The round-12 sf1 rung
-    proved the PAIR-LIST deliverable (llm_dedup_simhash) goes
-    data-quadratic on homogeneous corpora (544M pairs at 50k docs — OOM'd
-    an 8 GB harness collect); this key composes the identical verified
-    pairs into min-label-propagation components so the OUTPUT is always
-    exactly one row per document, safe to collect/sink at any corpus
-    size. The intermediate pair mass is still a data property of the
-    threshold-corpus combination, but it stays executor-side: edges are
-    localCheckpointed once and every propagation round is one shuffle
-    join + aggregate (llm_dedup_cluster's loop, shared via
-    _propagate_min_labels).
+    of the Hamming<=10 graph (same blocking + threshold as
+    llm_dedup_simhash) and keep marks the canonical representative
+    (singletons keep themselves).
+
+    Round-14 redesign — NOTHING quadratic is materialized anymore. The
+    round-13 implementation composed the verified PAIR LIST (544M rows
+    at sf1) into components; at sf10 that pair list is ~9e9 rows even
+    after collapsing to distinct fingerprints (measured: 216,443
+    distinct fps among 500k docs, ~40% pair density) — 150+ GB of
+    DISK_ONLY edges, infeasible on one node and pure waste on a
+    cluster. Connected components never needed the full edge set, only
+    a SPANNING subgraph, so the plan is now:
+
+    1. collapse to distinct fingerprints with their min doc_id
+       (groupBy — docs sharing a fingerprint are Hamming-0 connected);
+    2. per block bucket, compute the bucket's exact Hamming<=T
+       components over distinct fps with a batched-BFS numpy kernel
+       (applyInPandas — the one genuinely non-relational step; the
+       pairwise verify work is the same O(d^2) popcounts the join did,
+       but vectorized in C and never materialized) and emit LINEAR star
+       edges (component-min -> member), <= 4 x |distinct fp| rows;
+    3. min-label-propagate over the tiny star graph
+       (_propagate_min_labels, 2-5 shuffle-join rounds on <=866k rows
+       at sf10 instead of 544M+ pair rows at sf1);
+    4. map docs back through their fingerprint's min_doc.
+
+    Step 2's bucket groups are the corpus' fingerprint distribution —
+    the biggest sf10 bucket holds most of the corpus (measured skew),
+    which is exactly the dense near-dup mass BFS absorbs in a couple of
+    vectorized rounds. On a cluster each bucket is one task; the
+    quadratic-verify floor parallelizes per bucket and everything
+    shuffled or persisted is linear in document count.
 
     Oracle: DuckDB replays the exact-integer fingerprint pipeline
     (shared _SIMHASH_CTES), re-derives the pair set, and computes
     components via a recursive reachability CTE — labels verify
-    bit-exactly, including the keep flag.
+    bit-exactly, including the keep flag (and tools/sf1_rung.py
+    re-verifies against an independent iterated fixpoint over all 544M
+    sf1 pairs). Cached per (session, scale) so the rung's wall pass and
+    comparator pass share one propagation (round-13 ADVICE).
     """
-    fps = simhash_fingerprints_cached(spark, sf_dir)
-    pairs = _simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = _propagate_min_labels(pairs)
-    return (
-        fps.select("doc_id")
-        .join(labels, labels.node == fps.doc_id, "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
-            (F.coalesce(F.col("label"), F.col("doc_id")) == F.col("doc_id")).alias(
-                "keep"
-            ),
-        )
-    )
+    return simhash_labels_cached(spark, sf_dir)
 
 
 @query(
@@ -763,7 +936,16 @@ def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
 
     n = pairs.sparkSession.sparkContext.defaultParallelism
     half = pairs.repartition(n * 4, "doc_a").persist(StorageLevel.DISK_ONLY)
-    half.count()  # materialize the pair pipeline ONCE
+    if half.count() < 1_000_000:
+        # Tiny graph (e.g. the star-edge relation — <=4 x distinct
+        # fingerprints): the wide DISK_ONLY layout sized for 544M-pair
+        # graphs is pure scheduling overhead here — measured 11.9 s for
+        # a 12k-edge propagation at 128+ partitions vs sub-second at 8.
+        # localCheckpoint is safe again at this size (the r13 OOM was
+        # the 544M-row deserialized unroll, not the mechanism).
+        small = half.coalesce(8).localCheckpoint(eager=True)
+        half.unpersist()
+        half = small
     edges = half.union(
         half.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
