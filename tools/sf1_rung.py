@@ -211,6 +211,20 @@ KEYS_SF10 = [
     # adjudicated at sf1 (50k docs); the 100x dedup representatives are
     # the LINEAR keys below.
     "llm_dedup_incremental",
+    # round-14: the simhash family's linear-output label deliverable
+    # runs at sf10 on the star-edge redesign (llm/dedup.py — nothing
+    # quadratic materialized). Exact DuckDB ground truth is infeasible
+    # here (~9e9 fp-pairs even over the 216,443 distinct fingerprints),
+    # so the key gets the VERDICT-blessed invariant battery + witnessed-
+    # edge soundness comparator (compare_labels_invariants) plus the
+    # partitioning-invariance pass; exactness of the algorithm itself
+    # is adjudicated at sf1 against the independent iterated fixpoint.
+    "llm_dedup_simhash_labels",
+    # round-14: IVF at scaled K (K=448 ~ sqrt(200k), env override set in
+    # main) — adjudicated by recall vs the exact top-k, the number an
+    # ANN user tunes nprobe against; plumbing exactness is the sf1 rung
+    # assert_match at registry K.
+    "llm_ann_ivf",
 ]
 
 CHECKSUM_KEYS_SF10 = {
@@ -231,7 +245,30 @@ CHECKSUM_KEYS_SF10 = {
     # 1-(1-J^4)^8 curve.)
 }
 
+# sf100: one more decade (600M lineitem rows, 100M events — round-13
+# VERDICT task 5's bounded probe). Bounded-OUTPUT relational keys only;
+# row-stream outputs use the engine-side checksum. The fixture is
+# generated with SPARK_GRAFT_SF1_TABLES=<relational subset> and
+# SPARK_GRAFT_SF1_CHUNK (chunked directory parquet), so documents/
+# embeddings keys are out of scope by construction.
+KEYS_SF100 = [
+    "scan_parquet",
+    "flagship_pricing_summary",
+    "agg_groupby",
+    "agg_approx_distinct",
+    "tpch_q6_forecast_revenue",
+    "join_star",
+    "topk_per_group",
+    "join_inner",
+    "win_sessionize",
+]
+
+CHECKSUM_KEYS_SF100 = {"join_inner", "win_sessionize"}
+
+INVARIANCE_KEYS_SF100 = ["agg_groupby"]
+
 INVARIANCE_KEYS_SF10 = [
+    "llm_dedup_simhash_labels",
     "agg_groupby",
     "agg_share_of_total",
     "agg_countmin_sketch",
@@ -310,6 +347,17 @@ def main() -> int:
         keys, inv_keys = KEYS_SF10, INVARIANCE_KEYS_SF10
         checksum_keys = CHECKSUM_KEYS_SF10
         sf_val = 10.0
+        # Scale the IVF quantizer to the corpus (K ~ sqrt(200k) = 448,
+        # nprobe widened to keep recall): MUST happen before the engine
+        # import below — the constants (and the oracle strings nobody
+        # replays at this preset) are read at module import.
+        os.environ.setdefault("SPARK_GRAFT_KM_K", "448")
+        os.environ.setdefault("SPARK_GRAFT_IVF_NPROBE", "32")
+    elif preset == "sf100":
+        SF1 = os.path.join(REPO, ".scratch", "sf100")
+        keys, inv_keys = KEYS_SF100, INVARIANCE_KEYS_SF100
+        checksum_keys = CHECKSUM_KEYS_SF100
+        sf_val = 100.0
     else:
         keys, inv_keys = KEYS, INVARIANCE_KEYS
         checksum_keys = {"llm_dedup_simhash"}
@@ -340,9 +388,12 @@ def main() -> int:
     queries, oracles = engine.queries(), engine.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SF1, t)}')"
-        )
+        p = table_path(SF1, t)
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")  # chunked directory table
+        elif not os.path.exists(p):
+            continue  # table-filtered fixture (sf100 relational subset)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     def run_noop(df) -> None:
         df.write.mode("overwrite").format("noop").save()
@@ -466,11 +517,9 @@ def main() -> int:
         # unmatched FULL-JOIN rows == exact set equality
         row["match"] = mismatch == 0 and got.num_rows == n_truth
 
-    def compare_ivf(key, row):
-        # plumbing is exact: full-value compare vs the trained-codebook
-        # oracle replay; THEN measure recall vs the exact top-k (the
-        # number an ANN user actually tunes nprobe against)
-        assert_match(queries[key](spark, SF1), con, oracles[key], key)
+    def ivf_recall(key, row):
+        # recall vs the exact top-k — the number an ANN user actually
+        # tunes nprobe against
         from yc_data_proc_metadata_import_spark.llm import similarity as _sim
 
         exact_sql = (
@@ -491,7 +540,24 @@ def main() -> int:
         }
         row["recall_vs_exact"] = round(len(got & want) / len(want), 6)
         row["n_exact"] = len(want)
+
+    def compare_ivf(key, row):
+        # sf1: plumbing is exact — full-value compare vs the trained-
+        # codebook oracle replay, THEN measure recall.
+        assert_match(queries[key](spark, SF1), con, oracles[key], key)
+        ivf_recall(key, row)
         row["match"] = True  # exactness gate is the oracle assert above
+
+    def compare_ivf_recall_only(key, row):
+        # sf10 (scaled K=448): the oracle replay (448-centroid Lloyd in
+        # DuckDB list arithmetic) is measurably impractical and the
+        # plumbing is already oracle-exact at sf1 — adjudicate what the
+        # decade-up claim IS: the trained codebook's recall vs the
+        # exact top-k, gated at 0.9.
+        row["km_k"] = int(os.environ.get("SPARK_GRAFT_KM_K", "8"))
+        row["nprobe"] = int(os.environ.get("SPARK_GRAFT_IVF_NPROBE", "3"))
+        ivf_recall(key, row)
+        row["match"] = row["recall_vs_exact"] >= 0.9
 
     def compare_checksum(key, row):
         df = queries[key](spark, SF1)
@@ -530,8 +596,78 @@ def main() -> int:
         "AND x.doc_id < y.doc_id "
         f"WHERE bit_count(xor(x.simhash, y.simhash)) <= {_dedup._HAMMING_T}"
     )
-    ngram_pair_sql = f"SELECT doc_a, doc_b FROM ({_dedup._PAIRS_SQL})"
     nonempty_docs_sql = "SELECT doc_id FROM documents WHERE trim(text) <> ''"
+
+    def compare_labels_invariants(key, row):
+        """sf10 label adjudication: the exact pair/fixpoint ground truth
+        is measurably infeasible at 500k docs (~9e9 Hamming<=T pairs
+        even over the 216,443 distinct fingerprints — SURVEY 6.2d), so
+        per the round-13 VERDICT the key is gated on engine-side
+        invariants every one of which DuckDB can check independently,
+        plus witnessed-edge soundness on a sampled subgraph and the
+        partitioning-invariance pass. Algorithm exactness (labels ==
+        independent iterated fixpoint over all 544M pairs) is the sf1
+        tier's job."""
+        got = queries[key](spark, SF1).toArrow()
+        con.register("lab_spark", got)
+        checks = {}
+        n_docs = con.execute(
+            "SELECT count(*) FROM documents WHERE trim(text) <> ''"
+        ).fetchone()[0]
+        checks["n_rows_eq_nonempty_docs"] = got.num_rows == n_docs
+        checks["one_row_per_doc"] = bool(con.execute(
+            "SELECT count(*) = count(DISTINCT doc_id) FROM lab_spark"
+        ).fetchone()[0])
+        checks["keep_iff_rep"] = bool(con.execute(
+            "SELECT count(*) = 0 FROM lab_spark WHERE keep <> (cluster_id = doc_id)"
+        ).fetchone()[0])
+        checks["cluster_le_doc"] = bool(con.execute(
+            "SELECT count(*) = 0 FROM lab_spark WHERE cluster_id > doc_id"
+        ).fetchone()[0])
+        checks["every_cluster_has_rep_row"] = bool(con.execute(
+            "SELECT count(*) = 0 FROM (SELECT DISTINCT cluster_id FROM lab_spark "
+            "EXCEPT SELECT doc_id FROM lab_spark WHERE keep)"
+        ).fetchone()[0])
+        # exact-integer fingerprint replay (linear) — cohesion: docs
+        # sharing a fingerprint are Hamming-0 neighbors, so they MUST
+        # share a cluster
+        con.execute(
+            f"CREATE OR REPLACE TABLE lab_fp AS WITH {_dedup._SIMHASH_CTES} "
+            "SELECT doc_id, simhash FROM fp"
+        )
+        checks["same_fp_same_cluster"] = bool(con.execute(
+            "SELECT count(*) = 0 FROM (SELECT f.simhash FROM lab_fp f "
+            "JOIN lab_spark s USING (doc_id) GROUP BY f.simhash "
+            "HAVING count(DISTINCT s.cluster_id) > 1)"
+        ).fetchone()[0])
+        # witnessed-edge soundness: every sampled doc pair that shares a
+        # block within Hamming<=T is a REAL edge and must share a cluster
+        bk = 2**_dedup._BLOCK_BITS - 1
+        sampled = con.execute(
+            f"""WITH samp AS (SELECT doc_id, simhash FROM lab_fp WHERE doc_id % 37 = 0),
+            blk AS (SELECT doc_id, simhash, j.b AS block_id,
+                    (simhash >> (j.b * {_dedup._BLOCK_BITS})) & {bk} AS block_key
+                    FROM samp, (SELECT unnest(range(0, 4)) AS b) j),
+            pr AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                   FROM blk x JOIN blk y ON x.block_id = y.block_id
+                    AND x.block_key = y.block_key AND x.doc_id < y.doc_id
+                   WHERE bit_count(xor(x.simhash, y.simhash)) <= {_dedup._HAMMING_T})
+            SELECT count(*),
+                   count(*) FILTER (WHERE sa.cluster_id <> sb.cluster_id)
+            FROM pr JOIN lab_spark sa ON sa.doc_id = pr.a
+                    JOIN lab_spark sb ON sb.doc_id = pr.b"""
+        ).fetchone()
+        row["n_sampled_edges"], split = int(sampled[0]), int(sampled[1])
+        checks["sampled_edges_cohere"] = split == 0 and sampled[0] > 0
+        row["n_clusters"], row["sum_cluster_id"] = [
+            int(v)
+            for v in con.execute(
+                "SELECT count(DISTINCT cluster_id), sum(cluster_id) FROM lab_spark"
+            ).fetchone()
+        ]
+        con.unregister("lab_spark")
+        row["checks"] = checks
+        row["match"] = all(checks.values())
 
     COMPARATORS = {k: compare_checksum for k in checksum_keys}
     COMPARATORS["llm_dedup_near"] = compare_recall
@@ -543,12 +679,8 @@ def main() -> int:
             )
         )
     else:
-        # sf10: the recursive-reach oracle over the 25M-pair clique graph
-        # is infeasible; adjudicate the cluster labels against the
-        # iterated ground truth instead (exact, same fixpoint).
-        COMPARATORS["llm_dedup_cluster"] = lambda key, row: (
-            compare_component_labels(key, row, ngram_pair_sql)
-        )
+        COMPARATORS["llm_ann_ivf"] = compare_ivf_recall_only
+        COMPARATORS["llm_dedup_simhash_labels"] = compare_labels_invariants
 
     for key in keys:
         row: dict = {}
@@ -573,13 +705,24 @@ def main() -> int:
             tuple(_norm(v) for v in row) for row in (tuple(r) for r in df.collect())
         )
 
+    def clear_result_caches():
+        # Session-cached RESULT artifacts (converged label tables) would
+        # make the two invariance runs compare one materialization with
+        # itself — clear them so both runs truly recompute. Input-level
+        # caches (fingerprints, token tables) stay: their partitioning
+        # is fixed by defaultParallelism, not shuffle.partitions.
+        _dedup._SIMHASH_LABELS_CACHE.clear()
+        _dedup._CLUSTER_CACHE.clear()
+
     base = spark.conf.get("spark.sql.shuffle.partitions")
     for key in inv_keys:
         row = {}
         try:
+            clear_result_caches()
             a = rows_of(queries[key](spark, SF1))
             spark.conf.set("spark.sql.shuffle.partitions", "7")
             try:
+                clear_result_caches()
                 b = rows_of(queries[key](spark, SF1))
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", base)
