@@ -478,25 +478,18 @@ def main() -> int:
             if changed == 0:
                 return
 
-    def compare_component_labels(key, row, pair_sql, universe_sql=None):
+    def compare_component_labels(key, row, pair_sql, universe_sql):
         """Adjudicate a (doc_id, cluster_id, keep) label deliverable
         against DuckDB's independently-propagated exact components.
-        universe_sql (optional) supplies the singleton universe —
-        llm_dedup_simhash_labels emits every non-empty doc; the
-        edge-members-only llm_dedup_cluster passes None."""
+        universe_sql supplies the singleton universe —
+        llm_dedup_simhash_labels emits every non-empty doc."""
         duck_propagate(pair_sql)
-        if universe_sql is None:
-            truth = (
-                "SELECT node AS doc_id, label AS cluster_id, "
-                "node = label AS keep FROM cc_l"
-            )
-        else:
-            truth = (
-                f"WITH u AS ({universe_sql}) "
-                "SELECT u.doc_id, COALESCE(l.label, u.doc_id) AS cluster_id, "
-                "COALESCE(l.label, u.doc_id) = u.doc_id AS keep "
-                "FROM u LEFT JOIN cc_l l ON l.node = u.doc_id"
-            )
+        truth = (
+            f"WITH u AS ({universe_sql}) "
+            "SELECT u.doc_id, COALESCE(l.label, u.doc_id) AS cluster_id, "
+            "COALESCE(l.label, u.doc_id) = u.doc_id AS keep "
+            "FROM u LEFT JOIN cc_l l ON l.node = u.doc_id"
+        )
         got = queries[key](spark, SF1).toArrow()
         con.register("cc_spark", got)
         n_truth = con.execute(f"SELECT count(*) FROM ({truth})").fetchone()[0]
