@@ -1,0 +1,54 @@
+"""The two codebook-assignment paths must be bit-identical.
+
+llm/similarity.py dispatches argmin-codebook assignment on K: a
+driver-literal expression up to _KM_LITERAL_MAX lists (registry default,
+oracle-replayed) and a float64-GEMM mapInPandas above it (scale rungs,
+K ~ sqrt(n)). The GEMM is only admissible because every product and
+partial sum stays an exactly-representable integer (< 2^53, guarded) —
+this test pins that the two paths agree EXACTLY on the same trained
+codebook, ties included (np.argmin first-occurrence == ORDER BY cost, j).
+"""
+
+from __future__ import annotations
+
+from yc_data_proc_metadata_import_spark.llm import similarity as sim
+
+
+def _assignments(df):
+    return {(r["vec_id"], r["cl"]) for r in df.select("vec_id", "cl").collect()}
+
+
+def test_gemm_assignment_matches_literal_path(spark, sf_dir):
+    cents, max_abs_qv = sim._ivf_codebook(spark, sf_dir)
+    qv = sim._km_fit(spark, sf_dir).select("vec_id", "qv")
+    lit = _assignments(
+        qv.withColumn("cl", sim._km_assign(cents, max_abs_qv))
+    )
+    orig = sim._KM_LITERAL_MAX
+    sim._KM_LITERAL_MAX = 0  # force the GEMM branch for the same K
+    try:
+        gem = _assignments(
+            sim._km_assigned(qv, spark, cents, max_abs_qv, out="cl")
+        )
+    finally:
+        sim._KM_LITERAL_MAX = orig
+    assert lit == gem and len(lit) > 0
+
+
+def test_gemm_exactness_guard_trips_past_2_53(spark, sf_dir):
+    """The GEMM branch must REFUSE inputs whose dot products could
+    exceed 2^53 — silent one-ULP argmin divergence is the failure mode
+    the guard exists for."""
+    import pytest
+
+    cents, max_abs_qv = sim._ivf_codebook(spark, sf_dir)
+    d = len(cents[0][1])
+    huge = [(j, [2**40] * d, n) for j, _, n in cents]  # s2 < 2^53 is fine
+    qv = sim._km_fit(spark, sf_dir).select("vec_id", "qv")
+    orig = sim._KM_LITERAL_MAX
+    sim._KM_LITERAL_MAX = 0
+    try:
+        with pytest.raises(AssertionError):
+            sim._km_assigned(qv, spark, huge, max_abs_qv, out="cl")
+    finally:
+        sim._KM_LITERAL_MAX = orig

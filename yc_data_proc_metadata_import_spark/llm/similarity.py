@@ -793,17 +793,65 @@ def _km_assigned(
     row per vector before any exchange."""
     if len(cents) <= _KM_LITERAL_MAX:
         return qv_df.withColumn(out, _km_assign(cents, max_abs_qv))
+    # Large K: one GEMM per Arrow batch against the broadcast codebook
+    # (mapInPandas — the block-matmul shape llm_sim_join already uses).
+    # Measured reason: the first cut was a broadcast cross-join with the
+    # same higher-order-function cost expression, and Spark evaluates
+    # HOFs INTERPRETED per (row, centroid) — a 200k x 448 assignment
+    # pass took ~8 minutes, and Lloyd re-runs the pass ~9x. The GEMM is
+    # sub-second AND bit-identical: every product and partial sum is an
+    # integer < 2^53 (guarded by _km_check_contract), so float64 BLAS
+    # returns the exact integer regardless of summation order, and the
+    # final x2 - (2*xs)/n + s2/(n*n) is the same left-to-right IEEE
+    # sequence the literal path and the DuckDB oracle evaluate.
+    # np.argmin's first-occurrence rule == ORDER BY cost, j (cents are
+    # j-sorted everywhere).
     _km_check_contract(cents, max_abs_qv)
-    joined = qv_df.crossJoin(F.broadcast(_km_cents_df(spark, cents)))
-    return (
-        joined.withColumn("__cost", _km_join_cost())
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct(F.col("__cost"), F.col("j"))).alias("__m"),
-            F.first("qv").alias("qv"),
+    import numpy as np
+
+    # float64-GEMM exactness needs the TIGHTER 2^53 bound (the literal
+    # path's int64 arithmetic survives to 2^63): every dot-product
+    # partial sum and every n*n must be an exactly-representable
+    # integer or BLAS summation order starts to matter. Fail loudly —
+    # same policy as _km_check_contract.
+    d = len(cents[0][1])
+    max_s = max(max((abs(int(v)) for v in s), default=0) for _, s, _ in cents)
+    max_n = max(n for _, _, n in cents)
+    if (
+        d * max_s * max(max_abs_qv, 1) >= 2**53
+        or d * max_abs_qv**2 >= 2**53
+        or max_n * max_n >= 2**53
+        or 2 * d * max_s * max(max_abs_qv, 1) >= 2**53
+    ):
+        raise AssertionError(
+            "GEMM assignment exactness bound exceeded (>= 2^53): "
+            f"d={d} max|s|={max_s} max|qv|={max_abs_qv} max n={max_n}"
         )
-        .select("vec_id", "qv", F.col("__m.j").alias(out))
-    )
+    S = np.array([s_vec for _, s_vec, _ in cents], dtype=np.float64)
+    N = np.array([n for _, _, n in cents], dtype=np.float64)
+    J = np.array([j for j, _, _ in cents], dtype=np.int64)
+    s2_over_n2 = (S * S).sum(axis=1) / (N * N)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
+            x2 = (x * x).sum(axis=1)
+            cost = (
+                x2[:, None] - (2.0 * (x @ S.T)) / N[None, :] + s2_over_n2[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "qv": pdf["qv"],
+                    out: J[np.argmin(cost, axis=1)].astype("int32"),
+                }
+            )
+
+    return qv_df.mapInPandas(assign, f"vec_id bigint, qv array<bigint>, {out} int")
 
 
 def _km_probe_lists(
