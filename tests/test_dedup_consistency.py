@@ -130,3 +130,51 @@ def test_bucket_cc_edges_matches_bruteforce_components():
     got = _bucket_cc_edges(pdf)
     got_edges = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
     assert got_edges == want_edges
+
+
+def test_bucket_cc_edges_property_random_graphs():
+    """Property check across graph densities: for fingerprints drawn
+    from windows of varying width (clique-dense through all-singleton),
+    the kernel's star edges always induce the brute-force components.
+    Seeded loop rather than hypothesis so the numpy draw stays
+    deterministic across runs."""
+    import numpy as np
+    import pandas as pd
+
+    from yc_data_proc_metadata_import_spark.llm.dedup import (
+        _HAMMING_T,
+        _bucket_cc_edges,
+    )
+
+    rng = np.random.default_rng(1234)
+    for width_bits in (4, 8, 16, 24, 40, 60):
+        n = int(rng.integers(2, 120))
+        fps = rng.integers(0, 2**width_bits, size=n, dtype=np.uint64)
+        md = rng.permutation(np.arange(n, dtype=np.int64)) * 3 + 1
+        pdf = pd.DataFrame({"simhash": fps.view(np.int64), "min_doc": md})
+
+        parent = list(range(n))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                if int(fps[i] ^ fps[j]).bit_count() <= _HAMMING_T:
+                    parent[find(i)] = find(j)
+        comps = {}
+        for i in range(n):
+            comps.setdefault(find(i), set()).add(int(md[i]))
+        want = {
+            (min(s), v)
+            for s in comps.values()
+            if len(s) > 1
+            for v in s
+            if v != min(s)
+        }
+        got = _bucket_cc_edges(pdf)
+        got_edges = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
+        assert got_edges == want, f"width={width_bits} n={n}"
