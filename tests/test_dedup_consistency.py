@@ -178,3 +178,38 @@ def test_bucket_cc_edges_property_random_graphs():
         got = _bucket_cc_edges(pdf)
         got_edges = {(int(a), int(b)) for a, b in zip(got["doc_a"], got["doc_b"])}
         assert got_edges == want, f"width={width_bits} n={n}"
+
+
+def test_propagate_min_labels_raises_on_nonconvergence(spark):
+    """Min-label propagation moves a component's minimum one hop per
+    round, so a 25-node path graph (diameter 24) cannot converge within
+    the 20-round cap. Round-14 ADVICE: non-convergence must RAISE, not
+    silently return almost-converged labels as cluster ids."""
+    import pytest
+
+    from yc_data_proc_metadata_import_spark.llm.dedup import (
+        _propagate_min_labels,
+    )
+
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not.*converge|converge"):
+        _propagate_min_labels(path_edges)
+
+
+def test_propagate_min_labels_converges_on_shallow_graph(spark):
+    """Sanity twin for the raise test: a star plus an isolated edge
+    converges in 2 rounds and labels every component by its min node."""
+    from yc_data_proc_metadata_import_spark.llm.dedup import (
+        _propagate_min_labels,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 5), (1, 7), (1, 9), (20, 21)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["node"], r["label"])
+        for r in _propagate_min_labels(edges).collect()
+    }
+    assert got == {(1, 1), (5, 1), (7, 1), (9, 1), (20, 20), (21, 20)}

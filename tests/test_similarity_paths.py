@@ -36,19 +36,26 @@ def test_gemm_assignment_matches_literal_path(spark, sf_dir):
 
 
 def test_gemm_exactness_guard_trips_past_2_53(spark, sf_dir):
-    """The GEMM branch must REFUSE inputs whose dot products could
-    exceed 2^53 — silent one-ULP argmin divergence is the failure mode
-    the guard exists for."""
+    """The GEMM branch must REFUSE inputs that pass the SHARED contract
+    but could still produce silent one-ULP argmin divergence in float64
+    BLAS. The n*n >= 2^53 bound is GEMM-only (_km_check_contract never
+    inspects member counts), so a huge n isolates the GEMM guard —
+    round-14 ADVICE: the old s=2^40 fixture tripped the shared s2 bound
+    first and the GEMM-specific block stayed untested."""
     import pytest
 
     cents, max_abs_qv = sim._ivf_codebook(spark, sf_dir)
-    d = len(cents[0][1])
-    huge = [(j, [2**40] * d, n) for j, _, n in cents]  # s2 < 2^53 is fine
+    huge_n = [(j, s_vec, 2**27) for j, s_vec, _ in cents]  # n*n = 2^54
+    # precondition: the shared contract accepts this codebook, so any
+    # raise below can only come from the GEMM-specific bound block
+    sim._km_check_contract(huge_n, max_abs_qv)
     qv = sim._km_fit(spark, sf_dir).select("vec_id", "qv")
     orig = sim._KM_LITERAL_MAX
     sim._KM_LITERAL_MAX = 0
     try:
-        with pytest.raises(AssertionError):
-            sim._km_assigned(qv, spark, huge, max_abs_qv, out="cl")
+        with pytest.raises(
+            AssertionError, match="GEMM assignment exactness bound"
+        ):
+            sim._km_assigned(qv, spark, huge_n, max_abs_qv, out="cl")
     finally:
         sim._KM_LITERAL_MAX = orig

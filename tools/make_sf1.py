@@ -36,6 +36,7 @@ transform; output is one parquet per table (zstd), ~10x sf0.1 bytes.
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 
 import duckdb
@@ -156,7 +157,12 @@ def main() -> int:
                 exprs.append(c)
         if CHUNK:
             dest = f"{OUT}/{t}.parquet"
-            os.makedirs(dest, exist_ok=True)
+            # Clear any prior chunk set first: re-running with fewer
+            # COPIES / a different CHUNK would otherwise leave stale
+            # part-*.parquet files that the glob silently includes,
+            # inflating row counts past the audits (round-14 ADVICE).
+            shutil.rmtree(dest, ignore_errors=True)
+            os.makedirs(dest)
             for lo in range(0, COPIES, CHUNK):
                 hi = min(lo + CHUNK, COPIES)
                 con.execute(

@@ -954,6 +954,7 @@ def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(20):  # bound >> any real dup-cluster diameter
         nbr = (
             edges.join(labels, edges.v == labels.node)
@@ -979,6 +980,19 @@ def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Min-label needs rounds ~ graph diameter; on the star-edge
+        # graphs we feed it the diameter is bounded by chained bucket
+        # stars and 20 rounds has huge headroom — but a pathological
+        # corpus exceeding it MUST fail loudly, never ship
+        # almost-converged labels as cluster ids (round-14 ADVICE).
+        half.unpersist()
+        raise RuntimeError(
+            "_propagate_min_labels: min-label propagation did not "
+            f"converge within 20 rounds ({changed} labels still "
+            "changing) — graph diameter exceeds the bound; raise the "
+            "round cap or switch this graph to pointer-doubling."
+        )
     # converged labels are checkpointed; the disk-persisted edge blocks
     # have no further consumer — release the executor storage
     half.unpersist()
