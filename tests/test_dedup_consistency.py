@@ -213,3 +213,85 @@ def test_propagate_min_labels_converges_on_shallow_graph(spark):
         for r in _propagate_min_labels(edges).collect()
     }
     assert got == {(1, 1), (5, 1), (7, 1), (9, 1), (20, 20), (21, 20)}
+
+
+def test_subblock_pigeonhole_covers_all_close_pairs():
+    """Correctness invariant of the bucket-split path: two fingerprints
+    that agree exactly on block j's 15 bits and have overall Hamming
+    <= _HAMMING_T must share at least one of the 15 3-bit chunks
+    OUTSIDE block j — so every edge of a split bucket lands in >= 1
+    shared (sub_id, sub_key) sub-bucket. (Pigeonhole: <= 10 differing
+    bits touch <= 10 of those 15 chunks.)"""
+    import numpy as np
+
+    from yc_data_proc_metadata_import_spark.llm.dedup import (
+        _BLOCK_BITS,
+        _CHUNKS_PER_BLOCK,
+        _HAMMING_T,
+        _SUB_CHUNKS,
+    )
+
+    rng = np.random.default_rng(7)
+    checked = 0
+    for _ in range(4000):
+        a = int(rng.integers(0, 2**60))
+        # flip up to T random bits to build a close partner
+        b = a
+        for bit in rng.choice(60, size=int(rng.integers(0, _HAMMING_T + 1)),
+                              replace=False):
+            b ^= 1 << int(bit)
+        for j in range(4):
+            mask = (2**_BLOCK_BITS - 1) << (j * _BLOCK_BITS)
+            if (a & mask) != (b & mask):
+                continue  # pair not in block j's bucket
+            shared = [
+                c
+                for c in range(_SUB_CHUNKS)
+                if not (j * _CHUNKS_PER_BLOCK <= c < (j + 1) * _CHUNKS_PER_BLOCK)
+                and ((a >> (3 * c)) & 7) == ((b >> (3 * c)) & 7)
+            ]
+            assert shared, f"pair {a:x}/{b:x} lost by sub-blocking in block {j}"
+            checked += 1
+    assert checked > 1000  # the loop actually exercised bucketed pairs
+
+
+def test_subblock_split_labels_equal_and_bucket_cap_enforced(spark, sf_dir):
+    """A cap that splits the big sf0.001 buckets (max measured 248
+    distinct fps) but leaves the median-size ones whole must produce
+    the exact same converged component labels as the unsplit plan, and
+    the keyed relation must mark every over-cap bucket as split (no
+    sentinel group above the cap) — the task-granularity guarantee of
+    round-14 VERDICT task 2."""
+    from pyspark.sql import functions as F
+
+    from yc_data_proc_metadata_import_spark.llm import dedup
+
+    def labels():
+        got = dedup._propagate_min_labels(
+            dedup._simhash_star_edges(spark, sf_dir)
+        )
+        return {(r["node"], r["label"]) for r in got.collect()}
+
+    base = labels()
+    orig = dedup._BUCKET_CAP
+    dedup._BUCKET_CAP = 16
+    try:
+        assert labels() == base and len(base) > 0
+        dfp = (
+            dedup.simhash_fingerprints_cached(spark, sf_dir)
+            .groupBy("simhash")
+            .agg(F.min("doc_id").alias("min_doc"))
+        )
+        keyed = dedup._keyed_blocks(dfp)
+        over_cap_sentinels = (
+            keyed.filter(F.col("sub_id") == -1)
+            .groupBy("block_id", "block_key")
+            .count()
+            .filter(F.col("count") > dedup._BUCKET_CAP)
+            .count()
+        )
+        assert over_cap_sentinels == 0  # every oversized bucket split
+        # and with cap 0, split rows exist at all
+        assert keyed.filter(F.col("sub_id") >= 0).count() > 0
+    finally:
+        dedup._BUCKET_CAP = orig

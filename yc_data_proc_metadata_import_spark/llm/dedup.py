@@ -30,6 +30,8 @@ recompute exact Jaccard/Hamming, which llm_dedup_ngram cross-validates.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -408,6 +410,23 @@ _SIMHASH_EXPR = (
 _HAMMING_T = 10
 _BLOCK_BITS = 15  # 4 blocks x 15 bits cover the 60-bit fingerprint
 
+# Distinct-fp cap per block bucket before the bucket is SUB-BLOCKED
+# across tasks (round-14 VERDICT task 2: at sf10 one block bucket holds
+# most of the corpus, and a whole bucket used to run inside a single
+# applyInPandas task — the O(d^2)-popcount verify floor of the densest
+# bucket was a single-task straggler at 1000x). Oversized buckets split
+# by the 15 3-bit fingerprint chunks OUTSIDE the matched block: members
+# agree on the block's 15 bits, so a Hamming<=10 pair differs in <=10
+# of the other 15 chunks and shares >=5 of them exactly (pigeonhole,
+# same argument as the top-level blocking — Manku et al.'s
+# permute-and-split tables). Every qualifying edge therefore lands in
+# >=1 shared (sub_id, sub_key) sub-bucket and the existing star-edge
+# propagation unions the sub-components. 16384^2 popcounts ~ 0.3 s
+# vectorized: sub-second tasks, and sf<=0.1 buckets never hit the cap.
+_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_BUCKET_CAP", "16384"))
+_SUB_CHUNKS = 20  # 3-bit chunks over the 60-bit fingerprint
+_CHUNKS_PER_BLOCK = 5  # block j covers chunks 5j..5j+4
+
 # The 16-byte/doc (doc_id, simhash) fingerprint table, materialized once
 # per (session, scale): both sides of the block self-join — and any
 # future consumer — reuse it instead of re-running tokenize+hash+fold.
@@ -635,29 +654,78 @@ def _bucket_cc_edges(pdf):
 
 
 def _bucket_group_cc_edges(pdf):
-    """Kernel for a HASH GROUP of whole buckets: sub-group per
-    (block_id, block_key) python-side and BFS each. Grouping Spark-side
-    on a coarse hash of the bucket key instead of the bucket key itself
-    cuts the Arrow/pandas per-group round-trips from one per bucket
-    (~11k tiny frames at sf0.1 — measured ~5 s of pure overhead) to one
-    per core-slot; every bucket still lands whole in exactly one group."""
+    """Kernel for a HASH GROUP of whole (sub-)buckets: sub-group per
+    (block_id, block_key, sub_id, sub_key) python-side and BFS each.
+    Grouping Spark-side on a coarse hash of the bucket key instead of
+    the bucket key itself cuts the Arrow/pandas per-group round-trips
+    from one per bucket (~11k tiny frames at sf0.1 — measured ~5 s of
+    pure overhead) to one per core-slot; every bucket still lands whole
+    in exactly one group. sub_id = -1 marks an unsplit bucket; split
+    buckets arrive as 15 pigeonhole sub-buckets whose star edges are
+    CONSOLIDATED here with a linear union-find so the emitted graph
+    stays one edge per non-root node per group instead of ~15x
+    duplicated across sub-buckets."""
     import pandas as pd
 
     frames = [
         _bucket_cc_edges(sub)
-        for _, sub in pdf.groupby(["block_id", "block_key"], sort=False)
+        for _, sub in pdf.groupby(
+            ["block_id", "block_key", "sub_id", "sub_key"], sort=False
+        )
         if len(sub) > 1
     ]
     if not frames:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                              "doc_b": pd.Series(dtype="int64")})
-    return pd.concat(frames, ignore_index=True)
+    return _consolidate_star_edges(pd.concat(frames, ignore_index=True))
+
+
+def _consolidate_star_edges(edges):
+    """Linear union-find over a pandas (doc_a, doc_b) star-edge frame,
+    re-emitted as one (component-min -> member) row per non-root node.
+    Overlapping sub-bucket components collapse in-memory before anything
+    is shuffled — the global propagation then sees a minimal star graph
+    per group (cross-group unions still happen in
+    _propagate_min_labels, as before)."""
+    import pandas as pd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(edges["doc_a"].to_numpy(), edges["doc_b"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by VALUE: the root is always the component minimum,
+            # so the emitted star edges keep min-label semantics
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    out_a = []
+    out_b = []
+    for node in parent:
+        root = find(node)
+        if root != node:
+            out_a.append(root)
+            out_b.append(node)
+    return pd.DataFrame(
+        {"doc_a": pd.Series(out_a, dtype="int64"),
+         "doc_b": pd.Series(out_b, dtype="int64")}
+    )
 
 
 def _simhash_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LINEAR star-edge relation of the simhash Hamming graph: one
     (component-min, member) row per non-root bucket-component member,
-    over DISTINCT fingerprints — at most 4 x |distinct fp| rows total,
+    over DISTINCT fingerprints — at most one row per (node, hash group)
+    after in-kernel consolidation, so O(|distinct fp|) rows total,
     versus the data-quadratic verified pair list (544M rows at sf1,
     ~9e9 at sf10 even after fp-collapse: measured distinct-fp counts are
     29,741 of 50k docs at sf1 and 216,443 of 500k at sf10, so collapsing
@@ -670,6 +738,27 @@ def _simhash_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("simhash")
         .agg(F.min("doc_id").alias("min_doc"))
     )
+    keyed = _keyed_blocks(dfp)
+    n_groups = 8 * spark.sparkContext.defaultParallelism
+    return (
+        keyed.withColumn(
+            "grp",
+            F.pmod(
+                F.hash("block_id", "block_key", "sub_id", "sub_key"),
+                F.lit(n_groups),
+            ),
+        )
+        .groupBy("grp")
+        .applyInPandas(_bucket_group_cc_edges, "doc_a bigint, doc_b bigint")
+        .distinct()
+    )
+
+
+def _keyed_blocks(dfp: DataFrame) -> DataFrame:
+    """(simhash, min_doc) -> the (block, sub-bucket)-keyed relation the
+    CC kernel groups on: one row per (fp, block) for buckets at or under
+    _BUCKET_CAP distinct fps (sentinel sub key (-1, 0)), 15 rows per
+    (fp, block) — one per pigeonhole sub-chunk — for oversized ones."""
     blocks = dfp.select(
         "simhash",
         "min_doc",
@@ -687,14 +776,59 @@ def _simhash_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("blk"),
     ).select("simhash", "min_doc", "blk.block_id", "blk.block_key")
-    n_groups = 8 * spark.sparkContext.defaultParallelism
-    return (
-        blocks.withColumn(
-            "grp", F.pmod(F.hash("block_id", "block_key"), F.lit(n_groups))
-        )
-        .groupBy("grp")
-        .applyInPandas(_bucket_group_cc_edges, "doc_a bigint, doc_b bigint")
+    # Task-granularity cap (round-14 VERDICT task 2): the split decision
+    # is PLANNED here, driver-side, from a per-bucket distinct-fp count,
+    # so an oversized bucket fans its 15 pigeonhole sub-buckets across
+    # different hash groups (= different tasks) instead of sub-splitting
+    # inside one task. Unsplit buckets keep the sentinel (-1, 0) sub key
+    # — their plan is byte-identical to the pre-cap one. The per-row
+    # 20-element array filter is an interpreted HOF, but over a
+    # constant-size array per row (not per row-pair) it is noise next
+    # to the popcount verify it bounds.
+    sub_chunks = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("sub_id"),
+                    F.shiftright("simhash", c * 3)
+                    .bitwiseAND(F.lit(7))
+                    .alias("sub_key"),
+                )
+                for c in range(_SUB_CHUNKS)
+            ]
+        ),
+        lambda s: ~(
+            (s["sub_id"] >= F.col("block_id") * _CHUNKS_PER_BLOCK)
+            & (s["sub_id"] < (F.col("block_id") + 1) * _CHUNKS_PER_BLOCK)
+        ),
     )
+    whole = F.array(
+        F.struct(
+            F.lit(-1).alias("sub_id"), F.lit(0).cast("long").alias("sub_key")
+        )
+    )
+    from pyspark.sql import Window
+
+    keyed = (
+        blocks.withColumn(
+            "d", F.count("*").over(Window.partitionBy("block_id", "block_key"))
+        )
+        .withColumn(
+            "sub",
+            F.explode(
+                F.when(F.col("d") > _BUCKET_CAP, sub_chunks).otherwise(whole)
+            ),
+        )
+        .select(
+            "simhash",
+            "min_doc",
+            "block_id",
+            "block_key",
+            F.col("sub.sub_id").alias("sub_id"),
+            F.col("sub.sub_key").alias("sub_key"),
+        )
+    )
+    return keyed
 
 
 # Converged (doc_id, cluster_id, keep) labels, one materialization per
@@ -787,9 +921,12 @@ def llm_dedup_simhash_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     Step 2's bucket groups are the corpus' fingerprint distribution —
     the biggest sf10 bucket holds most of the corpus (measured skew),
     which is exactly the dense near-dup mass BFS absorbs in a couple of
-    vectorized rounds. On a cluster each bucket is one task; the
-    quadratic-verify floor parallelizes per bucket and everything
-    shuffled or persisted is linear in document count.
+    vectorized rounds. A bucket larger than _BUCKET_CAP distinct fps is
+    further split into 15 pigeonhole sub-buckets on the 3-bit chunks
+    outside its matched block (round-14 VERDICT task 2), fanning the
+    densest bucket's verify floor across tasks instead of leaving it a
+    single-task straggler; everything shuffled or persisted stays
+    linear in document count.
 
     Oracle: DuckDB replays the exact-integer fingerprint pipeline
     (shared _SIMHASH_CTES), re-derives the pair set, and computes
