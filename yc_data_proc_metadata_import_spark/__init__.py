@@ -116,11 +116,23 @@ _FAMILY_RANK = (
 # to round 5 registry-wide (round-9 VERDICT task 1).
 # Round-13 entry llm_ann_ivf (trained-codebook rebuild) re-recorded
 # GREEN in CORRECTNESS_r13.json — cleared.
-# Round-14 entry: llm_dedup_simhash_labels redesigned from
-# pair-list-composition to bucket-BFS star edges (llm/dedup.py — the
-# r13 green covered the 544M-pair materializing implementation, not
-# the linear star-edge plan that now ships).
-_FORCE_FRONT: set[str] = {"llm_dedup_simhash_labels"}
+# Round-14 entry llm_dedup_simhash_labels (bucket-BFS star-edge
+# redesign) re-recorded GREEN in CORRECTNESS_r14.json — but it changed
+# AGAIN in round 15 (pigeonhole sub-blocking of oversized buckets +
+# in-kernel union-find consolidation), so it stays fronted.
+# Round-15 entries: the metadata family — meta_export / meta_import /
+# meta_roundtrip gained stats fidelity for ALL migrated tables
+# (region_ext + partitioned orders_part) and meta_diff now detects the
+# stats invalidation a partition drop causes; their r12 greens cover
+# the single-table-stats implementation, not what ships now (also
+# round-14 VERDICT task 4: re-front the metadata family).
+_FORCE_FRONT: set[str] = {
+    "llm_dedup_simhash_labels",
+    "meta_export",
+    "meta_import",
+    "meta_roundtrip",
+    "meta_diff",
+}
 
 
 # Keys registered after the CURRENT round's fresh window is already full
