@@ -295,3 +295,22 @@ def test_subblock_split_labels_equal_and_bucket_cap_enforced(spark, sf_dir):
         assert keyed.filter(F.col("sub_id") >= 0).count() > 0
     finally:
         dedup._BUCKET_CAP = orig
+
+
+def test_fingerprint_kernel_matches_expression_twin(spark, sf_dir):
+    """The vectorized mapInPandas fingerprint kernel must be BIT-EXACT
+    against the original SQL-expression pipeline (which mirrors the
+    DuckDB oracle CTEs line by line) — the kernel exists purely for
+    speed (the interpreted-HOF expressions were 549 s of the 811 s
+    sf100 label wall; measured ~9x faster at sf1)."""
+    from yc_data_proc_metadata_import_spark.llm import dedup
+
+    new = {
+        (r["doc_id"], r["simhash"])
+        for r in dedup._simhash_fp_plan(spark, sf_dir).collect()
+    }
+    old = {
+        (r["doc_id"], r["simhash"])
+        for r in dedup._simhash_fp_expr_plan(spark, sf_dir).collect()
+    }
+    assert new == old and len(new) > 0

@@ -126,7 +126,12 @@ _FAMILY_RANK = (
 # stats invalidation a partition drop causes; their r12 greens cover
 # the single-table-stats implementation, not what ships now (also
 # round-14 VERDICT task 4: re-front the metadata family).
+# llm_dedup_simhash joins the set because the round-15 fingerprint
+# stage rebuild (vectorized mapInPandas kernel replacing the
+# interpreted-HOF SQL expressions, bit-exact twin kept in
+# _simhash_fp_expr_plan) sits under BOTH simhash keys.
 _FORCE_FRONT: set[str] = {
+    "llm_dedup_simhash",
     "llm_dedup_simhash_labels",
     "meta_export",
     "meta_import",
