@@ -261,6 +261,12 @@ KEYS_SF100 = [
     "topk_per_group",
     "join_inner",
     "win_sessionize",
+    # round-15 (round-14 VERDICT task 7): the streaming representative —
+    # 100M events through an availableNow drain with the RocksDB state
+    # backend (the r13-identified boundary answer: in-heap state OOMs at
+    # this scale, RocksDB spills to local disk). Output is the windowed
+    # aggregate (windows x event types — small), full-value compared.
+    "stream_rocksdb_state",
 ]
 
 CHECKSUM_KEYS_SF100 = {"join_inner", "win_sessionize"}

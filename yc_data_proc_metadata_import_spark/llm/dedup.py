@@ -473,7 +473,11 @@ def _simhash_fp_kernel(batches):
                     for ch in t:
                         acc = (acc * 31 + ord(ch)) % 2147483647
                     h = (acc * 2654435761) % (1 << 60)
-                    memo[t] = h
+                    # bound worker memory on high-diversity corpora:
+                    # past ~1M distinct tokens, hash without caching
+                    # (the memo's value is repeat tokens anyway)
+                    if len(memo) < 1 << 20:
+                        memo[t] = h
                 flat_parts.append(h)
         flat = np.array(flat_parts, dtype=np.uint64)
         offs = np.zeros(n_docs, np.int64)
