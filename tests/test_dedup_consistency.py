@@ -180,22 +180,43 @@ def test_bucket_cc_edges_property_random_graphs():
         assert got_edges == want, f"width={width_bits} n={n}"
 
 
-def test_propagate_min_labels_raises_on_nonconvergence(spark):
-    """Min-label propagation moves a component's minimum one hop per
-    round, so a 25-node path graph (diameter 24) cannot converge within
-    the 20-round cap. Round-14 ADVICE: non-convergence must RAISE, not
-    silently return almost-converged labels as cluster ids."""
-    import pytest
-
+def test_propagate_min_labels_converges_on_deep_path(spark):
+    """A 1001-node path graph (diameter 1000) converges, and every node
+    gets the component-minimum label. Plain neighbor-min would need
+    1000 rounds — far past the cap — so this pins the round-15
+    pointer-doubling chase (label -> label-of-label per round squares
+    the propagation distance; ~log2(1000) = 10 rounds). The hard-mode
+    docs fixture (tools/make_hard_docs.py) hit exactly this shape in
+    the wild: accidental-collision chains with diameter > 20."""
     from yc_data_proc_metadata_import_spark.llm.dedup import (
         _propagate_min_labels,
     )
 
     path_edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(24)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(1000)], "doc_a long, doc_b long"
+    )
+    got = _propagate_min_labels(path_edges)
+    rows = got.collect()
+    assert len(rows) == 1001
+    assert {r["label"] for r in rows} == {0}
+
+
+def test_propagate_min_labels_raises_on_nonconvergence(spark, monkeypatch):
+    """Round-14 ADVICE: non-convergence must RAISE, not silently return
+    almost-converged labels as cluster ids. The real cap (40
+    pointer-doubling rounds, diameter ~2^40) is unreachable by design,
+    so pin the guard by shrinking the cap: 2 rounds reach distance ~4,
+    far short of a diameter-63 path."""
+    import pytest
+
+    from yc_data_proc_metadata_import_spark.llm import dedup
+
+    monkeypatch.setattr(dedup, "_PROPAGATE_MAX_ROUNDS", 2)
+    path_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not.*converge|converge"):
-        _propagate_min_labels(path_edges)
+        dedup._propagate_min_labels(path_edges)
 
 
 def test_propagate_min_labels_converges_on_shallow_graph(spark):

@@ -198,9 +198,17 @@ def main() -> int:
 
     import __spark_entry__ as contract
 
+    # rung-scale session: 8 GB driver heap like every rung tool — the
+    # 500k-doc hard fixture's label graph (~2x the fp count of the
+    # replicated sf10 corpus, ~10 pointer-doubling rounds of
+    # localCheckpoint label blocks) OOMs the 1 GB default heap
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .getOrCreate()
     )
     got = contract.queries()["llm_dedup_simhash_labels"](spark, sf_dir).toArrow()

@@ -130,9 +130,17 @@ _FAMILY_RANK = (
 # stage rebuild (vectorized mapInPandas kernel replacing the
 # interpreted-HOF SQL expressions, bit-exact twin kept in
 # _simhash_fp_expr_plan) sits under BOTH simhash keys.
+# llm_dedup_cluster / llm_curation_pipeline join late in round 15:
+# `_propagate_min_labels` (their shared component-labeling loop) gained
+# the pointer-doubling chase after the hard-mode docs fixture tripped
+# the 20-round cap — result-identical on every green corpus (the
+# converged fixpoint is unique), but the loop's join shape changed, so
+# their stale greens no longer cover the shipped code.
 _FORCE_FRONT: set[str] = {
     "llm_dedup_simhash",
     "llm_dedup_simhash_labels",
+    "llm_dedup_cluster",
+    "llm_curation_pipeline",
     "meta_export",
     "meta_import",
     "meta_roundtrip",

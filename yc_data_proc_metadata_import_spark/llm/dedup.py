@@ -1126,6 +1126,12 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pointer-doubling covers diameter ~2^rounds, so 40 rounds is beyond any
+# graph that fits on hardware; module-level so the non-convergence guard
+# stays testable (tests monkeypatch it down and assert the loud raise).
+_PROPAGATE_MAX_ROUNDS = 40
+
+
 def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
     """Distributed min-label propagation over an undirected pair graph:
     (doc_a, doc_b) pairs in, converged (node, label) out, label = the
@@ -1165,27 +1171,62 @@ def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
     edges = half.union(
         half.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
+    # Each round's label table is localCheckpoint'd (lineage truncation)
+    # AND persisted (stats truncation): Spark 4's LogicalRDD INHERITS the
+    # origin plan's size estimate, so checkpointing alone lets the
+    # chase's self-join SQUARE the estimate every round — measured on
+    # the hard-mode docs fixture, the optimizer ground minutes of
+    # BigInteger multiplications per round and died at round ~23 with
+    # "BigInteger would overflow supported range". A materialized
+    # InMemoryRelation carries REAL (small, constant) stats, so the
+    # per-round estimate stays flat; the superseded round unpersists,
+    # which also stops checkpoint blocks accumulating across rounds.
     labels = (
         edges.select(F.col("u").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
+        .persist()
     )
     changed = 0
-    for _ in range(20):  # bound >> any real dup-cluster diameter
+    for _ in range(_PROPAGATE_MAX_ROUNDS):
         nbr = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
             .agg(F.min("label").alias("nbr_min"))
         )
+        stepped = labels.join(nbr, labels.node == nbr.u, "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+            ).alias("label"),
+        )
+        # POINTER-DOUBLING chase (round-15, found by the hard-mode docs
+        # fixture): plain neighbor-min advances a label ONE edge per
+        # round, so a long thin component (the hard corpus has
+        # accidental-collision chains with diameter > 20) needs
+        # diameter-many rounds. Chasing label -> label-of-label each
+        # round squares the effective propagation distance (the
+        # pointer-jumping half of large-star/small-star), turning
+        # diameter-D convergence into O(log D) rounds. Every label
+        # value is a node id present in the labels table, so the
+        # self-join always matches; coalesce keeps the row if not.
         new_labels = (
-            labels.join(nbr, labels.node == nbr.u, "left")
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("node").alias("pnode"), F.col("label").alias("plabel")
+                ),
+                F.col("a.label") == F.col("pnode"),
+                "left",
+            )
             .select(
-                "node",
+                F.col("a.node").alias("node"),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                    F.col("a.label"), F.coalesce(F.col("plabel"), F.col("a.label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
+            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -1193,21 +1234,22 @@ def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     if changed != 0:
-        # Min-label needs rounds ~ graph diameter; on the star-edge
-        # graphs we feed it the diameter is bounded by chained bucket
-        # stars and 20 rounds has huge headroom — but a pathological
-        # corpus exceeding it MUST fail loudly, never ship
-        # almost-converged labels as cluster ids (round-14 ADVICE).
+        # With the chase step convergence needs ~log2(diameter) rounds,
+        # so 40 covers any graph that fits on hardware — but if a future
+        # edit breaks that, fail loudly, never ship almost-converged
+        # labels as cluster ids (round-14 ADVICE).
         half.unpersist()
         raise RuntimeError(
             "_propagate_min_labels: min-label propagation did not "
-            f"converge within 20 rounds ({changed} labels still "
-            "changing) — graph diameter exceeds the bound; raise the "
-            "round cap or switch this graph to pointer-doubling."
+            f"converge within {_PROPAGATE_MAX_ROUNDS} pointer-doubling "
+            f"rounds ({changed} labels still changing) — that should "
+            "be impossible for any graph that fits on hardware; "
+            "investigate."
         )
     # converged labels are checkpointed; the disk-persisted edge blocks
     # have no further consumer — release the executor storage
