@@ -598,15 +598,15 @@ def main() -> int:
     nonempty_docs_sql = "SELECT doc_id FROM documents WHERE trim(text) <> ''"
 
     def compare_labels_invariants(key, row):
-        """sf10 label adjudication: the exact pair/fixpoint ground truth
-        is measurably infeasible at 500k docs (~9e9 Hamming<=T pairs
-        even over the 216,443 distinct fingerprints — SURVEY 6.2d), so
-        per the round-13 VERDICT the key is gated on engine-side
-        invariants every one of which DuckDB can check independently,
-        plus witnessed-edge soundness on a sampled subgraph and the
-        partitioning-invariance pass. Algorithm exactness (labels ==
-        independent iterated fixpoint over all 544M pairs) is the sf1
-        tier's job."""
+        """sf10 label adjudication: the cheap DuckDB-checkable invariant
+        battery plus, since round 15, the EXHAUSTIVE fp-level fixpoint
+        (tools/sf10_label_fixpoint.py, run as a subprocess with its own
+        session): the doc-level pair graph (~9e9 pairs) stays
+        infeasible, but the edge relation depends only on fingerprints,
+        so ALL ~23.4e9 distinct-fp pairs are evaluated in chunked numpy
+        and the resulting per-doc truth labels FULL-JOIN-compared
+        against the engine — sampled witnessed edges are kept for
+        continuity but no longer carry the proof."""
         got = queries[key](spark, SF1).toArrow()
         con.register("lab_spark", got)
         checks = {}
@@ -665,6 +665,48 @@ def main() -> int:
             ).fetchone()
         ]
         con.unregister("lab_spark")
+        # EXHAUSTIVE independent ground truth (round-15): subprocess so
+        # its Spark session, fork-pool, and 8 GB heap are isolated from
+        # the rung's own session. The tool re-runs the engine itself —
+        # a fresh-session replay, strictly stronger than reusing ours.
+        import subprocess
+        import tempfile
+
+        fx_out = os.path.join(
+            tempfile.mkdtemp(dir=os.path.join(REPO, ".scratch")),
+            "label_fixpoint.json",
+        )
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "tools", "sf10_label_fixpoint.py"),
+                SF1,
+                fx_out,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        if os.path.exists(fx_out):
+            with open(fx_out) as f:
+                fx = json.load(f)
+        else:
+            fx = {"match": False, "err": proc.stderr[-400:]}
+        row["exhaustive_fixpoint"] = {
+            k: fx.get(k)
+            for k in (
+                "match",
+                "mismatches",
+                "n_fp_pairs_evaluated",
+                "n_fp_edges",
+                "n_clusters_truth",
+                "allpairs_sec",
+                "engine_sec",
+                "err",
+            )
+            if k in fx
+        }
+        checks["exhaustive_fixpoint_exact"] = bool(fx.get("match"))
         row["checks"] = checks
         row["match"] = all(checks.values())
 
