@@ -180,25 +180,50 @@ def test_bucket_cc_edges_property_random_graphs():
         assert got_edges == want, f"width={width_bits} n={n}"
 
 
-def test_propagate_min_labels_converges_on_deep_path(spark):
-    """A 1001-node path graph (diameter 1000) converges, and every node
+def test_propagate_min_labels_converges_on_deep_path(spark, monkeypatch):
+    """A 1001-node path graph (diameter 1000) converges through the
+    DISTRIBUTED loop (driver-UF shortcut forced off), and every node
     gets the component-minimum label. Plain neighbor-min would need
     1000 rounds — far past the cap — so this pins the round-15
     pointer-doubling chase (label -> label-of-label per round squares
     the propagation distance; ~log2(1000) = 10 rounds). The hard-mode
     docs fixture (tools/make_hard_docs.py) hit exactly this shape in
     the wild: accidental-collision chains with diameter > 20."""
-    from yc_data_proc_metadata_import_spark.llm.dedup import (
-        _propagate_min_labels,
-    )
+    from yc_data_proc_metadata_import_spark.llm import dedup
 
+    monkeypatch.setattr(dedup, "_DRIVER_UF_MAX_EDGES", 0)
     path_edges = spark.createDataFrame(
         [(i, i + 1) for i in range(1000)], "doc_a long, doc_b long"
     )
-    got = _propagate_min_labels(path_edges)
+    got = dedup._propagate_min_labels(path_edges)
     rows = got.collect()
     assert len(rows) == 1001
     assert {r["label"] for r in rows} == {0}
+
+
+def test_propagate_min_labels_driver_uf_matches_distributed(spark, monkeypatch):
+    """The round-15 driver-side union-find shortcut must be
+    bit-identical to the distributed loop on the same graph (the
+    converged fixpoint — component-minimum labels — is unique)."""
+    import random
+
+    from yc_data_proc_metadata_import_spark.llm import dedup
+
+    rng = random.Random(17)
+    edges = {
+        tuple(sorted(rng.sample(range(200), 2))) for _ in range(150)
+    }
+    df = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    via_driver = {
+        (r["node"], r["label"])
+        for r in dedup._propagate_min_labels(df).collect()
+    }
+    monkeypatch.setattr(dedup, "_DRIVER_UF_MAX_EDGES", 0)
+    via_loop = {
+        (r["node"], r["label"])
+        for r in dedup._propagate_min_labels(df).collect()
+    }
+    assert via_driver == via_loop
 
 
 def test_propagate_min_labels_raises_on_nonconvergence(spark, monkeypatch):
@@ -212,6 +237,7 @@ def test_propagate_min_labels_raises_on_nonconvergence(spark, monkeypatch):
     from yc_data_proc_metadata_import_spark.llm import dedup
 
     monkeypatch.setattr(dedup, "_PROPAGATE_MAX_ROUNDS", 2)
+    monkeypatch.setattr(dedup, "_DRIVER_UF_MAX_EDGES", 0)
     path_edges = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
     )

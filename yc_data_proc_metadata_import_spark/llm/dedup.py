@@ -1131,6 +1131,12 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stays testable (tests monkeypatch it down and assert the loud raise).
 _PROPAGATE_MAX_ROUNDS = 40
 
+# Edge lists at or below this take the driver-side union-find instead of
+# the distributed loop: <=250k pairs is <=4 MB — bounded algorithm state
+# (the k-means-centroid license), not data-plane collect. Module-level so
+# tests can force the distributed path (monkeypatch to 0).
+_DRIVER_UF_MAX_EDGES = 250_000
+
 
 def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
     """Distributed min-label propagation over an undirected pair graph:
@@ -1158,7 +1164,40 @@ def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
 
     n = pairs.sparkSession.sparkContext.defaultParallelism
     half = pairs.repartition(n * 4, "doc_a").persist(StorageLevel.DISK_ONLY)
-    if half.count() < 1_000_000:
+    n_edges = half.count()
+    if n_edges <= _DRIVER_UF_MAX_EDGES:
+        # TINY graph: a driver-side union-find. The distributed loop's
+        # per-round floor (join + aggregate + chase + checkpoint +
+        # persist + changed-count = ~6 jobs) costs seconds even on a
+        # 25-node graph; <=250k edges is <=4 MB of int64 pairs — five
+        # orders of magnitude under driver limits and the same
+        # bounded-state license the k-means centroid collect documents.
+        # Result is bit-identical (component minimum is unique).
+        tbl = half.toArrow()
+        half.unpersist()
+        a = tbl.column("doc_a").to_numpy(zero_copy_only=False)
+        b = tbl.column("doc_b").to_numpy(zero_copy_only=False)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for u, v in zip(a.tolist(), b.tolist()):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru  # min-id root => label = component min
+        rows = [(int(x), int(find(x))) for x in parent]
+        return pairs.sparkSession.createDataFrame(
+            rows, "node long, label long"
+        )
+    if n_edges < 1_000_000:
         # Tiny graph (e.g. the star-edge relation — <=4 x distinct
         # fingerprints): the wide DISK_ONLY layout sized for 544M-pair
         # graphs is pure scheduling overhead here — measured 11.9 s for
