@@ -226,6 +226,27 @@ def test_propagate_min_labels_driver_uf_matches_distributed(spark, monkeypatch):
     assert via_driver == via_loop
 
 
+def test_propagate_min_labels_schema_identical_across_paths(spark, monkeypatch):
+    """Round-15 ADVICE: the driver union-find hardcoded `node long,
+    label long` while the distributed loop preserved input types — an
+    int32 caller got different schemas from the two paths. Both now
+    cast ids to long up front; pin that with a non-bigint input."""
+    from yc_data_proc_metadata_import_spark.llm import dedup
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a int, doc_b int"
+    )
+    uf = dedup._propagate_min_labels(df)
+    monkeypatch.setattr(dedup, "_DRIVER_UF_MAX_EDGES", 0)
+    dist = dedup._propagate_min_labels(df)
+    assert [f.simpleString() for f in uf.schema.fields] == [
+        "node:bigint",
+        "label:bigint",
+    ]
+    assert uf.schema == dist.schema
+    assert {tuple(r) for r in uf.collect()} == {tuple(r) for r in dist.collect()}
+
+
 def test_propagate_min_labels_raises_on_nonconvergence(spark, monkeypatch):
     """Round-14 ADVICE: non-convergence must RAISE, not silently return
     almost-converged labels as cluster ids. The real cap (40

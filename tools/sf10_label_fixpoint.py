@@ -54,6 +54,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # --- fp-pair evaluation constants -----------------------------------------
 I_CHUNK = 512  # fp rows per task
 J_CHUNK = 16384  # fp cols per inner block (bounds the XOR matrix at 67 MB)
+# Duplicate suppression relies on the diagonal (j0 == i0) tile being the
+# ONLY tile that straddles i == j: with I_CHUNK <= J_CHUNK every other
+# tile is strictly above or below the diagonal. Raising I_CHUNK past
+# J_CHUNK would let later tiles overlap the diagonal and emit swapped
+# duplicates (components stay right, edge counts don't) — fail loudly if
+# the constants are ever retuned that way (round-15 ADVICE).
+assert I_CHUNK <= J_CHUNK, "pair dedup needs I_CHUNK <= J_CHUNK"
 
 # uint16 popcount lookup table: xor viewed as 4 little-endian uint16 words.
 _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)

@@ -676,20 +676,28 @@ def main() -> int:
             tempfile.mkdtemp(dir=os.path.join(REPO, ".scratch")),
             "label_fixpoint.json",
         )
-        proc = subprocess.run(
-            [
-                sys.executable,
-                os.path.join(REPO, "tools", "sf10_label_fixpoint.py"),
-                SF1,
-                fx_out,
-            ],
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(REPO, "tools", "sf10_label_fixpoint.py"),
+                    SF1,
+                    fx_out,
+                ],
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+        except subprocess.TimeoutExpired:
+            # A hung fixpoint tool must degrade to a recorded failure
+            # like every other comparator path, not crash the whole rung
+            # (round-15 ADVICE).
+            proc = None
         if os.path.exists(fx_out):
             with open(fx_out) as f:
                 fx = json.load(f)
+        elif proc is None:
+            fx = {"match": False, "err": "timeout (3600s)"}
         else:
             fx = {"match": False, "err": proc.stderr[-400:]}
         row["exhaustive_fixpoint"] = {

@@ -1163,8 +1163,22 @@ def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     n = pairs.sparkSession.sparkContext.defaultParallelism
-    half = pairs.repartition(n * 4, "doc_a").persist(StorageLevel.DISK_ONLY)
-    n_edges = half.count()
+    # Cast ids to long up front so BOTH exit paths (driver union-find
+    # below hardcodes "node long, label long"; the distributed loop
+    # preserves input types) are schema-identical by construction — a
+    # caller passing int32 doc ids gets long either way (round-15
+    # ADVICE). Persist the UN-repartitioned single direction first: the
+    # edge count decides the path, and the wide n*4 shuffle layout is
+    # wasted work for graphs the union-find immediately collects.
+    src = pairs.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+    ).persist(StorageLevel.DISK_ONLY)
+    try:
+        n_edges = src.count()
+    except Exception:
+        src.unpersist()
+        raise
     if n_edges <= _DRIVER_UF_MAX_EDGES:
         # TINY graph: a driver-side union-find. The distributed loop's
         # per-round floor (join + aggregate + chase + checkpoint +
@@ -1173,8 +1187,10 @@ def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
         # orders of magnitude under driver limits and the same
         # bounded-state license the k-means centroid collect documents.
         # Result is bit-identical (component minimum is unique).
-        tbl = half.toArrow()
-        half.unpersist()
+        try:
+            tbl = src.toArrow()
+        finally:
+            src.unpersist()
         a = tbl.column("doc_a").to_numpy(zero_copy_only=False)
         b = tbl.column("doc_b").to_numpy(zero_copy_only=False)
         parent: dict[int, int] = {}
@@ -1204,9 +1220,17 @@ def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
         # a 12k-edge propagation at 128+ partitions vs sub-second at 8.
         # localCheckpoint is safe again at this size (the r13 OOM was
         # the 544M-row deserialized unroll, not the mechanism).
-        small = half.coalesce(8).localCheckpoint(eager=True)
-        half.unpersist()
-        half = small
+        half = src.coalesce(8).localCheckpoint(eager=True)
+        src.unpersist()
+    else:
+        # BIG graph: rebuild the persisted layout 4x wider than session
+        # parallelism (streamed DISK_ONLY reads, heap-bounded — see the
+        # docstring's r13 finding). Built FROM the persisted src blocks
+        # so the pair pipeline runs once; src releases after the wide
+        # copy materializes.
+        half = src.repartition(n * 4, "doc_a").persist(StorageLevel.DISK_ONLY)
+        half.count()
+        src.unpersist()
     edges = half.union(
         half.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnsRenamed({"doc_a": "u", "doc_b": "v"})
@@ -1281,7 +1305,9 @@ def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
         # With the chase step convergence needs ~log2(diameter) rounds,
         # so 40 covers any graph that fits on hardware — but if a future
         # edit breaks that, fail loudly, never ship almost-converged
-        # labels as cluster ids (round-14 ADVICE).
+        # labels as cluster ids (round-14 ADVICE). The last round's
+        # label cache is leaked too without this unpersist (r15 ADVICE).
+        labels.unpersist()
         half.unpersist()
         raise RuntimeError(
             "_propagate_min_labels: min-label propagation did not "
@@ -1291,8 +1317,14 @@ def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
             "investigate."
         )
     # converged labels are checkpointed; the disk-persisted edge blocks
-    # have no further consumer — release the executor storage
+    # have no further consumer — release the executor storage. The
+    # labels' persist() cache layer also releases here: the eager
+    # localCheckpoint blocks keep the result materialized (and its
+    # LogicalRDD stats flat), so returning an unpersisted DF leaks
+    # nothing into long shared sessions that call this per key
+    # (round-15 ADVICE).
     half.unpersist()
+    labels.unpersist()
     return labels
 
 
