@@ -128,38 +128,91 @@ def main() -> int:
     import yc_data_proc_metadata_import_spark as engine
 
     q = engine.queries()["llm_ann_ivf"]
-    rows = []
+
+    def sweep(nassign: int) -> list[dict]:
+        sim._IVF_NASSIGN = nassign
+        rows = []
+        for nprobe in NPROBES:
+            sim._IVF_NPROBE = nprobe
+            t0 = time.monotonic()
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in q(spark, hard_dir)
+                .select("query_id", "neighbor_id")
+                .collect()
+            }
+            wall = time.monotonic() - t0
+            rows.append(
+                {
+                    "nprobe": nprobe,
+                    "recall": round(len(got & want) / len(want), 4),
+                    "frac_scanned": round(nassign * nprobe / K, 4),
+                    "search_sec": round(wall, 2),
+                }
+            )
+            print(f"[hard-sweep] nassign={nassign} nprobe={nprobe}: "
+                  f"recall={rows[-1]['recall']} wall={wall:.1f}s", flush=True)
+        return rows
+
     # First call trains the codebook (cached per session+fixture);
     # charge it separately so per-nprobe search_sec is search, not
     # training.
     t0 = time.monotonic()
-    sim._IVF_NPROBE = NPROBES[0]
-    got0 = {
+    sim._IVF_NPROBE, sim._IVF_NASSIGN = NPROBES[0], 1
+    q(spark, hard_dir).select("query_id").count()
+    train_and_first = time.monotonic() - t0
+
+    rows = sweep(1)
+
+    # MISS DIAGNOSIS (round-15 VERDICT task 5): at the LARGEST swept
+    # nprobe whose classic-IVF recall is still < 1 (the plateau), report
+    # for every missed true pair the rank of the neighbor's assigned
+    # list in the query's list-cost ordering. Rank <= that nprobe would
+    # mean a candidate-stage artifact; rank beyond it proves the loss is
+    # ASSIGNMENT-stage (the neighbor's vector quantized into a list the
+    # query ranks far away) — the case multi-assignment fixes and more
+    # probing cannot.
+    import numpy as np
+
+    plateau = [r["nprobe"] for r in rows if r["recall"] < 1.0]
+    diag_nprobe = max(plateau) if plateau else max(NPROBES)
+    sim._IVF_NPROBE, sim._IVF_NASSIGN = diag_nprobe, 1
+    got_max = {
         (r.query_id, r.neighbor_id)
         for r in q(spark, hard_dir).select("query_id", "neighbor_id").collect()
     }
-    train_and_first = time.monotonic() - t0
-    for nprobe in NPROBES:
-        sim._IVF_NPROBE = nprobe
-        t0 = time.monotonic()
-        got = {
-            (r.query_id, r.neighbor_id)
-            for r in q(spark, hard_dir)
-            .select("query_id", "neighbor_id")
-            .collect()
+    missed = sorted(want - got_max)
+    misses = []
+    if missed:
+        cents, max_abs_qv = sim._ivf_codebook(spark, hard_dir)
+        S, Nc, J, s2_over_n2 = sim._km_gemm_arrays(cents, max_abs_qv)
+        assigned = sim._km_fit(spark, hard_dir)
+        qids = sorted({p[0] for p in missed})
+        nids = sorted({p[1] for p in missed})
+        qv = {
+            int(r.vec_id): np.asarray(r.qv, dtype=np.float64)
+            for r in assigned.filter(
+                F_col_in("vec_id", set(qids) | set(nids))
+            ).select("vec_id", "qv").collect()
         }
-        wall = time.monotonic() - t0
-        rows.append(
-            {
-                "nprobe": nprobe,
-                "recall": round(len(got & want) / len(want), 4),
-                "frac_scanned": round(nprobe / K, 4),
-                "search_sec": round(wall, 2),
-            }
-        )
-        print(f"[hard-sweep] nprobe={nprobe}: recall={rows[-1]['recall']}"
-              f" wall={wall:.1f}s", flush=True)
-    assert got0 is not None
+        jpos = {int(j): i for i, j in enumerate(J)}
+        for qid, nid in missed:
+            x = qv[qid]
+            cost = (x @ x) - (2.0 * (S @ x)) / Nc + s2_over_n2
+            order = np.argsort(cost, kind="stable")
+            # neighbor's assigned list = its own argmin cost
+            nx = qv[nid]
+            ncost = (nx @ nx) - (2.0 * (S @ nx)) / Nc + s2_over_n2
+            nlist = int(J[int(np.argmin(ncost))])
+            rank = int(np.nonzero(order == jpos[nlist])[0][0]) + 1
+            misses.append(
+                {"query_id": qid, "neighbor_id": nid,
+                 "neighbor_list": nlist, "list_rank_for_query": rank}
+            )
+        print(f"[hard-sweep] miss diagnosis: {misses}", flush=True)
+
+    rows2 = sweep(2)
+
     out = {
         "km_k": K,
         "fixture": {
@@ -171,11 +224,21 @@ def main() -> int:
         },
         "train_plus_first_search_sec": round(train_and_first, 2),
         "rows": rows,
+        "miss_diagnosis_nprobe": diag_nprobe,
+        "miss_diagnosis": misses,
+        "rows_nassign2": rows2,
     }
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     return 0
+
+
+def F_col_in(col: str, ids: set):
+    """pyspark isin filter built here to keep the module import-light."""
+    from pyspark.sql import functions as F
+
+    return F.col(col).isin([int(i) for i in ids])
 
 
 if __name__ == "__main__":

@@ -120,24 +120,25 @@ _FAMILY_RANK = (
 # redesign) re-recorded GREEN in CORRECTNESS_r14.json — but it changed
 # AGAIN in round 15 (pigeonhole sub-blocking of oversized buckets +
 # in-kernel union-find consolidation), so it stays fronted.
-# Round-15 entries: the metadata family — meta_export / meta_import /
-# meta_roundtrip gained stats fidelity for ALL migrated tables
-# (region_ext + partitioned orders_part) and meta_diff now detects the
-# stats invalidation a partition drop causes; their r12 greens cover
-# the single-table-stats implementation, not what ships now (also
-# round-14 VERDICT task 4: re-front the metadata family).
-# llm_dedup_simhash joins the set because the round-15 fingerprint
-# stage rebuild (vectorized mapInPandas kernel replacing the
-# interpreted-HOF SQL expressions, bit-exact twin kept in
-# _simhash_fp_expr_plan) sits under BOTH simhash keys.
-# llm_dedup_cluster / llm_curation_pipeline join late in round 15:
-# `_propagate_min_labels` (their shared component-labeling loop) gained
-# the pointer-doubling chase after the hard-mode docs fixture tripped
-# the 20-round cap — result-identical on every green corpus (the
-# converged fixpoint is unique), but the loop's join shape changed, so
-# their stale greens no longer cover the shipped code.
+# Round-15 entries (simhash/cluster/curation + the metadata family) all
+# re-recorded GREEN in CORRECTNESS_r15.json — cleared.
+# Round-16 entries:
+# - llm_dedup_simhash_labels / llm_dedup_cluster / llm_curation_pipeline:
+#   `_propagate_min_labels` (their shared loop) restructured its edge
+#   persistence (un-repartitioned count-first source, long-cast ids,
+#   leak-free exit paths — round-15 ADVICE). Result-identical by
+#   design, but the shipped code differs from what r15 adjudicated.
+# - meta_export / meta_import / meta_roundtrip / meta_diff: the source
+#   namespace build is now session-cached and ANALYZE statements merged
+#   (FOR COLUMNS carries table-level stats) — same catalog fidelity,
+#   different implementation under all four keys.
+# - llm_ann_ivf: probe-list ranking now routes through
+#   _km_multi_assigned (shared top-r machinery; bit-identical ordering
+#   contract) and gained the _IVF_NASSIGN multi-assignment path.
+# (llm_dedup_simhash_labels_hard is NEW this round and fronts as
+# never-adjudicated; with these 8 + the 36-key r10-stale cohort the
+# 50-slot window holds every key the round-15 VERDICT asked for.)
 _FORCE_FRONT: set[str] = {
-    "llm_dedup_simhash",
     "llm_dedup_simhash_labels",
     "llm_dedup_cluster",
     "llm_curation_pipeline",
@@ -145,6 +146,7 @@ _FORCE_FRONT: set[str] = {
     "meta_import",
     "meta_roundtrip",
     "meta_diff",
+    "llm_ann_ivf",
 }
 
 

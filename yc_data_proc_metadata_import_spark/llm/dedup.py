@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.io import load_documents_wide
+from ..sources.io import load, load_documents_wide
 
 # Shingle width (tokens per shingle) and near-dup Jaccard threshold.
 _SHINGLE = 3
@@ -494,18 +494,23 @@ def _simhash_fp_kernel(batches):
         )
 
 
-def _simhash_fp_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The un-materialized fingerprint plan: Spark-native tokenize
-    (lower/split/filter keep Java regex + lowercase semantics — a
-    Python re.split twin would diverge on Unicode space classes) +
-    array_distinct, then the vectorized kernel."""
+def _fp_plan_from_docs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Fingerprint plan over any (doc_id, text) relation: Spark-native
+    tokenize (lower/split/filter keep Java regex + lowercase semantics —
+    a Python re.split twin would diverge on Unicode space classes) +
+    array_distinct, then the vectorized kernel. Shared by the corpus
+    keys (documents fixture) and the hard-topology key (generated
+    fragmenting corpus)."""
     return (
-        load_documents_wide(spark, sf_dir)
-        .filter(F.trim(F.col("text")) != "")
+        docs.filter(F.trim(F.col("text")) != "")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.array_distinct(F.expr(_TOKS)).alias("toks"))
         .mapInPandas(_simhash_fp_kernel, "doc_id bigint, simhash bigint")
     )
+
+
+def _simhash_fp_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fp_plan_from_docs(spark, load_documents_wide(spark, sf_dir))
 
 
 def _simhash_fp_expr_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,8 +544,14 @@ def simhash_fingerprints_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # tok/fp/blocks CTE chain shared by the simhash PAIR oracle and the
-# simhash LABEL oracle — one definition so the two keys can never verify
-# against divergent fingerprint pipelines.
+# simhash LABEL oracles — one definition so the keys can never verify
+# against divergent fingerprint pipelines. _simhash_ctes(src) swaps the
+# source relation (the hard-topology key fingerprints a generated CTE
+# instead of the documents view).
+def _simhash_ctes(src: str) -> str:
+    return _SIMHASH_CTES.replace("FROM documents WHERE", f"FROM {src} WHERE", 1)
+
+
 _SIMHASH_CTES = f"""tok AS (
         SELECT doc_id,
                list_transform(
@@ -812,11 +823,13 @@ def _simhash_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph's: any Hamming<=T pair shares a block (same blocking), both
     endpoints land in that bucket's BFS component, and docs sharing a
     fingerprint meet at their min_doc node."""
-    dfp = (
-        simhash_fingerprints_cached(spark, sf_dir)
-        .groupBy("simhash")
-        .agg(F.min("doc_id").alias("min_doc"))
+    return _star_edges_from_fps(
+        spark, simhash_fingerprints_cached(spark, sf_dir)
     )
+
+
+def _star_edges_from_fps(spark: SparkSession, fps: DataFrame) -> DataFrame:
+    dfp = fps.groupBy("simhash").agg(F.min("doc_id").alias("min_doc"))
     keyed = _keyed_blocks(dfp)
     n_groups = 8 * spark.sparkContext.defaultParallelism
     return (
@@ -918,32 +931,44 @@ def _keyed_blocks(dfp: DataFrame) -> DataFrame:
 _SIMHASH_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _labels_from_fps(spark: SparkSession, fps: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id, keep) from a fingerprint relation: distinct-fp
+    collapse -> bucket-CC star edges -> min-label propagation -> map docs
+    back through their fingerprint's min_doc."""
+    dfp = fps.groupBy("simhash").agg(F.min("doc_id").alias("min_doc"))
+    labels = _propagate_min_labels(_star_edges_from_fps(spark, fps))
+    lab = F.coalesce(F.col("label"), F.col("min_doc"))
+    return (
+        fps.join(dfp, "simhash")
+        .join(labels, F.col("min_doc") == labels.node, "left")
+        .select(
+            "doc_id",
+            lab.alias("cluster_id"),
+            (lab == F.col("doc_id")).alias("keep"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def simhash_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..utils import session_cached
 
-    def build() -> DataFrame:
-        fps = simhash_fingerprints_cached(spark, sf_dir)
-        dfp = fps.groupBy("simhash").agg(F.min("doc_id").alias("min_doc"))
-        labels = _propagate_min_labels(_simhash_star_edges(spark, sf_dir))
-        lab = F.coalesce(F.col("label"), F.col("min_doc"))
-        return (
-            fps.join(dfp, "simhash")
-            .join(labels, F.col("min_doc") == labels.node, "left")
-            .select(
-                "doc_id",
-                lab.alias("cluster_id"),
-                (lab == F.col("doc_id")).alias("keep"),
-            )
-            .localCheckpoint(eager=True)
-        )
-
-    return session_cached(_SIMHASH_LABELS_CACHE, spark, sf_dir, build)
+    return session_cached(
+        _SIMHASH_LABELS_CACHE,
+        spark,
+        sf_dir,
+        lambda: _labels_from_fps(
+            spark, simhash_fingerprints_cached(spark, sf_dir)
+        ),
+    )
 
 
-@query(
-    "llm_dedup_simhash_labels",
-    oracle=f"""
-    WITH RECURSIVE {_SIMHASH_CTES},
+def _labels_oracle(ctes: str) -> str:
+    """Component-label oracle over any CTE chain ending in fp/blocks:
+    exact pair derivation + recursive reachability + min-label — shared
+    by the corpus labels key and the hard-topology labels key."""
+    return f"""
+    WITH RECURSIVE {ctes},
     pairs AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM blocks x JOIN blocks y
@@ -963,8 +988,10 @@ def simhash_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(l.cluster_id, f.doc_id) AS cluster_id,
            (COALESCE(l.cluster_id, f.doc_id) = f.doc_id) AS keep
     FROM fp f LEFT JOIN lab l ON f.doc_id = l.doc_id
-    """,
-)
+    """
+
+
+@query("llm_dedup_simhash_labels", oracle=_labels_oracle(_SIMHASH_CTES))
 def llm_dedup_simhash_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash dedup as LINEAR-OUTPUT cluster labels — the 100 TB
     deliverable of the simhash family (round-12 VERDICT task 1).
@@ -1016,6 +1043,115 @@ def llm_dedup_simhash_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparator pass share one propagation (round-13 ADVICE).
     """
     return simhash_labels_cached(spark, sf_dir)
+
+
+# --- hard-topology labels: a FRAGMENTING corpus in the driver tier ----
+#
+# The documents fixture collapses to near-one component (its template
+# families share vocabulary), so the labels oracle there mostly proves
+# "everything connected" — a trivially over-merging engine could pass
+# it. The rung tools exercise the fragmenting case (tools/make_hard_docs
+# + exhaustive fixpoints), but only out-of-band. This key brings that
+# topology into EVERY driver verify (round-15 VERDICT task 6): a
+# generated corpus of token-perturbed families whose intra-family
+# Hamming distances straddle the <=10 threshold (measured at the
+# sf0.01-sized instance: 520 docs -> 99 clusters, 59 singletons, max
+# cluster 12, 857 pairs at Hamming 8-10 and 645 just-over at 11-14).
+#
+# The corpus is pure integer arithmetic over a row range — both engines
+# derive it independently from the SAME expressions (the _SIMHASH_CTES
+# parity discipline), sized from COUNT(documents) so it scales with the
+# tier. Family f's base doc is 30 tokens 'w<(f*48271 + j*40503) %
+# 999983>'; member m replaces 0-3 positions ((f + 7m) mod 4, cycling
+# through families AND members so every family carries a mix) with
+# family-and-member-keyed replacement tokens from a disjoint id range;
+# the last nf ids are fresh-vocabulary singletons.
+_HARD_M = 12  # members per family
+# families = max(4, |documents| / 12): the sf0.01 driver tier (500 docs)
+# generates 41 families + 41 singletons = 533 docs — the topology
+# measured in the block comment; higher tiers scale linearly with the
+# fixture (sf0.1 -> ~5.4k docs, sf1 -> ~54k).
+_HARD_FAM_DIV = 12
+
+
+def _hard_tok_case() -> str:
+    """Token id for (row d, position j) — shared Spark/DuckDB SQL over
+    columns d (row id), fm (families*members), lambda var j."""
+    m = f"(d % {_HARD_M})"
+    f = f"CAST((d - {m}) / {_HARD_M} AS BIGINT)"
+    nrep = f"(({f} + {m} * 7) % 4)"
+    rep = lambda off: f"1000000 + ({f} * 48271 + {m} * 1009 + {off}) % 999983"  # noqa: E731
+    return (
+        f"CASE WHEN d >= fm THEN 3000000 + ((d - fm) * 48271 + j * 40503) % 999983 "
+        f"WHEN {nrep} >= 1 AND j = ({m} * 11) % 30 THEN {rep(0)} "
+        f"WHEN {nrep} >= 2 AND j = ({m} * 11 + 7) % 30 THEN {rep(40503)} "
+        f"WHEN {nrep} >= 3 AND j = ({m} * 11 + 14) % 30 THEN {rep(81006)} "
+        f"ELSE ({f} * 48271 + j * 40503) % 999983 END"
+    )
+
+
+def _hard_docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) fragmenting corpus, sized from the tier's document
+    count (one metadata-scale count job). spark.range is a parallel
+    leaf, the text expression is codegen'd per row — no driver rows."""
+    n_docs = load(spark, sf_dir, "documents").count()
+    nf = max(4, n_docs // _HARD_FAM_DIV)
+    ids = spark.range(nf * (_HARD_M + 1)).select(
+        F.col("id").alias("d"), F.lit(nf * _HARD_M).alias("fm")
+    )
+    text = F.expr(
+        "array_join(transform(sequence(0, 29), j -> "
+        f"concat('w', {_hard_tok_case()})), ' ')"
+    )
+    return ids.select(F.col("d").alias("doc_id"), text.alias("text"))
+
+
+def _hard_docs_ctes() -> str:
+    """DuckDB twin of _hard_docs_df: params/ids/docs CTE chain."""
+    return f"""params AS (
+        SELECT GREATEST(4, CAST((c - (c % {_HARD_FAM_DIV})) / {_HARD_FAM_DIV}
+                           AS BIGINT)) AS nf
+        FROM (SELECT COUNT(*) AS c FROM documents)),
+    ids AS (SELECT unnest(range(0, nf * {_HARD_M + 1})) AS d,
+                   nf * {_HARD_M} AS fm
+            FROM params),
+    docs AS (
+        SELECT d AS doc_id,
+               array_to_string(list_transform(range(0, 30), j ->
+                   concat('w', {_hard_tok_case()})), ' ') AS text
+        FROM ids)"""
+
+
+_HARD_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+@query(
+    "llm_dedup_simhash_labels_hard",
+    oracle=_labels_oracle(
+        _hard_docs_ctes() + ",\n    " + _simhash_ctes("docs")
+    ),
+)
+def llm_dedup_simhash_labels_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_dedup_simhash_labels' pipeline — fingerprint kernel, bucket-CC
+    star edges, min-label propagation — over the generated FRAGMENTING
+    corpus (see the block comment above): multi-cluster truth with
+    singletons and near-threshold families, adjudicated on every driver
+    verify instead of only in the rung tools. Same linear-output scale
+    shape as the main key; the corpus generator is a parallel range +
+    codegen expression, so the key adds no driver-side or quadratic
+    work."""
+    from ..utils import session_cached
+
+    return session_cached(
+        _HARD_LABELS_CACHE,
+        spark,
+        sf_dir,
+        lambda: _labels_from_fps(
+            spark,
+            _fp_plan_from_docs(spark, _hard_docs_df(spark, sf_dir))
+            .localCheckpoint(eager=True),
+        ),
+    )
 
 
 @query(

@@ -69,6 +69,13 @@ import os as _os
 # built at import from the SAME constants, so a process that sets the
 # env gets a consistent engine+oracle pair either way.
 _IVF_NPROBE = int(_os.environ.get("SPARK_GRAFT_IVF_NPROBE", "3"))
+# Lists each CORPUS vector is replicated into (multi-assignment): >1
+# trades r x index storage for recall that nprobe alone cannot buy when
+# the loss is assignment-stage — the query's true neighbor was assigned
+# to a list the probe ranking never reaches (measured: the hard-mode
+# 0.98 plateau, IVF_HARD_SWEEP.json). Default 1 = classic IVF and the
+# oracle-replayed registry shape.
+_IVF_NASSIGN = int(_os.environ.get("SPARK_GRAFT_IVF_NASSIGN", "1"))
 
 
 def _dot(a, b) -> F.Column:
@@ -745,40 +752,34 @@ def _km_check_contract(cents: list, max_abs_qv: int) -> None:
         )
 
 
-def _km_cents_df(spark: SparkSession, cents: list) -> DataFrame:
-    """The codebook as a K-row DataFrame (j, s, n, s2) for the
-    broadcast-join path — same exact-integer payload the literal path
-    embeds in the expression tree."""
-    rows = [
-        (int(j), [int(v) for v in s_vec], int(n),
-         float(sum(int(v) * int(v) for v in s_vec)))
-        for j, s_vec, n in cents
-    ]
-    return spark.createDataFrame(
-        rows, "j int, s array<bigint>, n bigint, s2 double"
-    )
+def _km_gemm_arrays(cents: list, max_abs_qv: int):
+    """Validated numpy codebook for the GEMM assignment paths: (S, N, J,
+    s2_over_n2). float64-GEMM exactness needs the TIGHTER 2^53 bound
+    (the literal path's int64 arithmetic survives to 2^63): every
+    dot-product partial sum and every n*n must be an exactly-
+    representable integer or BLAS summation order starts to matter.
+    Fail loudly — same policy as _km_check_contract."""
+    import numpy as np
 
-
-def _km_join_cost() -> F.Column:
-    """Per-(row, centroid) cost column for the broadcast-join path —
-    the literal path's arithmetic verbatim: x2 - (2*xs)/n + s2/(n*n),
-    every division one correctly-rounded IEEE op on exact int64s."""
-    zero = F.lit(0).cast("long")
-    x2 = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("qv"), lambda a, b: a * b),
-        zero,
-        lambda acc, v: acc + v,
-    )
-    xs = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("s"), lambda a, b: a * b),
-        zero,
-        lambda acc, v: acc + v,
-    )
-    return (
-        x2.cast("double")
-        - (F.lit(2).cast("long") * xs) / F.col("n")
-        + F.col("s2") / (F.col("n") * F.col("n")).cast("double")
-    )
+    _km_check_contract(cents, max_abs_qv)
+    d = len(cents[0][1])
+    max_s = max(max((abs(int(v)) for v in s), default=0) for _, s, _ in cents)
+    max_n = max(n for _, _, n in cents)
+    if (
+        d * max_s * max(max_abs_qv, 1) >= 2**53
+        or d * max_abs_qv**2 >= 2**53
+        or max_n * max_n >= 2**53
+        or 2 * d * max_s * max(max_abs_qv, 1) >= 2**53
+    ):
+        raise AssertionError(
+            "GEMM assignment exactness bound exceeded (>= 2^53): "
+            f"d={d} max|s|={max_s} max|qv|={max_abs_qv} max n={max_n}"
+        )
+    S = np.array([s_vec for _, s_vec, _ in cents], dtype=np.float64)
+    N = np.array([n for _, _, n in cents], dtype=np.float64)
+    J = np.array([j for j, _, _ in cents], dtype=np.int64)
+    s2_over_n2 = (S * S).sum(axis=1) / (N * N)
+    return S, N, J, s2_over_n2
 
 
 def _km_assigned(
@@ -806,31 +807,9 @@ def _km_assigned(
     # sequence the literal path and the DuckDB oracle evaluate.
     # np.argmin's first-occurrence rule == ORDER BY cost, j (cents are
     # j-sorted everywhere).
-    _km_check_contract(cents, max_abs_qv)
     import numpy as np
 
-    # float64-GEMM exactness needs the TIGHTER 2^53 bound (the literal
-    # path's int64 arithmetic survives to 2^63): every dot-product
-    # partial sum and every n*n must be an exactly-representable
-    # integer or BLAS summation order starts to matter. Fail loudly —
-    # same policy as _km_check_contract.
-    d = len(cents[0][1])
-    max_s = max(max((abs(int(v)) for v in s), default=0) for _, s, _ in cents)
-    max_n = max(n for _, _, n in cents)
-    if (
-        d * max_s * max(max_abs_qv, 1) >= 2**53
-        or d * max_abs_qv**2 >= 2**53
-        or max_n * max_n >= 2**53
-        or 2 * d * max_s * max(max_abs_qv, 1) >= 2**53
-    ):
-        raise AssertionError(
-            "GEMM assignment exactness bound exceeded (>= 2^53): "
-            f"d={d} max|s|={max_s} max|qv|={max_abs_qv} max n={max_n}"
-        )
-    S = np.array([s_vec for _, s_vec, _ in cents], dtype=np.float64)
-    N = np.array([n for _, _, n in cents], dtype=np.float64)
-    J = np.array([j for j, _, _ in cents], dtype=np.int64)
-    s2_over_n2 = (S * S).sum(axis=1) / (N * N)
+    S, N, J, s2_over_n2 = _km_gemm_arrays(cents, max_abs_qv)
 
     def assign(batches):
         import pandas as pd
@@ -854,33 +833,68 @@ def _km_assigned(
     return qv_df.mapInPandas(assign, f"vec_id bigint, qv array<bigint>, {out} int")
 
 
+def _km_multi_assigned(
+    qv_df: DataFrame, spark: SparkSession, cents: list, max_abs_qv: int,
+    r: int,
+) -> DataFrame:
+    """(vec_id, list_id) — each vector's r cheapest lists in (cost, j)
+    order, the generalization shared by probe ranking (r = nprobe over
+    query rows) and IVF multi-assignment (r = nassign over the corpus:
+    replicating each vector into its r cheapest lists is the standard
+    cure for assignment-stage recall loss, at r x index storage — see
+    IVF_HARD_SWEEP.json). Literal-codebook path up to _KM_LITERAL_MAX
+    lists; above that, one GEMM + lexsort per Arrow batch against the
+    broadcast codebook — same exact-integer cost contract as
+    _km_assigned, and (cost, then j) tie-break identical to the
+    oracle's ROW_NUMBER ordering."""
+    if len(cents) <= _KM_LITERAL_MAX:
+        return qv_df.select(
+            "vec_id",
+            F.explode(
+                F.slice(
+                    F.array_sort(_km_cost_array(cents, max_abs_qv)), 1, r
+                )
+            ).alias("pc"),
+        ).select("vec_id", F.col("pc.j").alias("list_id"))
+    import numpy as np
+
+    S, N, J, s2_over_n2 = _km_gemm_arrays(cents, max_abs_qv)
+
+    def top_r(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
+            x2 = (x * x).sum(axis=1)
+            cost = (
+                x2[:, None] - (2.0 * (x @ S.T)) / N[None, :] + s2_over_n2[None, :]
+            )
+            # argsort(kind='stable') over j-ascending columns == ORDER BY
+            # cost, j (cents are j-sorted everywhere)
+            order = np.argsort(cost, axis=1, kind="stable")[:, :r]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), r),
+                    "list_id": J[order.reshape(-1)].astype("int32"),
+                }
+            )
+
+    return qv_df.select("vec_id", "qv").mapInPandas(
+        top_r, "vec_id bigint, list_id int"
+    )
+
+
 def _km_probe_lists(
     assigned: DataFrame, spark: SparkSession, cents: list, max_abs_qv: int,
     nprobe: int,
 ) -> DataFrame:
-    """(query_id, list_id) — each query's nprobe cheapest lists.
-    Queries are _N_QUERIES rows, so even the join path is a tiny
-    cross-join + window; the literal path keeps the measured
-    array_sort-of-literal shape."""
+    """(query_id, list_id) — each query's nprobe cheapest lists
+    (_km_multi_assigned over the _N_QUERIES query rows)."""
     qrows = assigned.filter(F.col("vec_id") < _N_QUERIES)
-    if len(cents) <= _KM_LITERAL_MAX:
-        return qrows.select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(
-                F.slice(
-                    F.array_sort(_km_cost_array(cents, max_abs_qv)), 1, nprobe
-                )
-            ).alias("pc"),
-        ).select("query_id", F.col("pc.j").alias("list_id"))
-    _km_check_contract(cents, max_abs_qv)
-    w = Window.partitionBy("vec_id").orderBy("__cost", "j")
-    return (
-        qrows.select("vec_id", "qv")
-        .crossJoin(F.broadcast(_km_cents_df(spark, cents)))
-        .withColumn("__cost", _km_join_cost())
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= nprobe)
-        .select(F.col("vec_id").alias("query_id"), F.col("j").alias("list_id"))
+    return _km_multi_assigned(qrows, spark, cents, max_abs_qv, nprobe).select(
+        F.col("vec_id").alias("query_id"), "list_id"
     )
 
 
@@ -1168,19 +1182,28 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _km_fit(spark, sf_dir)  # (vec_id, qv, cluster)
     cents, max_abs_qv = _ivf_codebook(spark, sf_dir)
     # Inverted lists: argmin-cost assignment against the trained
-    # codebook (literal expression at registry K, broadcast join at
+    # codebook (literal expression at registry K, Arrow-batched GEMM at
     # scaled K — _km_assigned) — map-only scan, then attach emb/norm.
-    inv = (
-        _km_assigned(
+    # At _IVF_NASSIGN > 1 each vector lands in its r cheapest lists
+    # (multi-assignment — r x storage buys back assignment-stage recall
+    # the probe count cannot; the duplicate (query, neighbor) hits two
+    # shared lists produce are collapsed before ranking).
+    if _IVF_NASSIGN > 1:
+        inv = _km_multi_assigned(
             assigned.select("vec_id", "qv"), spark, cents, max_abs_qv,
-            out="list_id",
+            _IVF_NASSIGN,
+        ).join(v, "vec_id")
+    else:
+        inv = (
+            _km_assigned(
+                assigned.select("vec_id", "qv"), spark, cents, max_abs_qv,
+                out="list_id",
+            )
+            .select("vec_id", "list_id")
+            .join(v, "vec_id")
         )
-        .select("vec_id", "list_id")
-        .join(v, "vec_id")
-    )
-    # Probe plan: each query's nprobe cheapest lists (_km_probe_lists:
-    # array_sort of the codebook literal at registry K, tiny cross-join
-    # + window at scaled K) — 10 query rows either way.
+    # Probe plan: each query's nprobe cheapest lists (_km_probe_lists —
+    # the same ranking machinery at r=nprobe) — 10 query rows either way.
     probes = _km_probe_lists(
         assigned, spark, cents, max_abs_qv, _IVF_NPROBE
     ).join(
@@ -1200,6 +1223,10 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), scos.alias("cosine"))
     )
+    if _IVF_NASSIGN > 1:
+        # a neighbor replicated into two probed lists appears twice with
+        # an identical (deterministic) cosine — collapse before ranking
+        hits = hits.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         hits.withColumn("rnk", F.row_number().over(w))
