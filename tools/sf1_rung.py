@@ -225,6 +225,14 @@ KEYS_SF10 = [
     # ANN user tunes nprobe against; plumbing exactness is the sf1 rung
     # assert_match at registry K.
     "llm_ann_ivf",
+    # round-16 (round-15 VERDICT task 4): the graph family's only prior
+    # evidence ran on the 25-node nation graph; this row derives the
+    # trade graph from the 60M-row fact spine (the scale-relevant step)
+    # and replays the full integer-exact PageRank oracle in DuckDB over
+    # the same parquet. compare_pagerank additionally re-times the edge
+    # derivation alone so the fact-join wall is recorded separately
+    # from the nodes^2-bounded iterations.
+    "graph_pagerank",
 ]
 
 CHECKSUM_KEYS_SF10 = {
@@ -718,8 +726,22 @@ def main() -> int:
         row["checks"] = checks
         row["match"] = all(checks.values())
 
+    def compare_pagerank(key, row):
+        """Full oracle replay (25-row integer-exact ranks) + a separate
+        re-timing of the loop-invariant edge-derivation pipeline — the
+        only part of the key whose cost scales with the fact data."""
+        compare_full(key, row)
+        from yc_data_proc_metadata_import_spark.operators.analytics import (
+            _trade_edges,
+        )
+
+        t0 = time.perf_counter()
+        row["n_edges"] = _trade_edges(spark, SF1).count()
+        row["edge_derivation_sec"] = round(time.perf_counter() - t0, 3)
+
     COMPARATORS = {k: compare_checksum for k in checksum_keys}
     COMPARATORS["llm_dedup_near"] = compare_recall
+    COMPARATORS["graph_pagerank"] = compare_pagerank
     if preset == "sf1":
         COMPARATORS["llm_ann_ivf"] = compare_ivf
         COMPARATORS["llm_dedup_simhash_labels"] = lambda key, row: (
