@@ -94,6 +94,11 @@ KEYS = [
     "llm_dedup_near",
     "llm_dedup_simhash",
     "llm_dedup_simhash_labels",
+    # round-16: the fragmenting-corpus labels key at 10x (4,166 families
+    # -> 54,158 generated docs). Components stay small by construction,
+    # so the full recursive-reach oracle replay is feasible here —
+    # compare_full, no special comparator.
+    "llm_dedup_simhash_labels_hard",
     "llm_dedup_ngram",
     "llm_dedup_cluster",
     "llm_contamination_check",
