@@ -59,3 +59,36 @@ def test_gemm_exactness_guard_trips_past_2_53(spark, sf_dir):
             sim._km_assigned(qv, spark, huge_n, max_abs_qv, out="cl")
     finally:
         sim._KM_LITERAL_MAX = orig
+
+
+def test_multi_assigned_gemm_matches_literal_path(spark, sf_dir):
+    """Round-16: _km_multi_assigned (top-r list ranking — probe lists
+    and IVF multi-assignment) has the same dual dispatch; the GEMM +
+    stable-argsort path must reproduce the literal
+    array_sort-of-cost-struct ordering EXACTLY, ties included, and r=1
+    must agree with the argmin assignment path."""
+    cents, max_abs_qv = sim._ivf_codebook(spark, sf_dir)
+    qv = sim._km_fit(spark, sf_dir).select("vec_id", "qv")
+
+    def ranked(df):
+        return {(r["vec_id"], r["list_id"]) for r in df.collect()}
+
+    for r in (1, 3):
+        lit = ranked(sim._km_multi_assigned(qv, spark, cents, max_abs_qv, r))
+        orig = sim._KM_LITERAL_MAX
+        sim._KM_LITERAL_MAX = 0
+        try:
+            gem = ranked(
+                sim._km_multi_assigned(qv, spark, cents, max_abs_qv, r)
+            )
+        finally:
+            sim._KM_LITERAL_MAX = orig
+        assert lit == gem and len(lit) > 0
+    argmin = {
+        (row["vec_id"], row["cl"])
+        for row in sim._km_assigned(qv, spark, cents, max_abs_qv, out="cl")
+        .select("vec_id", "cl")
+        .collect()
+    }
+    top1 = ranked(sim._km_multi_assigned(qv, spark, cents, max_abs_qv, 1))
+    assert top1 == argmin
