@@ -92,3 +92,53 @@ def test_multi_assigned_gemm_matches_literal_path(spark, sf_dir):
     }
     top1 = ranked(sim._km_multi_assigned(qv, spark, cents, max_abs_qv, 1))
     assert top1 == argmin
+
+
+def test_multi_assigned_clamps_r_past_k(spark, sf_dir):
+    """r > K must not crash either dispatch path (round-16 ADVICE): the
+    literal path truncates via F.slice; the GEMM path now clamps r to
+    the list count before building the batch. Both must degrade to the
+    same full ranking — every vector in every list, identical sets."""
+    cents, max_abs_qv = sim._ivf_codebook(spark, sf_dir)
+    qv = sim._km_fit(spark, sf_dir).select("vec_id", "qv").limit(40)
+    r = len(cents) + 5
+
+    def ranked(df):
+        return {(row["vec_id"], row["list_id"]) for row in df.collect()}
+
+    lit = ranked(sim._km_multi_assigned(qv, spark, cents, max_abs_qv, r))
+    orig = sim._KM_LITERAL_MAX
+    sim._KM_LITERAL_MAX = 0
+    try:
+        gem = ranked(sim._km_multi_assigned(qv, spark, cents, max_abs_qv, r))
+    finally:
+        sim._KM_LITERAL_MAX = orig
+    assert lit == gem
+    # full ranking: every surviving vector appears once per list
+    n_vecs = len({v for v, _ in lit})
+    assert len(lit) == n_vecs * len(cents) and n_vecs > 0
+
+
+def test_ivf_nassign_env_pair_consistency(spark, sf_dir, oracle):
+    """The documented contract: a process overriding SPARK_GRAFT_IVF_NASSIGN
+    gets a CONSISTENT engine+oracle pair (round-16 ADVICE — the oracle
+    used to hardcode rn = 1). Pin both settings: classic nassign=1 and
+    the default multi-assignment nassign=2 must each hash-match the
+    oracle SQL rebuilt from the same constant."""
+    from tests.compare import assert_match
+
+    import yc_data_proc_metadata_import_spark as engine
+
+    q = engine.queries()["llm_ann_ivf"]
+    orig = sim._IVF_NASSIGN
+    try:
+        for nassign in (1, 2):
+            sim._IVF_NASSIGN = nassign
+            assert_match(
+                q(spark, sf_dir),
+                oracle,
+                sim._ivf_oracle_sql(),
+                f"llm_ann_ivf[nassign={nassign}]",
+            )
+    finally:
+        sim._IVF_NASSIGN = orig

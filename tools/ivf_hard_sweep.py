@@ -146,7 +146,13 @@ def main() -> int:
                 {
                     "nprobe": nprobe,
                     "recall": round(len(got & want) / len(want), 4),
-                    "frac_scanned": round(nassign * nprobe / K, 4),
+                    # Upper bound on scan cost (round-16 ADVICE): at
+                    # nassign > 1 a vector replicated into two PROBED
+                    # lists is counted twice, so cap at 1.0 and label
+                    # the field as a bound, not an exact fraction.
+                    "frac_scanned_ub": round(
+                        min(1.0, nassign * nprobe / K), 4
+                    ),
                     "search_sec": round(wall, 2),
                 }
             )
@@ -212,6 +218,13 @@ def main() -> int:
         print(f"[hard-sweep] miss diagnosis: {misses}", flush=True)
 
     rows2 = sweep(2)
+
+    # Restore the module's env-derived defaults (round-16 ADVICE: the
+    # sweep mutated _IVF_NASSIGN/_IVF_NPROBE and returned with them
+    # stuck at the last swept values — harmless for the standalone CLI,
+    # wrong for any caller that imports main()).
+    sim._IVF_NPROBE = int(os.environ.get("SPARK_GRAFT_IVF_NPROBE", "3"))
+    sim._IVF_NASSIGN = int(os.environ.get("SPARK_GRAFT_IVF_NASSIGN", "2"))
 
     out = {
         "km_k": K,

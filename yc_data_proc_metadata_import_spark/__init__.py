@@ -122,30 +122,20 @@ _FAMILY_RANK = (
 # in-kernel union-find consolidation), so it stays fronted.
 # Round-15 entries (simhash/cluster/curation + the metadata family) all
 # re-recorded GREEN in CORRECTNESS_r15.json — cleared.
-# Round-16 entries:
-# - llm_dedup_simhash_labels / llm_dedup_cluster / llm_curation_pipeline:
-#   `_propagate_min_labels` (their shared loop) restructured its edge
-#   persistence (un-repartitioned count-first source, long-cast ids,
-#   leak-free exit paths — round-15 ADVICE). Result-identical by
-#   design, but the shipped code differs from what r15 adjudicated.
-# - meta_export / meta_import / meta_roundtrip / meta_diff: the source
-#   namespace build is now session-cached and ANALYZE statements merged
-#   (FOR COLUMNS carries table-level stats) — same catalog fidelity,
-#   different implementation under all four keys.
-# - llm_ann_ivf: probe-list ranking now routes through
-#   _km_multi_assigned (shared top-r machinery; bit-identical ordering
-#   contract) and gained the _IVF_NASSIGN multi-assignment path.
-# (llm_dedup_simhash_labels_hard is NEW this round and fronts as
-# never-adjudicated; with these 8 + the 36-key r10-stale cohort the
-# 50-slot window holds every key the round-15 VERDICT asked for.)
+# Round-16 entries (the labels/curation trio, the meta_* quartet and
+# llm_ann_ivf) all re-recorded GREEN in CORRECTNESS_r16.json — cleared.
+# Round-17 entry:
+# - llm_ann_ivf: _IVF_NASSIGN default flipped 1 -> 2 (round-16 VERDICT
+#   task 4 — multi-assignment becomes the shipped index shape) and the
+#   oracle now interpolates ``rn <= _IVF_NASSIGN`` + DISTINCT hits
+#   (round-16 ADVICE). The RESULT changes (duplicate-collapsed hits
+#   from a 2x inverted index), so the r16 green no longer covers the
+#   shipped code; this round's window hash-adjudicates the nassign=2
+#   path end-to-end — exactly the evidence the verdict asked for.
+# (1 forced key + the 42-key r11-stale cohort = 43 of the 50 slots;
+# the remaining 7 go to the oldest r12 greens — the whole round-16
+# VERDICT task-1 cohort fronts this round.)
 _FORCE_FRONT: set[str] = {
-    "llm_dedup_simhash_labels",
-    "llm_dedup_cluster",
-    "llm_curation_pipeline",
-    "meta_export",
-    "meta_import",
-    "meta_roundtrip",
-    "meta_diff",
     "llm_ann_ivf",
 }
 

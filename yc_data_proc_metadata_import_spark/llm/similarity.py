@@ -73,9 +73,14 @@ _IVF_NPROBE = int(_os.environ.get("SPARK_GRAFT_IVF_NPROBE", "3"))
 # trades r x index storage for recall that nprobe alone cannot buy when
 # the loss is assignment-stage — the query's true neighbor was assigned
 # to a list the probe ranking never reaches (measured: the hard-mode
-# 0.98 plateau, IVF_HARD_SWEEP.json). Default 1 = classic IVF and the
-# oracle-replayed registry shape.
-_IVF_NASSIGN = int(_os.environ.get("SPARK_GRAFT_IVF_NASSIGN", "1"))
+# 0.98 plateau at nassign=1; recall 1.0 at nassign=2 nprobe=1,
+# IVF_HARD_SWEEP.json). DEFAULT 2 (round-16 VERDICT task 4): the
+# registry key ships the multi-assignment path and the oracle replays
+# the top-r assignment bit-exactly (_ivf_oracle_sql interpolates
+# ``rn <= _IVF_NASSIGN`` + DISTINCT hits — round-16 ADVICE), so the
+# driver hash-adjudicates the nassign=2 index end-to-end. Set the env
+# to 1 for classic IVF; engine and oracle stay consistent either way.
+_IVF_NASSIGN = int(_os.environ.get("SPARK_GRAFT_IVF_NASSIGN", "2"))
 
 
 def _dot(a, b) -> F.Column:
@@ -872,11 +877,17 @@ def _km_multi_assigned(
                 x2[:, None] - (2.0 * (x @ S.T)) / N[None, :] + s2_over_n2[None, :]
             )
             # argsort(kind='stable') over j-ascending columns == ORDER BY
-            # cost, j (cents are j-sorted everywhere)
-            order = np.argsort(cost, axis=1, kind="stable")[:, :r]
+            # cost, j (cents are j-sorted everywhere). Clamp r to the
+            # list count (round-16 ADVICE): argsort yields only K
+            # columns, so an unclamped r > K would repeat vec_id B*r
+            # times against B*K list ids and crash — the literal path
+            # already truncates silently via F.slice, and both dispatch
+            # paths must behave identically.
+            rr = min(r, len(J))
+            order = np.argsort(cost, axis=1, kind="stable")[:, :rr]
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), r),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), rr),
                     "list_id": J[order.reshape(-1)].astype("int32"),
                 }
             )
@@ -1125,14 +1136,26 @@ def _ivf_oracle_sql() -> str:
         "MIN(n.n) AS n FROM ufin u JOIN nfin n ON n.cluster = u.cluster "
         "GROUP BY u.cluster)",
         f"v AS ({_VECS_SQL})",
+        # assign replays the engine's (multi-)assignment: each vector's
+        # _IVF_NASSIGN cheapest lists in (cost, j) order — rn <= r is the
+        # ROW_NUMBER spelling of _km_multi_assigned's top-r, and at the
+        # classic r=1 it degenerates to the argmin (round-16 ADVICE: the
+        # oracle interpolates the SAME constant the engine reads, so an
+        # env override keeps the pair consistent).
         "assign AS (SELECT vec_id, j AS list_id FROM ("
         "SELECT q.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY q.vec_id "
-        f"ORDER BY {cost}, c.j) AS rn FROM q CROSS JOIN cfin c) WHERE rn = 1)",
+        f"ORDER BY {cost}, c.j) AS rn FROM q CROSS JOIN cfin c) "
+        f"WHERE rn <= {_IVF_NASSIGN})",
         "probes AS (SELECT vec_id AS query_id, j AS list_id FROM ("
         "SELECT q.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY q.vec_id "
         f"ORDER BY {cost}, c.j) AS rn FROM q CROSS JOIN cfin c "
         f"WHERE q.vec_id < {_N_QUERIES}) WHERE rn <= {_IVF_NPROBE})",
-        "hits AS (SELECT p.query_id, a.vec_id AS neighbor_id, "
+        # DISTINCT mirrors the engine's dropDuplicates at nassign > 1: a
+        # neighbor replicated into two probed lists appears twice with an
+        # identical deterministic cosine.
+        "hits AS (SELECT "
+        + ("DISTINCT " if _IVF_NASSIGN > 1 else "")
+        + "p.query_id, a.vec_id AS neighbor_id, "
         + _DOT_SQL.format(a="vq.emb", b="va.emb")
         + " / (vq.norm * va.norm) AS cosine "
         "FROM probes p JOIN assign a ON p.list_id = a.list_id "
@@ -1160,8 +1183,11 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     update step over llm_kmeans_cluster's final Lloyd assignment (the
     "final centroids" a trainer ships — round-12 VERDICT task 4;
     previously a modulo-sampled stand-in), every vector is assigned to
-    its argmin-cost list, queries probe the nprobe cheapest lists, exact
-    cosine ranks within.
+    its _IVF_NASSIGN cheapest lists (multi-assignment, default 2 —
+    round-16 VERDICT: the r x storage buys back assignment-stage recall
+    that probing cannot, measured recall 1.0 at nprobe=1 on the hard
+    corpus), queries probe the nprobe cheapest lists, exact cosine ranks
+    within.
 
     Scale shape: the codebook is K*(d+1) exact integers held driver-side
     and embedded as a literal — list assignment and probe ranking are
