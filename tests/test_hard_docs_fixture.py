@@ -55,3 +55,17 @@ def test_hard_docs_deterministic_and_schema(tmp_path):
         for i in range(5):
             for j in range(i + 1, 5):
                 assert sum(a != b for a, b in zip(members[i], members[j])) <= 6
+
+
+def test_pool_scales_with_families():
+    """Round-16 VERDICT task 5: the vocabulary pool must grow with the
+    family count (fixed 200k pool -> ~30 base docs per token at 2M docs
+    -> vocab-pool chaining -> giant component), while the 200k floor
+    keeps every committed artifact (families <= 50k) byte-identical."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_hard_docs as m
+
+    assert m.pool_size(60) == 200_000  # test corpora: floor
+    assert m.pool_size(50_000) == 200_000  # r15 500k-doc run: unchanged
+    assert m.pool_size(200_000) == 800_000  # 2M-doc run: ~7.5 reuse
+    assert m.pool_size(2_000_000) == 8_000_000  # 20M-doc headroom

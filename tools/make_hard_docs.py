@@ -11,9 +11,19 @@ counter-case, mirroring the round-15 IVF hard-fixture precedent
 (tools/ivf_hard_sweep.py — seeded, generated, documented):
 
 - FAMILIES distinct base documents, each 30 tokens drawn from a
-  POOL-sized synthetic vocabulary (`w<j>`) — family vocabularies
+  pool-sized synthetic vocabulary (`w<j>`) — family vocabularies
   overlap only by chance, so inter-family fingerprints are far apart
-  and the truth partition has tens of thousands of clusters;
+  and the truth partition has tens of thousands of clusters. The pool
+  SCALES with the family count (round-16 VERDICT task 5): at a fixed
+  200k pool the 2M-doc run re-used each token in ~30 base docs (vs
+  ~7.5 at the healthy 500k run), correlating fingerprints across
+  families until vocab-pool chaining merged 1.45M docs into one giant
+  component — a mixed truth, not a fragmenting one. pool =
+  max(200_000, 4 * families) keeps expected token reuse at the
+  measured-healthy ~7.5 BASE docs per token at every scale, while the
+  200k floor leaves every committed artifact (families <= 50k,
+  including the r15 500k-doc run and the tests' tiny corpora)
+  byte-identical to what this tool generated before the change;
 - MEMBERS docs per family; member m replaces 0-3 random token
   positions with random pool tokens, so intra-family Hamming distances
   straddle the <=10 threshold — families FRAGMENT where perturbation
@@ -39,8 +49,14 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-POOL = 200_000  # synthetic vocabulary size
+POOL_FLOOR = 200_000  # historical pool; floor keeps old runs byte-identical
+POOL_PER_FAMILY = 4  # 30 tokens/base doc / 4 = ~7.5 base docs per token
 DOC_TOKENS = 30
+
+
+def pool_size(families: int) -> int:
+    """Vocabulary pool scaled with family count (see module docstring)."""
+    return max(POOL_FLOOR, POOL_PER_FAMILY * families)
 
 
 def main() -> int:
@@ -50,10 +66,11 @@ def main() -> int:
     families = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     members = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
+    pool = pool_size(families)
     rng = np.random.RandomState(42)
     # (families, DOC_TOKENS) base token ids; duplicates within a doc are
     # harmless (the fingerprint is over DISTINCT tokens)
-    base = rng.randint(0, POOL, size=(families, DOC_TOKENS))
+    base = rng.randint(0, pool, size=(families, DOC_TOKENS))
     # replicate per member, then perturb 0-3 positions per member doc
     toks = np.repeat(base, members, axis=0)  # (families*members, DOC_TOKENS)
     n_docs = toks.shape[0]
@@ -61,7 +78,7 @@ def main() -> int:
     for r in (1, 2, 3):
         rows = np.nonzero(n_repl >= r)[0]
         toks[rows, rng.randint(0, DOC_TOKENS, size=rows.size)] = rng.randint(
-            0, POOL, size=rows.size
+            0, pool, size=rows.size
         )
 
     texts = [" ".join(f"w{t}" for t in row) for row in toks]
@@ -80,7 +97,10 @@ def main() -> int:
     pq.write_table(
         table, os.path.join(out_dir, "documents.parquet"), compression="zstd"
     )
-    print(f"[hard-docs] {n_docs} docs ({families}x{members}) -> {out_dir}")
+    print(
+        f"[hard-docs] {n_docs} docs ({families}x{members}, pool {pool}) "
+        f"-> {out_dir}"
+    )
     return 0
 
 

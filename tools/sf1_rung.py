@@ -95,9 +95,12 @@ KEYS = [
     "llm_dedup_simhash",
     "llm_dedup_simhash_labels",
     # round-16: the fragmenting-corpus labels key at 10x (4,166 families
-    # -> 54,158 generated docs). Components stay small by construction,
-    # so the full recursive-reach oracle replay is feasible here —
-    # compare_full, no special comparator.
+    # -> 54,158 generated docs). Round-17 (round-16 VERDICT task 8): the
+    # registered recursive-reach oracle is quadratic in component size
+    # (91 s compare at this tier), so the rung adjudicates via the same
+    # compare_component_labels iterated-propagation ground truth the
+    # main labels key uses — identical exactness (full-join over every
+    # doc's (cluster_id, keep)), O(edges * diameter) instead.
     "llm_dedup_simhash_labels_hard",
     "llm_dedup_ngram",
     "llm_dedup_cluster",
@@ -238,6 +241,12 @@ KEYS_SF10 = [
     # derivation alone so the fact-join wall is recorded separately
     # from the nodes^2-bounded iterations.
     "graph_pagerank",
+    # round-17 (round-16 VERDICT task 6): the other two graph keys share
+    # pagerank's _trade_edges fact-join pipeline (price-thresholded
+    # variants), so each is one full recursive-CTE oracle replay over
+    # the same 60M-row spine — compare_full, no special comparator.
+    "graph_shortest_path",
+    "graph_connected_components",
 ]
 
 CHECKSUM_KEYS_SF10 = {
@@ -566,8 +575,13 @@ def main() -> int:
         # plumbing is already oracle-exact at sf1 — adjudicate what the
         # decade-up claim IS: the trained codebook's recall vs the
         # exact top-k, gated at 0.9.
+        from yc_data_proc_metadata_import_spark.llm import similarity as _sim
+
         row["km_k"] = int(os.environ.get("SPARK_GRAFT_KM_K", "8"))
         row["nprobe"] = int(os.environ.get("SPARK_GRAFT_IVF_NPROBE", "3"))
+        # round-17: multi-assignment is the default index shape — record
+        # it so the rung row documents WHICH index the recall measures.
+        row["nassign"] = _sim._IVF_NASSIGN
         ivf_recall(key, row)
         row["match"] = row["recall_vs_exact"] >= 0.9
 
@@ -752,6 +766,29 @@ def main() -> int:
         COMPARATORS["llm_dedup_simhash_labels"] = lambda key, row: (
             compare_component_labels(
                 key, row, simhash_pair_sql, universe_sql=nonempty_docs_sql
+            )
+        )
+        # Hard fragmenting corpus (round-16 VERDICT task 8): same
+        # iterated-propagation truth, but the pair graph and universe
+        # come from the generated-docs CTE chain the key's oracle uses
+        # (both engines derive the corpus independently). Nested WITH
+        # is fine — DuckDB accepts a full statement as a CTE body.
+        hard_pair_sql = (
+            f"WITH {_dedup._hard_docs_ctes()},\n    "
+            + _dedup._simhash_ctes("docs")
+            + " SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
+            "FROM blocks x JOIN blocks y "
+            "ON x.block_id = y.block_id AND x.block_key = y.block_key "
+            "AND x.doc_id < y.doc_id "
+            f"WHERE bit_count(xor(x.simhash, y.simhash)) "
+            f"<= {_dedup._HAMMING_T}"
+        )
+        hard_universe_sql = (
+            f"WITH {_dedup._hard_docs_ctes()} SELECT doc_id FROM docs"
+        )
+        COMPARATORS["llm_dedup_simhash_labels_hard"] = lambda key, row: (
+            compare_component_labels(
+                key, row, hard_pair_sql, universe_sql=hard_universe_sql
             )
         )
     else:
