@@ -59,6 +59,42 @@ def scratch_state_of(n_start: int, n_end: int) -> str:
     return "partial"
 
 
+def idle_guard(
+    calibrate,
+    sleep,
+    nominal_ms: float | None = None,
+    max_wait_s: float | None = None,
+    poll_s: float | None = None,
+) -> tuple[dict, dict, float]:
+    """Wait until the calibration median re-enters the nominal solo band.
+
+    Returns (final_cal, pre_wait_cal, seconds_waited). Module-level (not
+    inline in main) so tests can pin the loop's contract: no wait when
+    the first probe is nominal; bounded polling otherwise; the caller
+    decides what a still-hot exit means (demotion). The wait is the cure
+    when the cause is burst-credit exhaustion from our own prior runs
+    (~26% wall inflation, recovers in ~15 min idle — see
+    CAL_NOMINAL_MS above)."""
+    nominal_ms = CAL_NOMINAL_MS if nominal_ms is None else nominal_ms
+    max_wait_s = IDLE_WAIT_MAX_S if max_wait_s is None else max_wait_s
+    poll_s = IDLE_POLL_S if poll_s is None else poll_s
+    cal = calibrate()
+    pre = dict(cal)
+    waited = 0.0
+    while cal["med"] > nominal_ms and waited < max_wait_s:
+        print(
+            f"[bench] idle-guard: cal median {cal['med']} ms > "
+            f"{nominal_ms} ms nominal — waiting {poll_s:.0f}s "
+            f"({waited:.0f}/{max_wait_s:.0f}s used)",
+            file=sys.stderr,
+            flush=True,
+        )
+        sleep(poll_s)
+        waited += poll_s
+        cal = calibrate()
+    return cal, pre, waited
+
+
 def demote_if_contended(
     solo: bool, solo_source: str, cal_start_med: float, cal_end_med: float
 ) -> tuple[bool, str]:
@@ -129,20 +165,7 @@ def main() -> int:
     # when the cause is our own burst-credit exhaustion; if a genuine
     # sibling keeps the band hot past the budget, run anyway but the
     # demotion below tags the row so it is never mislabeled solo.
-    cal_start = _calibrate()
-    cal_pre_wait = dict(cal_start)
-    idle_waited = 0.0
-    while cal_start["med"] > CAL_NOMINAL_MS and idle_waited < IDLE_WAIT_MAX_S:
-        print(
-            f"[bench] idle-guard: cal median {cal_start['med']} ms > "
-            f"{CAL_NOMINAL_MS} ms nominal — waiting {IDLE_POLL_S:.0f}s "
-            f"({idle_waited:.0f}/{IDLE_WAIT_MAX_S:.0f}s used)",
-            file=sys.stderr,
-            flush=True,
-        )
-        time.sleep(IDLE_POLL_S)
-        idle_waited += IDLE_POLL_S
-        cal_start = _calibrate()
+    cal_start, cal_pre_wait, idle_waited = idle_guard(_calibrate, time.sleep)
 
     # Solo-vs-concurrent provenance, read AFTER the guard so the loadavg
     # hint reflects the host state the suite actually starts in.

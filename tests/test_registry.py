@@ -180,3 +180,48 @@ def test_scale_rung_presets_reference_registered_keys():
         unknown = set(getattr(mod, name)) - registered
         assert not unknown, f"{name} names unregistered keys: {sorted(unknown)}"
     assert mod.CHECKSUM_KEYS_SF10 <= set(mod.KEYS_SF10)
+
+
+def test_bench_idle_guard_waits_for_nominal_band():
+    """Round-16 VERDICT task 2: the committed bench row must be clean by
+    construction — the guard polls until the probe median re-enters the
+    nominal band (burst-credit recovery), never waits when the first
+    probe is already nominal, and gives up after the wait budget so a
+    genuine sibling can't hang the bench forever."""
+    import bench
+
+    # Already nominal: no sleep calls, pre == final, zero wait.
+    cal, pre, waited = bench.idle_guard(
+        lambda: {"best": 120.0, "med": 125.0},
+        lambda s: (_ for _ in ()).throw(AssertionError("must not sleep")),
+        nominal_ms=140.0,
+        max_wait_s=900.0,
+        poll_s=60.0,
+    )
+    assert (cal["med"], pre["med"], waited) == (125.0, 125.0, 0.0)
+
+    # Hot then recovering: waits exactly until the first nominal probe,
+    # reports the PRE-wait median for provenance.
+    meds = iter([162.0, 158.0, 139.0])
+    slept = []
+    cal, pre, waited = bench.idle_guard(
+        lambda: {"best": 0.0, "med": next(meds)},
+        slept.append,
+        nominal_ms=140.0,
+        max_wait_s=900.0,
+        poll_s=60.0,
+    )
+    assert pre["med"] == 162.0 and cal["med"] == 139.0
+    assert waited == 120.0 and slept == [60.0, 60.0]
+
+    # Never recovers: bounded by the budget, exits still-hot (the
+    # caller's demotion rule then tags the row).
+    slept = []
+    cal, pre, waited = bench.idle_guard(
+        lambda: {"best": 0.0, "med": 170.0},
+        slept.append,
+        nominal_ms=140.0,
+        max_wait_s=180.0,
+        poll_s=60.0,
+    )
+    assert cal["med"] == 170.0 and waited == 180.0 and len(slept) == 3
