@@ -795,8 +795,45 @@ def main() -> int:
         COMPARATORS["llm_ann_ivf"] = compare_ivf_recall_only
         COMPARATORS["llm_dedup_simhash_labels"] = compare_labels_invariants
 
+    import gc
+
+    from yc_data_proc_metadata_import_spark import utils as _utils
+
+    def release_pinned_blocks() -> int:
+        """Drop session-cached DataFrames (whose py4j refs pin their
+        localCheckpoint/persisted blocks), then force both GCs so the
+        ContextCleaner releases the blocks. Returns entries dropped."""
+        n = _utils.clear_session_caches()
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        return n
+
+    def heap_pressure_release(where: str) -> None:
+        """Between keys: release ONLY under real heap pressure, so
+        cache-amortized walls stay comparable round-over-round in the
+        common case. Measured r17 first run: without this, 40 keys of
+        pinned blocks drove the 37th key into GC thrash (42 s fresh vs
+        117 s in-run) and OOM'd the invariance pass; with an 8 GB heap
+        the 60% trigger fires well before either."""
+        rt = spark.sparkContext._jvm.Runtime.getRuntime()
+        used = rt.totalMemory() - rt.freeMemory()
+        if used > 0.6 * rt.maxMemory():
+            n = release_pinned_blocks()
+            report.setdefault("heap_releases", []).append(
+                {"at": where, "dropped_cache_entries": n,
+                 "heap_used_gb": round(used / 2**30, 2)}
+            )
+            print(
+                f"[{preset}-rung] heap release at {where}: "
+                f"{round(used / 2**30, 2)} GB used, {n} cache entries",
+                file=sys.stderr,
+                flush=True,
+            )
+
     for key in keys:
         row: dict = {}
+        heap_pressure_release(key)
         try:
             t0 = time.perf_counter()
             run_noop(queries[key](spark, SF1))
@@ -812,6 +849,10 @@ def main() -> int:
             failures.append(key)
         report["keys"][key] = row
         print(f"[{preset}-rung] {key}: {row}", file=sys.stderr, flush=True)
+
+    # The invariance pass inherits the whole key pass's pinned blocks —
+    # release unconditionally (this is where the r17 first run OOM'd).
+    release_pinned_blocks()
 
     def rows_of(df):
         return sorted(

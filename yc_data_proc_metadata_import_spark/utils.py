@@ -72,6 +72,16 @@ def sql_dsum_prod(a: str, b: str) -> str:
     )
 
 
+# Every dict ever passed to session_cached, so long-lived harnesses (the
+# scale rungs run 40+ keys in ONE session) can drop every cached artifact
+# at once: cached DataFrames pin their localCheckpoint/persisted blocks
+# via the py4j reference, and 40 keys of pinned blocks ground an 8 GB
+# driver heap into GC thrash (measured r17: llm_ann_ivf 42 s fresh vs
+# 117 s as the rung's 37th key, then an invariance-pass OOM two entries
+# later).
+_ALL_CACHES: list[dict] = []
+
+
 def session_cached(cache: dict, spark, suffix, build):
     """Get-or-build a per-(session, suffix) cached value.
 
@@ -83,6 +93,8 @@ def session_cached(cache: dict, spark, suffix, build):
     otherwise leak. Shared by the token, shingle, and k-means caches so
     the hazard fix lives in exactly one place.
     """
+    if not any(c is cache for c in _ALL_CACHES):
+        _ALL_CACHES.append(cache)
     app_id = spark.sparkContext.applicationId
     key = (app_id, suffix)
     cached = cache.get(key)
@@ -92,3 +104,13 @@ def session_cached(cache: dict, spark, suffix, build):
             del cache[k]
         cache[key] = cached
     return cached
+
+
+def clear_session_caches() -> int:
+    """Drop every session-cached artifact; returns the entry count
+    dropped. The caller should follow with gc.collect() (and a JVM GC)
+    so the ContextCleaner actually releases the pinned blocks."""
+    n = sum(len(c) for c in _ALL_CACHES)
+    for c in _ALL_CACHES:
+        c.clear()
+    return n
