@@ -750,6 +750,95 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRI_MIN_PRICE = 104000.0  # sparsify so triangle structure is non-trivial
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH e AS (
+        SELECT DISTINCT CAST(LEAST(src, dst) AS BIGINT) AS a,
+                        CAST(GREATEST(src, dst) AS BIGINT) AS b
+        FROM ({_edges_sql(_TRI_MIN_PRICE)}) WHERE src <> dst)
+    SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE ENUMERATION over the high-value trade graph — each
+    triangle of nations emitted once as a canonical (n1 < n2 < n3)
+    triple.  The third classic graph-analytics kernel beside
+    PageRank/BFS/components, and the building block for clustering
+    coefficients and community detection.
+
+    The engine uses DEGREE ORIENTATION (the "compact-forward" /
+    Chiba-Nishizeki ordering): every undirected edge is directed from
+    its lower-(degree, id) endpoint to the higher, wedges are enumerated
+    only at each edge's SOURCE, and a wedge closes iff the undirected
+    {v, w} edge exists.  Each triangle is found exactly once (at its
+    orientation-minimal vertex) and — the scale property — per-vertex
+    wedge fan-out is bounded by the oriented out-degree, which degree
+    ordering caps at O(sqrt(m)) on any graph (arboricity bound), so
+    total wedge volume is O(m^1.5) instead of sum(deg^2) of the raw
+    graph.  A hub nation with degree 24 contributes almost no wedges
+    because its edges point INTO it.
+
+    The oracle is the textbook sorted-order 3-way self-join (a < b < c
+    by id) — a different orientation than the engine's degree order, so
+    agreement is a real cross-check of the enumeration, not a replay.
+
+    100 TB shape: edge derivation is the shared key-partitioned fact
+    pipeline collapsed by DISTINCT before anything quadratic; the wedge
+    and closing steps are plain equi-joins on node keys (shuffle-
+    partitioned, no broadcast needed at billion-edge scale); the
+    oriented edge list materializes once (localCheckpoint) because the
+    plan reads it three times."""
+    und = (
+        _trade_edges(spark, sf_dir, _TRI_MIN_PRICE)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").cast("bigint").alias("a"),
+            F.greatest("src", "dst").cast("bigint").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    x = oriented.select("u", F.col("v").alias("v1"))
+    y = oriented.select("u", F.col("v").alias("v2"))
+    wedges = x.join(y, "u").where(F.col("v1") < F.col("v2"))
+    tri = wedges.join(
+        und, (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b"))
+    )
+    lo = F.least("u", "v1", "v2")
+    hi = F.greatest("u", "v1", "v2")
+    return tri.select(
+        lo.alias("n1"),
+        (F.col("u") + F.col("v1") + F.col("v2") - lo - hi).alias("n2"),
+        hi.alias("n3"),
+    )
+
+
 @query(
     "agg_lead_time_quartiles",
     oracle="""
