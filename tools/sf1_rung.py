@@ -136,6 +136,7 @@ KEYS = [
     "udaf_grouped",
     "sql_recursive_cte",
     "graph_pagerank",
+    "graph_triangle_count",
     "reshape_pivot",
 ]
 
@@ -247,6 +248,10 @@ KEYS_SF10 = [
     # the same 60M-row spine — compare_full, no special comparator.
     "graph_shortest_path",
     "graph_connected_components",
+    # round-17: triangle enumeration rides the same spine; its oracle's
+    # 3-way self-join runs on the nodes^2-bounded edge CTE, so the
+    # DuckDB cost is the edge derivation, same as the other graph rows.
+    "graph_triangle_count",
 ]
 
 CHECKSUM_KEYS_SF10 = {
