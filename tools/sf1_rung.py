@@ -405,6 +405,14 @@ def main() -> int:
     if not os.path.isdir(SF1):
         print(f"{preset} rung missing — run tools/make_sf1.py first ({SF1})")
         return 2
+    # Targeted re-adjudication: restrict to a comma-separated key subset
+    # (e.g. after an oracle fix) without replaying the whole preset.
+    # The report notes the restriction so a filtered run can't pass as a
+    # full rung.
+    only = {k for k in os.environ.get("SPARK_GRAFT_RUNG_KEYS", "").split(",") if k}
+    if only:
+        keys = [k for k in keys if k in only]
+        inv_keys = [k for k in inv_keys if k in only]
 
     import duckdb
 
@@ -902,6 +910,8 @@ def main() -> int:
         1 for r in report["invariance"].values() if r.get("invariant")
     )
     report["failures"] = failures
+    if only:
+        report["restricted_to_keys"] = sorted(only)
     report["wall_total_sec"] = round(
         sum(r.get("spark_sec", 0.0) for r in report["keys"].values()), 3
     )

@@ -755,8 +755,14 @@ _TRI_MIN_PRICE = 104000.0  # sparsify so triangle structure is non-trivial
 
 @query(
     "graph_triangle_count",
+    # MATERIALIZED is load-bearing: with the default inlined CTE, DuckDB
+    # plans the 3-way self-join over three copies of the 4-way fact join
+    # and the reordered intermediate spilled >70 GB of temp at the sf10
+    # rung (60M lineitem rows) before dying.  Materializing computes the
+    # nodes^2-bounded edge list ONCE; the triple join then runs on
+    # <= |nodes|^2 rows.
     oracle=f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
         SELECT DISTINCT CAST(LEAST(src, dst) AS BIGINT) AS a,
                         CAST(GREATEST(src, dst) AS BIGINT) AS b
         FROM ({_edges_sql(_TRI_MIN_PRICE)}) WHERE src <> dst)
