@@ -121,7 +121,18 @@ def demote_if_contended(
     """
     if solo_source != "inferred":
         return solo, solo_source
-    if cal_end_med > CAL_CONTENDED_RATIO * cal_start_med or (
+    # The RATIO trigger also requires the end median itself to exceed
+    # the absolute bound: the probe partially measures THERMALS, not
+    # just siblings.  A genuinely solo r17 cold run read 99.9 -> 140.6
+    # (ratio 1.41) — the start probe ran on a cold boosted core, the end
+    # probe on a hot package after 256 s of 32-thread work — while every
+    # real sibling case pushes the end probe well past the bound (the
+    # r11 drill measured 165.1).  A fast start must not demote a run
+    # whose end probe still sits inside the recorded solo range.
+    if (
+        cal_end_med > CAL_CONTENDED_RATIO * cal_start_med
+        and cal_end_med > CAL_CONTENDED_ABS_MS
+    ) or (
         cal_start_med > CAL_CONTENDED_ABS_MS
         and cal_end_med > CAL_CONTENDED_ABS_MS
     ):

@@ -129,6 +129,16 @@ def test_bench_solo_demotion_is_self_load_immune():
         True,
         "inferred",
     )
+    # Thermal false-positive (the r17 cold run's actual numbers): start
+    # probe on a cold boosted core (99.9, faster than every recorded
+    # solo median), end probe on a hot package (140.6, inside the solo
+    # range).  Ratio alone reads 1.41 but there was no sibling — the
+    # ratio trigger must also require the end median over the absolute
+    # bound.
+    assert bench.demote_if_contended(True, "inferred", 99.9, 140.6) == (
+        True,
+        "inferred",
+    )
     # A declared tag is the operator's statement — never touched.
     assert bench.demote_if_contended(True, "declared", 123.9, 999.0) == (
         True,
