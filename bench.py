@@ -43,6 +43,43 @@ IDLE_WAIT_MAX_S = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_MAX_S", "900"))
 IDLE_POLL_S = float(os.environ.get("SPARK_GRAFT_IDLE_POLL_S", "60"))
 
 
+def _cal_unit_ms(_=None) -> float:
+    """One single-thread calibration work unit (median of 3)."""
+    samples = []
+    for _i in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i * i
+        samples.append((time.perf_counter() - t0) * 1000.0)
+    samples.sort()
+    return samples[1]
+
+
+def calibrate_allcore(workers: int | None = None) -> dict[str, float]:
+    """ALL-CORE companion to the single-thread probe (round-17 finding).
+
+    The r17 host shift exposed the single-thread probe's blind spot:
+    probe medians DROPPED to 96-103 ms (faster than every recorded solo
+    round, 118-135) while the suite wall rose ~19% UNIFORMLY per key —
+    single-core boost up, sustained all-core throughput down.  A
+    single-thread probe cannot see SMT pressure, memory-bandwidth
+    neighbors, or all-core turbo limits; this one runs the SAME work
+    unit on every core simultaneously (fork pool, GIL-free) and reports
+    the median/max per-worker unit time.  Recorded as provenance beside
+    cal_ms_med so a host-profile change is visible in the row rather
+    than inferred from per-key forensics."""
+    import multiprocessing as mp
+
+    n = workers or min(32, os.cpu_count() or 1)
+    try:
+        with mp.get_context("fork").Pool(n) as pool:
+            r = sorted(pool.map(_cal_unit_ms, range(n)))
+        return {"med": round(r[n // 2], 1), "max": round(r[-1], 1), "n": n}
+    except Exception:  # provenance must never kill the bench
+        return {"med": -1.0, "max": -1.0, "n": 0}
+
+
 def scratch_state_of(n_start: int, n_end: int) -> str:
     """Tri-state scratch provenance from fixture counts at run start/end.
 
@@ -177,6 +214,7 @@ def main() -> int:
     # sibling keeps the band hot past the budget, run anyway but the
     # demotion below tags the row so it is never mislabeled solo.
     cal_start, cal_pre_wait, idle_waited = idle_guard(_calibrate, time.sleep)
+    cal_mt_start = calibrate_allcore()
 
     # Solo-vs-concurrent provenance, read AFTER the guard so the loadavg
     # hint reflects the host state the suite actually starts in.
@@ -445,6 +483,7 @@ def main() -> int:
     # load_end is recorded below as audit only.
     load_end = os.getloadavg()[0]
     cal_end = _calibrate()
+    cal_mt_end = calibrate_allcore()
     _n_warm_end = _count_warm_fixtures()
     scratch_state = scratch_state_of(_n_warm, _n_warm_end)
     solo, solo_source = demote_if_contended(
@@ -468,6 +507,12 @@ def main() -> int:
         "solo_source": solo_source,
         "cal_ms": [cal_start["best"], cal_end["best"]],
         "cal_ms_med": [cal_start["med"], cal_end["med"]],
+        # All-core probe medians (see calibrate_allcore): the ratio to
+        # cal_ms_med is the host's sustained-parallel penalty — ~1.15-1.3
+        # on a healthy dedicated box (SMT + all-core clocks), >1.5 when a
+        # bandwidth-hungry sibling or all-core throttle is eating the
+        # suite while the single-thread probe reads fast.
+        "cal_allcore_ms_med": [cal_mt_start["med"], cal_mt_end["med"]],
         # Idle-guard provenance: how long the guard waited for the
         # nominal band and what the probe read BEFORE waiting (equal to
         # cal_ms_med[0] when no wait was needed).

@@ -192,6 +192,17 @@ def test_scale_rung_presets_reference_registered_keys():
     assert mod.CHECKSUM_KEYS_SF10 <= set(mod.KEYS_SF10)
 
 
+def test_bench_allcore_probe_shape():
+    """calibrate_allcore returns per-worker medians from a fork pool and
+    degrades to a sentinel (never an exception) if the pool can't start —
+    provenance must not be able to kill a bench run."""
+    import bench
+
+    r = bench.calibrate_allcore(2)
+    assert set(r) == {"med", "max", "n"}
+    assert r["n"] == 2 and 0 < r["med"] <= r["max"]
+
+
 def test_bench_idle_guard_waits_for_nominal_band():
     """Round-16 VERDICT task 2: the committed bench row must be clean by
     construction — the guard polls until the probe median re-enters the
