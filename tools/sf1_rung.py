@@ -137,6 +137,7 @@ KEYS = [
     "sql_recursive_cte",
     "graph_pagerank",
     "graph_triangle_count",
+    "graph_clustering_coefficient",
     "reshape_pivot",
 ]
 
@@ -248,10 +249,12 @@ KEYS_SF10 = [
     # the same 60M-row spine — compare_full, no special comparator.
     "graph_shortest_path",
     "graph_connected_components",
-    # round-17: triangle enumeration rides the same spine; its oracle's
-    # 3-way self-join runs on the nodes^2-bounded edge CTE, so the
-    # DuckDB cost is the edge derivation, same as the other graph rows.
+    # round-17: triangle enumeration + clustering coefficient ride the
+    # same spine; their oracles' self-joins run on the nodes^2-bounded
+    # MATERIALIZED edge CTE, so the DuckDB cost is the edge derivation,
+    # same as the other graph rows.
     "graph_triangle_count",
+    "graph_clustering_coefficient",
 ]
 
 CHECKSUM_KEYS_SF10 = {

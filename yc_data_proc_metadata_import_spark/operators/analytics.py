@@ -801,7 +801,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned, no broadcast needed at billion-edge scale); the
     oriented edge list materializes once (localCheckpoint) because the
     plan reads it three times."""
-    und = (
+    und = _tri_und(spark, sf_dir)
+    tri = _tri_triangles(und)
+    lo = F.least("u", "v1", "v2")
+    hi = F.greatest("u", "v1", "v2")
+    return tri.select(
+        lo.alias("n1"),
+        (F.col("u") + F.col("v1") + F.col("v2") - lo - hi).alias("n2"),
+        hi.alias("n3"),
+    )
+
+
+def _tri_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected canonical (a < b) edge list of the sparsified trade
+    graph, materialized once (the triangle plans read it 3x)."""
+    return (
         _trade_edges(spark, sf_dir, _TRI_MIN_PRICE)
         .where(F.col("src") != F.col("dst"))
         .select(
@@ -811,6 +825,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+
+def _tri_triangles(und: DataFrame) -> DataFrame:
+    """Degree-oriented triangle enumeration (see graph_triangle_count):
+    one (u, v1, v2) row per triangle, wedge endpoints ordered v1 < v2 by
+    id, u the orientation-minimal vertex."""
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -833,15 +853,87 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = oriented.select("u", F.col("v").alias("v1"))
     y = oriented.select("u", F.col("v").alias("v2"))
     wedges = x.join(y, "u").where(F.col("v1") < F.col("v2"))
-    tri = wedges.join(
+    return wedges.join(
         und, (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b"))
+    ).select("u", "v1", "v2")
+
+
+@query(
+    "graph_clustering_coefficient",
+    # Same MATERIALIZED discipline as the triangle oracle: the edge CTE
+    # is referenced by the triple self-join AND the degree aggregate.
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT CAST(LEAST(src, dst) AS BIGINT) AS a,
+                        CAST(GREATEST(src, dst) AS BIGINT) AS b
+        FROM ({_edges_sql(_TRI_MIN_PRICE)}) WHERE src <> dst),
+    t AS MATERIALIZED (
+        SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tn AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+            SELECT n1 AS node FROM t
+            UNION ALL SELECT n2 FROM t
+            UNION ALL SELECT n3 FROM t) GROUP BY node),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        GROUP BY node)
+    SELECT d.node AS n_nationkey, d.degree,
+           COALESCE(tn.n_triangles, 0) AS n_triangles,
+           2.0 * COALESCE(tn.n_triangles, 0)
+               / (d.degree * (d.degree - 1)) AS coefficient
+    FROM deg d LEFT JOIN tn ON tn.node = d.node
+    WHERE d.degree >= 2
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT per nation: the fraction of a node's
+    neighbor pairs that are themselves connected — 2*T(v) / (deg(v) *
+    (deg(v)-1)), composed directly from the degree-oriented triangle
+    enumeration (each canonical triangle explodes to its three member
+    nodes) and the undirected degree aggregate.  Nodes of degree < 2
+    have no neighbor pairs and are excluded by both engines.
+
+    Determinism: T(v) and deg(v) are exact integers; the coefficient is
+    ONE IEEE division on identical operands, so both engines compute
+    bit-equal doubles (the win_transition_matrix precedent).
+
+    100 TB shape: inherits the triangle plan's properties (O(m^1.5)
+    wedge bound, equi-joins only); the explode adds one hash aggregate
+    on node keys and the coefficient is a map-side projection."""
+    und = _tri_und(spark, sf_dir)
+    tri = _tri_triangles(und)
+    tn = (
+        tri.select(
+            F.explode(F.array("u", "v1", "v2")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    lo = F.least("u", "v1", "v2")
-    hi = F.greatest("u", "v1", "v2")
-    return tri.select(
-        lo.alias("n1"),
-        (F.col("u") + F.col("v1") + F.col("v2") - lo - hi).alias("n2"),
-        hi.alias("n3"),
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tn, "node", "left")
+        .select(
+            F.col("node").alias("n_nationkey"),
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0).cast("bigint")).alias(
+                "n_triangles"
+            ),
+            (
+                F.lit(2.0)
+                * F.coalesce(F.col("n_triangles"), F.lit(0).cast("bigint"))
+                / (F.col("degree") * (F.col("degree") - F.lit(1)))
+            ).alias("coefficient"),
+        )
     )
 
 
