@@ -35,6 +35,7 @@ KEYS = [
     "win_time_weighted_avg",  # weighted decimal sum + exact conversion
     "agg_countmin_sketch",  # counter grid built from partial counts
     "graph_pagerank",       # iterative integer state
+    "graph_clustering_coefficient",  # single-division double surface
     "llm_tfidf",            # ratio/log surfaces over counts
     "win_retention_cohorts",  # distinct-count ratios
     "merge_incremental_aggregate",  # delta-refresh decimal partials
