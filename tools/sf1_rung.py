@@ -46,6 +46,31 @@ key with an aggregated output.
 
 Output: one JSON line to stdout + .scratch/<preset>_rung_report.json.
 Run solo (it assumes the host, like a bench run).
+
+FIXTURE BUILD COMMANDS (scratch is wiped between rounds; these are the
+exact invocations each preset expects — reconstructed from prose once
+too often):
+
+  sf1 (full tables, 10x):
+      python tools/make_sf1.py
+  sf10 (full tables, 100x):
+      SPARK_GRAFT_SF1_OUT=.scratch/sf10 SPARK_GRAFT_SF1_COPIES=100 \
+          python tools/make_sf1.py
+  sf100 (relational subset + events, 1000x, chunk-written):
+      SPARK_GRAFT_SF1_OUT=.scratch/sf100 SPARK_GRAFT_SF1_COPIES=1000 \
+          SPARK_GRAFT_SF1_TABLES=region,nation,customer,supplier,part,orders,lineitem,events \
+          SPARK_GRAFT_SF1_CHUNK=50 python tools/make_sf1.py
+  sf100_docs (documents only, for tools/labels_5m_profile.py):
+      SPARK_GRAFT_SF1_OUT=.scratch/sf100_docs SPARK_GRAFT_SF1_COPIES=1000 \
+          SPARK_GRAFT_SF1_TABLES=documents python tools/make_sf1.py
+  hard 2M-doc corpus (for the label fixpoint + truth analysis):
+      python tools/make_hard_docs.py .scratch/hard_docs_2m_r17 200000 10
+
+Targeted re-adjudication after a single-key fix:
+      SPARK_GRAFT_RUNG_PRESET=<preset> SPARK_GRAFT_RUNG_KEYS=<key,key> \
+          python tools/sf1_rung.py
+(the report records restricted_to_keys so a filtered run can't pass as
+a full rung).
 """
 
 from __future__ import annotations
