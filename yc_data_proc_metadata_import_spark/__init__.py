@@ -124,20 +124,17 @@ _FAMILY_RANK = (
 # re-recorded GREEN in CORRECTNESS_r15.json — cleared.
 # Round-16 entries (the labels/curation trio, the meta_* quartet and
 # llm_ann_ivf) all re-recorded GREEN in CORRECTNESS_r16.json — cleared.
-# Round-17 entry:
-# - llm_ann_ivf: _IVF_NASSIGN default flipped 1 -> 2 (round-16 VERDICT
-#   task 4 — multi-assignment becomes the shipped index shape) and the
-#   oracle now interpolates ``rn <= _IVF_NASSIGN`` + DISTINCT hits
-#   (round-16 ADVICE). The RESULT changes (duplicate-collapsed hits
-#   from a 2x inverted index), so the r16 green no longer covers the
-#   shipped code; this round's window hash-adjudicates the nassign=2
-#   path end-to-end — exactly the evidence the verdict asked for.
-# (1 forced key + the 42-key r11-stale cohort = 43 of the 50 slots;
-# the remaining 7 go to the oldest r12 greens — the whole round-16
-# VERDICT task-1 cohort fronts this round.)
-_FORCE_FRONT: set[str] = {
-    "llm_ann_ivf",
-}
+# Round-17 entry llm_ann_ivf (nassign=2 default + parametric oracle)
+# re-recorded GREEN in CORRECTNESS_r17.json — cleared.  Round 18
+# registers no result-changing edits, so the 50-slot window is pure
+# stalest-green rotation: the entire 41-key r12 cohort (round-17
+# VERDICT task 1 — catalog wave, real-decoder multimodal keys, win
+# analytics wave, tpch_q6/q7/q14, fn_variant/_sql_udf/_try_arithmetic/
+# _collation_lcase, agg_hll_sketch/_listagg, ts_gap_fill,
+# scan_binary_file, sql_pipe_syntax, udf_map_in_arrow,
+# merge_incremental_aggregate, llm_corpus_shuffle/_dataset_split/
+# _html_strip) plus the 9 oldest r13 greens.
+_FORCE_FRONT: set[str] = set()
 
 
 # Keys registered after the CURRENT round's fresh window is already full
