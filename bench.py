@@ -31,6 +31,18 @@ import time
 # 157.8-165.1 ms. Re-derive both if the probe workload or host changes.
 CAL_CONTENDED_ABS_MS = float(os.environ.get("SPARK_GRAFT_CAL_ABS_MS", "145.0"))
 CAL_CONTENDED_RATIO = float(os.environ.get("SPARK_GRAFT_CAL_RATIO", "1.2"))
+# Relative floor for the ratio trigger (round-17 ADVICE): the fixed
+# 145 ms AND-guard was derived on the pre-r17 host (solo 118-135 ms);
+# the r17 host reads 96-113 ms solo, so a sibling arriving mid-run can
+# push the end probe to ~130 ms — over the ratio bound yet under the
+# stale absolute floor, and the row would be mislabeled solo.  The
+# floor is now RELATIVE to the run's own start median (1.25x), so it
+# tracks whatever host profile the run actually started on.  Note this
+# deliberately re-classifies the r17 99.9->140.6 cold run as demotable:
+# that row's wall was +18% over the clean cold row (256 s vs 217 s), so
+# whatever inflated the probe (sibling or all-core throttle) inflated
+# the suite too — "solo" would have been the wrong label for it.
+CAL_ABS_REL_FLOOR = float(os.environ.get("SPARK_GRAFT_CAL_REL_FLOOR", "1.25"))
 # Idle-guard band (round-16 VERDICT task 2): every recorded solo median
 # sits at 118.3-134.9 ms, every contended one at 157.8-165.1 ms — 140 ms
 # splits the gap below the demotion bound. The guard WAITS for the host
@@ -41,6 +53,17 @@ CAL_CONTENDED_RATIO = float(os.environ.get("SPARK_GRAFT_CAL_RATIO", "1.2"))
 CAL_NOMINAL_MS = float(os.environ.get("SPARK_GRAFT_CAL_NOMINAL_MS", "140.0"))
 IDLE_WAIT_MAX_S = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_MAX_S", "900"))
 IDLE_POLL_S = float(os.environ.get("SPARK_GRAFT_IDLE_POLL_S", "60"))
+# Loadavg band for the idle guard (round-17 VERDICT task 3): the r17
+# committed row was tagged solo:false purely because the 1-min loadavg
+# at start read 6.02 — the exponentially-damped residue of a prior run
+# that had already FINISHED (its calibration medians sat in the solo
+# band and idle_wait_s was 0).  The guard now also waits for loadavg to
+# decay below this bound before starting, so a clean host yields a
+# clean inferred tag instead of inheriting its predecessor's load.
+# 1-min loadavg decays with a ~60 s time constant, so draining 6 -> 1
+# costs ~2 min of the 900 s budget; a GENUINE sibling holds the value
+# up and the run starts (budget-bounded) with the honest demotion below.
+IDLE_LOAD_MAX = float(os.environ.get("SPARK_GRAFT_IDLE_LOAD_MAX", "1.0"))
 
 
 def _cal_unit_ms(_=None) -> float:
@@ -70,12 +93,22 @@ def calibrate_allcore(workers: int | None = None) -> dict[str, float]:
     cal_ms_med so a host-profile change is visible in the row rather
     than inferred from per-key forensics."""
     import multiprocessing as mp
+    import statistics
 
     n = workers or min(32, os.cpu_count() or 1)
     try:
-        with mp.get_context("fork").Pool(n) as pool:
+        # spawn, not fork (round-17 ADVICE): the end-of-run probe forks
+        # from a process hosting live py4j/JVM gateway threads, and
+        # fork() from a multithreaded parent can deadlock the child on
+        # locks held at fork time — a hang the except guard can't catch.
+        # spawn starts clean interpreters; _cal_unit_ms is module-level
+        # so it pickles by reference.
+        with mp.get_context("spawn").Pool(n) as pool:
             r = sorted(pool.map(_cal_unit_ms, range(n)))
-        return {"med": round(r[n // 2], 1), "max": round(r[-1], 1), "n": n}
+        # statistics.median, not r[n//2] (round-17 ADVICE): for even n
+        # the upper-middle element biases the recorded med high relative
+        # to the single-thread probe's true-median convention.
+        return {"med": round(statistics.median(r), 1), "max": round(r[-1], 1), "n": n}
     except Exception:  # provenance must never kill the bench
         return {"med": -1.0, "max": -1.0, "n": 0}
 
@@ -102,26 +135,44 @@ def idle_guard(
     nominal_ms: float | None = None,
     max_wait_s: float | None = None,
     poll_s: float | None = None,
+    getload=None,
+    load_max: float | None = None,
 ) -> tuple[dict, dict, float]:
-    """Wait until the calibration median re-enters the nominal solo band.
+    """Wait until the host is verifiably idle: calibration median in the
+    nominal solo band AND (when ``getload`` is given) 1-min loadavg
+    below ``load_max``.
 
     Returns (final_cal, pre_wait_cal, seconds_waited). Module-level (not
     inline in main) so tests can pin the loop's contract: no wait when
     the first probe is nominal; bounded polling otherwise; the caller
     decides what a still-hot exit means (demotion). The wait is the cure
-    when the cause is burst-credit exhaustion from our own prior runs
-    (~26% wall inflation, recovers in ~15 min idle — see
-    CAL_NOMINAL_MS above)."""
+    for both observed false-contention causes: burst-credit exhaustion
+    from our own prior runs (~26% wall inflation, recovers in ~15 min
+    idle — see CAL_NOMINAL_MS) and the damped loadavg residue of an
+    ALREADY-FINISHED predecessor (round-17 VERDICT task 3: the r17 row
+    was demoted on load_start 6.02 while its probe medians were solo;
+    1-min loadavg decays with a ~60 s time constant, so draining it is
+    a ~2 min wait — see IDLE_LOAD_MAX)."""
     nominal_ms = CAL_NOMINAL_MS if nominal_ms is None else nominal_ms
     max_wait_s = IDLE_WAIT_MAX_S if max_wait_s is None else max_wait_s
     poll_s = IDLE_POLL_S if poll_s is None else poll_s
+    load_max = IDLE_LOAD_MAX if load_max is None else load_max
+
+    def _hot() -> str | None:
+        if cal["med"] > nominal_ms:
+            return f"cal median {cal['med']} ms > {nominal_ms} ms nominal"
+        if getload is not None:
+            load = getload()
+            if load > load_max:
+                return f"1-min loadavg {load:.2f} > {load_max} idle bound"
+        return None
+
     cal = calibrate()
     pre = dict(cal)
     waited = 0.0
-    while cal["med"] > nominal_ms and waited < max_wait_s:
+    while (reason := _hot()) and waited < max_wait_s:
         print(
-            f"[bench] idle-guard: cal median {cal['med']} ms > "
-            f"{nominal_ms} ms nominal — waiting {poll_s:.0f}s "
+            f"[bench] idle-guard: {reason} — waiting {poll_s:.0f}s "
             f"({waited:.0f}/{max_wait_s:.0f}s used)",
             file=sys.stderr,
             flush=True,
@@ -158,17 +209,21 @@ def demote_if_contended(
     """
     if solo_source != "inferred":
         return solo, solo_source
-    # The RATIO trigger also requires the end median itself to exceed
-    # the absolute bound: the probe partially measures THERMALS, not
-    # just siblings.  A genuinely solo r17 cold run read 99.9 -> 140.6
-    # (ratio 1.41) — the start probe ran on a cold boosted core, the end
-    # probe on a hot package after 256 s of 32-thread work — while every
-    # real sibling case pushes the end probe well past the bound (the
-    # r11 drill measured 165.1).  A fast start must not demote a run
-    # whose end probe still sits inside the recorded solo range.
+    # The RATIO trigger's floor is RELATIVE to the run's own start
+    # median (round-17 ADVICE): the old fixed 145 ms AND-guard was
+    # derived on the pre-r17 host (solo 118-135 ms) and the r17 host's
+    # 96-113 ms solo band slid entirely under it — a sibling arriving
+    # mid-run (~1.27x inflation, per the r11 drill) would read ~130 ms
+    # and keep the solo tag.  end > 1.25x start tracks the host the run
+    # started on.  The cost is accepted and documented at
+    # CAL_ABS_REL_FLOOR: a cold-boost start + hot-package end (the r17
+    # 99.9 -> 140.6 run) now demotes too — correctly, because that
+    # run's suite wall was +18% over the clean cold row; whatever
+    # inflated the probe inflated the measurement, and "solo" is a
+    # comparability claim, not a process census.
     if (
         cal_end_med > CAL_CONTENDED_RATIO * cal_start_med
-        and cal_end_med > CAL_CONTENDED_ABS_MS
+        and cal_end_med > CAL_ABS_REL_FLOOR * cal_start_med
     ) or (
         cal_start_med > CAL_CONTENDED_ABS_MS
         and cal_end_med > CAL_CONTENDED_ABS_MS
@@ -207,13 +262,17 @@ def main() -> int:
         samples.sort()
         return {"best": round(samples[0], 1), "med": round(samples[2], 1)}
 
-    # Idle-guard (round-16 VERDICT task 2): refuse to START while the
-    # probe median is outside the nominal solo band. Re-probe every
-    # IDLE_POLL_S up to IDLE_WAIT_MAX_S — the wait itself is the cure
-    # when the cause is our own burst-credit exhaustion; if a genuine
-    # sibling keeps the band hot past the budget, run anyway but the
-    # demotion below tags the row so it is never mislabeled solo.
-    cal_start, cal_pre_wait, idle_waited = idle_guard(_calibrate, time.sleep)
+    # Idle-guard (round-16 VERDICT task 2 + round-17 task 3): refuse to
+    # START while the probe median is outside the nominal solo band OR
+    # the 1-min loadavg is above the idle bound (the damped residue of a
+    # finished predecessor run is drained by waiting; a live sibling
+    # holds it up). Re-probe every IDLE_POLL_S up to IDLE_WAIT_MAX_S —
+    # if a genuine sibling keeps the host hot past the budget, run
+    # anyway but the inference + demotion below tag the row so it is
+    # never mislabeled solo.
+    cal_start, cal_pre_wait, idle_waited = idle_guard(
+        _calibrate, time.sleep, getload=lambda: os.getloadavg()[0]
+    )
     cal_mt_start = calibrate_allcore()
 
     # Solo-vs-concurrent provenance, read AFTER the guard so the loadavg

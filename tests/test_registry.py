@@ -129,15 +129,23 @@ def test_bench_solo_demotion_is_self_load_immune():
         True,
         "inferred",
     )
-    # Thermal false-positive (the r17 cold run's actual numbers): start
-    # probe on a cold boosted core (99.9, faster than every recorded
-    # solo median), end probe on a hot package (140.6, inside the solo
-    # range).  Ratio alone reads 1.41 but there was no sibling — the
-    # ratio trigger must also require the end median over the absolute
-    # bound.
+    # Fast-host sibling arrival (round-17 ADVICE): the r17 host's solo
+    # band is 96-113 ms, so a mid-run sibling at ~1.27x inflation reads
+    # ~131 ms — over the ratio bound but UNDER the stale fixed 145 ms
+    # floor that would have kept the solo tag.  The relative floor
+    # (1.25x the run's own start) demotes it.
+    assert bench.demote_if_contended(True, "inferred", 103.0, 131.0) == (
+        False,
+        "inferred_contended",
+    )
+    # Cold-boost start + hot-package end (the r17 99.9 -> 140.6 cold
+    # run): demotes under the relative floor — deliberately.  That
+    # run's suite wall was +18% over the clean cold row, so whatever
+    # inflated the end probe inflated the measurement; "solo" is a
+    # comparability claim and that row was not comparable.
     assert bench.demote_if_contended(True, "inferred", 99.9, 140.6) == (
-        True,
-        "inferred",
+        False,
+        "inferred_contended",
     )
     # A declared tag is the operator's statement — never touched.
     assert bench.demote_if_contended(True, "declared", 123.9, 999.0) == (
@@ -246,3 +254,53 @@ def test_bench_idle_guard_waits_for_nominal_band():
         poll_s=60.0,
     )
     assert cal["med"] == 170.0 and waited == 180.0 and len(slept) == 3
+
+
+def test_bench_idle_guard_drains_loadavg_residue():
+    """Round-17 VERDICT task 3: the r17 committed row was tagged
+    solo:false purely because start loadavg read 6.02 — the damped
+    residue of an ALREADY-FINISHED predecessor (probe medians were in
+    the solo band, idle_wait_s 0).  The guard must also wait for the
+    1-min loadavg to decay below the idle bound, so a clean host yields
+    a clean inferred tag."""
+    import bench
+
+    # Probe nominal throughout, loadavg draining 6.0 -> 2.2 -> 0.8:
+    # waits exactly until the load clears the bound.
+    loads = iter([6.02, 2.2, 0.8])
+    slept = []
+    cal, pre, waited = bench.idle_guard(
+        lambda: {"best": 100.0, "med": 105.0},
+        slept.append,
+        nominal_ms=140.0,
+        max_wait_s=900.0,
+        poll_s=60.0,
+        getload=lambda: next(loads),
+        load_max=1.0,
+    )
+    assert waited == 120.0 and slept == [60.0, 60.0]
+    assert cal["med"] == 105.0
+
+    # Live sibling holds the load up: bounded by the budget, exits
+    # still-hot — the caller's inference then tags the row honestly.
+    slept = []
+    cal, pre, waited = bench.idle_guard(
+        lambda: {"best": 100.0, "med": 105.0},
+        slept.append,
+        nominal_ms=140.0,
+        max_wait_s=120.0,
+        poll_s=60.0,
+        getload=lambda: 5.5,
+        load_max=1.0,
+    )
+    assert waited == 120.0 and len(slept) == 2
+
+    # No getload (legacy callers/tests): loadavg is simply not polled.
+    cal, pre, waited = bench.idle_guard(
+        lambda: {"best": 100.0, "med": 105.0},
+        lambda s: (_ for _ in ()).throw(AssertionError("must not sleep")),
+        nominal_ms=140.0,
+        max_wait_s=900.0,
+        poll_s=60.0,
+    )
+    assert waited == 0.0

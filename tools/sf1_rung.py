@@ -439,8 +439,21 @@ def main() -> int:
     # full rung.
     only = {k for k in os.environ.get("SPARK_GRAFT_RUNG_KEYS", "").split(",") if k}
     if only:
+        # A typo'd or out-of-preset name must not silently drop to an
+        # empty run that exits 0 with failures=[] (round-17 ADVICE: easy
+        # to misread as the fix being verified).
+        unknown = only - set(keys) - set(inv_keys)
+        if unknown:
+            print(
+                f"SPARK_GRAFT_RUNG_KEYS names not in the {preset} preset: "
+                f"{sorted(unknown)}"
+            )
+            return 2
         keys = [k for k in keys if k in only]
         inv_keys = [k for k in inv_keys if k in only]
+        if not keys and not inv_keys:
+            print(f"SPARK_GRAFT_RUNG_KEYS filtered the {preset} preset to zero keys")
+            return 2
 
     import duckdb
 
