@@ -163,6 +163,11 @@ KEYS = [
     "graph_pagerank",
     "graph_triangle_count",
     "graph_clustering_coefficient",
+    # round-18 (round-17 VERDICT task 6): the remaining two graph keys
+    # had sf10-only rung evidence — one full recursive-CTE oracle replay
+    # each over the sf1 spine closes the decade below.
+    "graph_shortest_path",
+    "graph_connected_components",
     "reshape_pivot",
 ]
 
@@ -322,6 +327,15 @@ KEYS_SF100 = [
     # this scale, RocksDB spills to local disk). Output is the windowed
     # aggregate (windows x event types — small), full-value compared.
     "stream_rocksdb_state",
+    # round-18 (round-17 VERDICT task 2): the graph family's 600M-row
+    # edge-derivation spine was one decade unmeasured. All three oracles
+    # now run on a MATERIALIZED edge CTE (the sf10 triangle incident's
+    # fix, applied pre-emptively to pagerank/components), so the DuckDB
+    # cost is ONE fact-join replay per key; graph_pagerank's comparator
+    # additionally re-times the Spark edge derivation alone.
+    "graph_pagerank",
+    "graph_triangle_count",
+    "graph_connected_components",
 ]
 
 CHECKSUM_KEYS_SF100 = {"join_inner", "win_sessionize"}

@@ -125,16 +125,25 @@ _FAMILY_RANK = (
 # Round-16 entries (the labels/curation trio, the meta_* quartet and
 # llm_ann_ivf) all re-recorded GREEN in CORRECTNESS_r16.json — cleared.
 # Round-17 entry llm_ann_ivf (nassign=2 default + parametric oracle)
-# re-recorded GREEN in CORRECTNESS_r17.json — cleared.  Round 18
-# registers no result-changing edits, so the 50-slot window is pure
-# stalest-green rotation: the entire 41-key r12 cohort (round-17
-# VERDICT task 1 — catalog wave, real-decoder multimodal keys, win
-# analytics wave, tpch_q6/q7/q14, fn_variant/_sql_udf/_try_arithmetic/
-# _collation_lcase, agg_hll_sketch/_listagg, ts_gap_fill,
-# scan_binary_file, sql_pipe_syntax, udf_map_in_arrow,
-# merge_incremental_aggregate, llm_corpus_shuffle/_dataset_split/
-# _html_strip) plus the 9 oldest r13 greens.
-_FORCE_FRONT: set[str] = set()
+# re-recorded GREEN in CORRECTNESS_r17.json — cleared.
+# Round-18 entries: the pagerank/BFS/components oracles' edge CTEs
+# gained MATERIALIZED (scale-proofing for the sf100 rung — the sf10
+# triangle-oracle spill fix applied family-wide).  The hint is
+# result-identical, but it IS a change to the shipped oracle text, so
+# the three keys re-adjudicate this round rather than ride a verdict
+# recorded against the old text.  With them fronted, the window is the
+# 41-key r12 cohort (round-17 VERDICT task 1 — catalog wave,
+# real-decoder multimodal keys, win analytics wave, tpch_q6/q7/q14,
+# fn_variant/_sql_udf/_try_arithmetic/_collation_lcase,
+# agg_hll_sketch/_listagg, ts_gap_fill, scan_binary_file,
+# sql_pipe_syntax, udf_map_in_arrow, merge_incremental_aggregate,
+# llm_corpus_shuffle/_dataset_split/_html_strip) + these 3 + the 6
+# oldest r13 greens.
+_FORCE_FRONT: set[str] = {
+    "graph_pagerank",
+    "graph_shortest_path",
+    "graph_connected_components",
+}
 
 
 # Keys registered after the CURRENT round's fresh window is already full

@@ -404,8 +404,14 @@ def _pagerank_oracle() -> str:
     IS the relational formulation).  Kept in a builder so the Spark loop
     and the SQL text share one iteration count."""
     cte = [
+        # MATERIALIZED is load-bearing at the scale rungs (the sf10
+        # triangle-oracle incident): edges is referenced by deg and by
+        # every unrolled iteration, and an inlined CTE replays the
+        # 4-way fact join once PER REFERENCE — at sf100 that is 4x a
+        # 600M-row join pipeline. Materializing computes the
+        # nodes^2-bounded list once.
         f"""
-    WITH edges AS ({_edges_sql()}),
+    WITH edges AS MATERIALIZED ({_edges_sql()}),
     deg AS (
         SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
         FROM edges GROUP BY src),
@@ -607,8 +613,10 @@ def _bfs_oracle() -> str:
     """Unrolled multi-hop BFS (Bellman-Ford relaxation with unit weights)
     as chained CTEs — the relational formulation of the Spark loop."""
     cte = [
+        # Same MATERIALIZED discipline as the pagerank/triangle oracles:
+        # edges is referenced once per unrolled hop.
         f"""
-    WITH edges AS ({_edges_sql(_BFS_MIN_PRICE)}),
+    WITH edges AS MATERIALIZED ({_edges_sql(_BFS_MIN_PRICE)}),
     n AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
     d0 AS (SELECT node,
                   CASE WHEN node = {_BFS_SOURCE} THEN 0 END AS dist
@@ -691,8 +699,12 @@ _CC_MIN_PRICE = 104950.0
 
 @query(
     "graph_connected_components",
+    # ed is MATERIALIZED for the same reason as the other graph oracles:
+    # it is referenced from both arms of sym, and sym feeds every step
+    # of the recursion — an inlined ed would replay the fact join per
+    # reference at the scale rungs.
     oracle=f"""
-    WITH RECURSIVE ed AS (
+    WITH RECURSIVE ed AS MATERIALIZED (
         SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
         FROM ({_edges_sql(_CC_MIN_PRICE)}) WHERE src <> dst),
     sym AS (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b, a FROM ed),
