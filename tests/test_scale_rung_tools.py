@@ -139,3 +139,32 @@ def test_checksum_plan_rejects_unsummable_schema(spark):
     df = spark.createDataFrame([(1.5, "x")], "a: double, b: string")
     with pytest.raises(ValueError, match="no int/decimal columns"):
         rung.checksum_plan(df, "t")
+
+
+def test_hard_truth_biased_model_degenerates_to_uniform():
+    """The biased-bit edge model (round-17 VERDICT task 5) must agree
+    with the closed-form uniform floor when fed uniform marginals — the
+    two derivations (inclusion-exclusion over xor weight vs over
+    agreeing blocks + Poisson-binomial tail) are independent, so
+    equality is a real cross-check of both."""
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "hard_truth_for_test", os.path.join(REPO, "tools", "hard_truth_analysis.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    uniform = mod.analytic_uniform_edge_p()
+    biased_at_half = mod.analytic_biased_edge_p(np.full(60, 0.5))
+    assert abs(biased_at_half - uniform) < 1e-15
+
+    # Any bias lowers per-bit disagreement, so the edge probability is
+    # monotone: the r17 corpus's measured marginal shape must predict
+    # MORE edges than uniform (the direction of the 9.4x gap).
+    skewed = np.full(60, 0.42)
+    skewed[0] = 0.006
+    assert mod.analytic_biased_edge_p(skewed) > uniform
+
+    # Poisson-binomial DP sanity: Binomial(4, 0.5) tail.
+    assert abs(mod._poisson_binomial_cdf(np.full(4, 0.5), 1) - 5 / 16) < 1e-12
