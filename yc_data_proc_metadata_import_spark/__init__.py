@@ -139,10 +139,14 @@ _FAMILY_RANK = (
 # sql_pipe_syntax, udf_map_in_arrow, merge_incremental_aggregate,
 # llm_corpus_shuffle/_dataset_split/_html_strip) + these 3 + the 6
 # oldest r13 greens.
+# llm_sim_join_lsh's oracle was reshaped candidates-DISTINCT-first
+# (round-17 VERDICT task 4 — 381 s -> 35 s at the sf1 rung); result-
+# identical, but the shipped oracle text changed, so it re-adjudicates.
 _FORCE_FRONT: set[str] = {
     "graph_pagerank",
     "graph_shortest_path",
     "graph_connected_components",
+    "llm_sim_join_lsh",
 }
 
 

@@ -415,13 +415,25 @@ def _srp_sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     (s, x) -> s + x) > 0.0
                                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
                    (acc, b) -> acc * 2 + b) AS sig
-        FROM v, (SELECT unnest(range(0, {_SRP_TABLES})) AS table_id) t)
-    SELECT DISTINCT x.vec_id AS doc_a, y.vec_id AS doc_b,
+        FROM v, (SELECT unnest(range(0, {_SRP_TABLES})) AS table_id) t),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        FROM sigs x JOIN sigs y
+          ON x.table_id = y.table_id AND x.sig = y.sig
+         AND x.vec_id < y.vec_id)
+    SELECT c.a AS doc_a, c.b AS doc_b,
            {_DOT_SQL.format(a="x.emb", b="y.emb")} / (x.norm * y.norm) AS cosine
-    FROM sigs x JOIN sigs y
-      ON x.table_id = y.table_id AND x.sig = y.sig AND x.vec_id < y.vec_id
+    FROM cand c JOIN v x ON x.vec_id = c.a JOIN v y ON y.vec_id = c.b
     WHERE {_DOT_SQL.format(a="x.emb", b="y.emb")} / (x.norm * y.norm) >= {_SIM_T}
     """,
+    # Oracle shape note (round-18, sf1-rung cost): candidates DISTINCT
+    # FIRST, then ONE exact-cosine verify per candidate pair against v.
+    # The previous shape verified inside the signature self-join, so
+    # DuckDB evaluated the 64-dim list_reduce dot per TABLE HIT and per
+    # CLAUSE (SELECT + WHERE) before the DISTINCT — 59.3M candidates at
+    # sf1 cost 381 s; this shape is 35 s with the identical result set
+    # (cosine is pair-deterministic, so DISTINCT-then-verify == verify-
+    # then-DISTINCT).
 )
 def llm_sim_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection LSH similarity join (candidates then exact
