@@ -1639,3 +1639,85 @@ def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+_CONTAIN_T_NUM, _CONTAIN_T_DEN = 8, 10  # containment threshold 0.8
+
+
+@query(
+    "llm_dedup_containment",
+    oracle=f"""
+    WITH inv AS ({_INV_SQL}),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_shared
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+    SELECT doc_a AS doc_sub, doc_b AS doc_sup, n_shared,
+           CAST(n_a AS INTEGER) AS n_sub, CAST(n_b AS INTEGER) AS n_sup,
+           CAST(n_shared AS DOUBLE) / n_a AS containment
+    FROM common WHERE {_CONTAIN_T_DEN} * n_shared >= {_CONTAIN_T_NUM} * n_a
+    UNION ALL
+    SELECT doc_b, doc_a, n_shared,
+           CAST(n_b AS INTEGER), CAST(n_a AS INTEGER),
+           CAST(n_shared AS DOUBLE) / n_b
+    FROM common WHERE {_CONTAIN_T_DEN} * n_shared >= {_CONTAIN_T_NUM} * n_b
+    """,
+)
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED shingle-containment pairs: C(sub -> sup) =
+    |S(sub) & S(sup)| / |S(sub)| >= 0.8 — the asymmetric complement of
+    llm_dedup_ngram's Jaccard. Containment is what catches SUB-document
+    duplication (a short doc quoted or embedded inside a much longer
+    one): the union in Jaccard's denominator dilutes those pairs below
+    any usable threshold, while containment is size-ratio-free by
+    construction, so the Jaccard size prune (2*n_a >= n_b) must NOT be
+    applied here.
+
+    Same inverted-index shape as llm_dedup_ngram (shared xxhash64 index,
+    work ~ sum of df^2 over shingles, never O(n^2)); the undirected
+    intersection counts are computed ONCE per unordered pair
+    (upper-triangle join), then BOTH directions are derived from that
+    single aggregate by exploding a 2-element struct array — a UNION of
+    two filters over the aggregate would re-execute the whole
+    inverted-index join per branch (Spark gives self-referencing
+    subplans no reuse; verified 4 exchanges -> 2 with the explode). The
+    0.8 threshold is an exact integer comparison (10*shared >= 8*size);
+    the reported containment value is one IEEE division of exact
+    integers.
+    """
+    inv = hashed_index_cached(spark, sf_dir)
+    a = inv.select(
+        F.col("sh_h"), F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    b = inv.select(
+        F.col("sh_h"), F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    common = (
+        a.join(b, "sh_h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+    def _dir(sub: str, sup: str, n_sub: str, n_sup: str) -> F.Column:
+        return F.struct(
+            F.col(sub).alias("doc_sub"),
+            F.col(sup).alias("doc_sup"),
+            F.col("n_shared").alias("n_shared"),
+            F.col(n_sub).alias("n_sub"),
+            F.col(n_sup).alias("n_sup"),
+        )
+
+    return (
+        common.select(
+            F.explode(
+                F.array(_dir("doc_a", "doc_b", "n_a", "n_b"), _dir("doc_b", "doc_a", "n_b", "n_a"))
+            ).alias("d")
+        )
+        .select("d.*")
+        .filter(_CONTAIN_T_DEN * F.col("n_shared") >= _CONTAIN_T_NUM * F.col("n_sub"))
+        .withColumn(
+            "containment", F.col("n_shared").cast("double") / F.col("n_sub")
+        )
+    )

@@ -1802,3 +1802,65 @@ def llm_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("fps").cast("double") / F.col("n_windows").cast("double")
         ).alias("density"),
     )
+
+
+@query(
+    "llm_token_entropy",
+    oracle=f"""
+    WITH tok AS ({_TOKENS_SQL}),
+    per_tok AS (
+        SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_distinct,
+               SUM(c * CAST(ROUND(log2(c) * 1000000) AS BIGINT)) AS s_micro
+        FROM per_tok GROUP BY doc_id)
+    SELECT doc_id, n_tokens, CAST(n_distinct AS BIGINT) AS n_distinct,
+           (n_tokens * CAST(ROUND(log2(n_tokens) * 1000000) AS BIGINT) - s_micro)
+               / (n_tokens * 1000000.0) AS entropy_bits,
+           n_tokens * CAST(ROUND(log2(n_tokens) * 1000000) AS BIGINT) - s_micro
+               < 4000000 * n_tokens AS is_low_entropy
+    FROM per_doc
+    """,
+)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the information-
+    density quality filter (low-entropy documents are boilerplate,
+    keyword-stuffed, or machine-looped text; the signal complements
+    llm_repetition_score, which only sees the single top token).
+
+    H = log2(n) - (1/n) * sum_t c_t*log2(c_t), computed entirely in
+    exact integer "micro-bits": mlog2(x) = round(log2(x)*1e6) as BIGINT
+    (the one libm call per distinct count, rounded the way llm_tfidf
+    rounds ln before any arithmetic touches it — JVM and DuckDB libm
+    agree after 6-decimal rounding), so the per-doc sum is an exact
+    order-independent integer, the entropy is ONE IEEE division of
+    exact integers (< 2^53: docs are ~1e2 tokens, mlog2 <= ~7e6), and
+    the H < 4.0-bit flag is a pure int64 comparison. Same plan shape as
+    llm_repetition_score: one repartition on doc_id, then both
+    aggregations are exchange-free.
+    """
+    per_tok = (
+        tokens(spark, sf_dir)
+        .repartition("doc_id")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def mlog2(col: F.Column) -> F.Column:
+        return F.round(F.log2(col) * 1000000).cast("bigint")
+
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * mlog2(F.col("c"))).alias("s_micro"),
+    )
+    h_micro = F.col("n_tokens") * mlog2(F.col("n_tokens")) - F.col("s_micro")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (h_micro / (F.col("n_tokens") * F.lit(1000000.0))).alias("entropy_bits"),
+        (h_micro < 4000000 * F.col("n_tokens")).alias("is_low_entropy"),
+    )

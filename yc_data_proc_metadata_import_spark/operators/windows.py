@@ -1107,3 +1107,94 @@ def sharded_sequence_gaps(
         F.col("next_k").alias("resumes_at"),
         (F.col("next_k") - F.col("k") - 1).cast("bigint").alias("n_missing"),
     )
+
+
+@query(
+    "win_anomaly_zscore",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id,
+               CAST(epoch_us(ts) // 1000 AS BIGINT) AS ts_ms,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        FROM events),
+    w AS (
+        SELECT event_id, user_id, ts_ms, value_cents,
+               COUNT(*) OVER win AS n_w,
+               SUM(value_cents) OVER win AS sum_w,
+               SUM(value_cents * value_cents) OVER win AS sumsq_w
+        FROM ev
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id, ts_ms, value_cents,
+           CAST(n_w AS INTEGER) AS n_window,
+           CASE WHEN n_w >= 5 AND n_w * sumsq_w - sum_w * sum_w > 0
+                THEN (value_cents * n_w - sum_w)
+                     / SQRT(CAST(n_w * sumsq_w - sum_w * sum_w AS DOUBLE))
+           END AS zscore,
+           COALESCE(
+               n_w >= 5 AND n_w * sumsq_w - sum_w * sum_w > 0
+               AND (value_cents * n_w - sum_w) * (value_cents * n_w - sum_w)
+                   > 9 * (n_w * sumsq_w - sum_w * sum_w),
+               FALSE) AS is_anomaly
+    FROM w
+    """,
+)
+def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: score each event against the
+    trailing 20-event window of ITS OWN user's history (the streaming-
+    telemetry / fraud-screening primitive; frame excludes the current
+    row so an outlier can't mask itself).
+
+    One shuffle on user_id serves all three frame aggregates (shared
+    window spec). Float determinism is engineered out: values are
+    cents-scaled to BIGINT, so count/sum/sum-of-squares are exact
+    integers regardless of the engines' summation order or DuckDB's
+    segment-tree sliding-window accumulator; the z-score is then ONE
+    IEEE division by ONE IEEE sqrt of exact integers (both correctly
+    rounded per IEEE 754, bit-identical across engines), and the
+    anomaly flag |z| > 3 never touches floats at all — it compares
+    (x*n - sum)^2 > 9*(n*sumsq - sum^2) in exact int64 (max magnitude
+    ~1.7e12, far under 2^63). Windows with n < 5 or zero variance yield
+    NULL z and a FALSE flag in both engines.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000))
+        .cast("long")
+        .alias("ts_ms"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_ms").asc(), F.col("event_id").asc())
+        .rowsBetween(-20, -1)
+    )
+    n_w = F.count(F.lit(1)).over(win)
+    sum_w = F.sum("value_cents").over(win)
+    sumsq_w = F.sum(F.col("value_cents") * F.col("value_cents")).over(win)
+    scored = e.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        "value_cents",
+        n_w.alias("n_w"),
+        sum_w.alias("sum_w"),
+        sumsq_w.alias("sumsq_w"),
+    )
+    num = F.col("value_cents") * F.col("n_w") - F.col("sum_w")
+    var_n2 = F.col("n_w") * F.col("sumsq_w") - F.col("sum_w") * F.col("sum_w")
+    scorable = (F.col("n_w") >= 5) & (var_n2 > 0)
+    return scored.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        "value_cents",
+        F.col("n_w").cast("integer").alias("n_window"),
+        F.when(scorable, num.cast("double") / F.sqrt(var_n2.cast("double"))).alias(
+            "zscore"
+        ),
+        F.coalesce(scorable & (num * num > 9 * var_n2), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
