@@ -110,6 +110,9 @@ KEYS = [
     "topk_per_group",
     "win_sequence_gaps",
     "win_retention_cohorts",
+    # round-18: rolling z-score over the 1M-event stream — the window
+    # family's newest key, adjudicated at its first decade up.
+    "win_anomaly_zscore",
     # TPC-H
     "tpch_q6_forecast_revenue",
     "tpch_q18_large_volume",
@@ -139,6 +142,9 @@ KEYS = [
     "llm_tokenize",
     "llm_tfidf",
     "llm_gopher_quality",
+    # round-18: integer micro-bit entropy at 50k docs (linear, two hash
+    # aggs) — first decade-up adjudication for the new quality key.
+    "llm_token_entropy",
     # streaming (availableNow drains over the 1M-event sf1 stream
     # fixtures; outputs stay window-bounded because replicas share the
     # source time range)
