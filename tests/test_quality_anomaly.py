@@ -149,3 +149,68 @@ def test_containment_is_superset_of_identical_jaccard_pairs(spark, sf_dir):
     }
     for a, b in exact:
         assert cont.get((a, b)) == 1.0 and cont.get((b, a)) == 1.0, (a, b)
+
+
+def test_welch_ttest_matches_bruteforce(spark, sf_dir):
+    from yc_data_proc_metadata_import_spark.sources.io import load
+
+    rows = load(spark, sf_dir, "events").select("event_type", "value").collect()
+    g: dict[str, list[int]] = {}
+    for r in rows:
+        g.setdefault(r.event_type, []).append(math.floor(abs(r.value) * 100 + 0.5))
+    tn = sum(len(v) for v in g.values())
+    ts = sum(sum(v) for v in g.values())
+    tss = sum(sum(c * c for c in v) for v in g.values())
+    got = {r.event_type: r for r in QUERIES["agg_welch_ttest"](spark, sf_dir).collect()}
+    assert set(got) == {k for k, v in g.items() if 2 <= len(v) <= tn - 2}
+    n_sig = 0
+    for et, v in g.items():
+        n, s, ss = len(v), sum(v), sum(c * c for c in v)
+        nr, sr, ssr = tn - n, ts - s, tss - ss
+        if n < 2 or nr < 2:
+            continue
+        # mirror the registered expression tree op-for-op (bit-exactness
+        # is the claim under test)
+        sd, ssd, srd, ssrd = float(s), float(ss), float(sr), float(ssr)
+        mean_g, mean_rest = sd / n, srd / nr
+        se2 = (ssd - sd * sd / n) / (n - 1) / n + (ssrd - srd * srd / nr) / (
+            nr - 1
+        ) / nr
+        r = got[et]
+        assert (r.n_group, r.n_rest) == (n, nr)
+        assert r.mean_group == mean_g / 100 and r.mean_rest == mean_rest / 100
+        if se2 > 0:
+            t = (mean_g - mean_rest) / math.sqrt(se2)
+            assert r.t_stat == t, (et, r.t_stat, t)
+            assert r.significant == (abs(t) > 1.96)
+            n_sig += bool(r.significant)
+        else:
+            assert r.t_stat is None and r.significant is False
+    # fixture sanity: the flag must discriminate, not rubber-stamp
+    assert 0 <= n_sig < len(got)
+
+
+def test_kcore_matches_bruteforce_fixpoint(spark, sf_dir):
+    """Peel in plain Python until FIXPOINT and require (a) the Spark
+    result equals it and (b) the declared _KCORE_ROUNDS budget covers
+    the fixture's peel depth — the docstring's fixpoint claim."""
+    from yc_data_proc_metadata_import_spark.operators import analytics as A
+
+    und = A._tri_und(spark, sf_dir).collect()
+    adj: dict[int, set[int]] = {}
+    for r in und:
+        adj.setdefault(r.a, set()).add(r.b)
+        adj.setdefault(r.b, set()).add(r.a)
+    alive = set(adj)
+    rounds = 0
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < A._KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+        rounds += 1
+    assert rounds <= A._KCORE_ROUNDS, (rounds, A._KCORE_ROUNDS)
+    want = {n: len(adj[n] & alive) for n in alive}
+    got = {r.n_nationkey: r.core_degree for r in QUERIES["graph_kcore"](spark, sf_dir).collect()}
+    assert got == want
+    assert want, "fixture graph has an empty 3-core — test is vacuous"

@@ -1306,3 +1306,103 @@ def agg_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(q).alias("sum_qty"),
         F.countDistinct(q).alias("n_distinct_qty"),
     )
+
+
+@query(
+    "agg_welch_ttest",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events),
+    g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS BIGINT) AS ss
+        FROM ev GROUP BY event_type),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(s) AS BIGINT) AS ts,
+               CAST(SUM(ss) AS BIGINT) AS tss
+        FROM g),
+    d AS (
+        SELECT event_type, n, tn - n AS nr,
+               CAST(s AS DOUBLE) AS sd, CAST(ss AS DOUBLE) AS ssd,
+               CAST(ts - s AS DOUBLE) AS srd, CAST(tss - ss AS DOUBLE) AS ssrd
+        FROM g CROSS JOIN tot),
+    w AS (
+        SELECT event_type, n, nr, sd / n AS mean_g, srd / nr AS mean_rest,
+               (ssd - sd * sd / n) / (n - 1) / n
+                   + (ssrd - srd * srd / nr) / (nr - 1) / nr AS se2
+        FROM d WHERE n >= 2 AND nr >= 2)
+    SELECT event_type, n AS n_group, CAST(nr AS BIGINT) AS n_rest,
+           mean_g / 100 AS mean_group, mean_rest / 100 AS mean_rest,
+           CASE WHEN se2 > 0 THEN (mean_g - mean_rest) / SQRT(se2) END AS t_stat,
+           COALESCE(se2 > 0 AND ABS((mean_g - mean_rest) / SQRT(se2)) > 1.96,
+                    FALSE) AS significant
+    FROM w
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test of each event_type's value against THE
+    REST of the corpus — the A/B-experiment readout primitive
+    (unequal-variance t; group-vs-rest needs no control-arm designation
+    and one aggregation pass serves every arm).
+
+    Scale/determinism design: the SHUFFLED stage (groupBy + the one-row
+    totals rollup) carries only exact-integer cents moments (n, sum,
+    sum-of-squares), so aggregation order can never perturb them; the
+    rest-arm moments are pure integer subtraction from broadcast totals
+    (no second pass over the data). All floating math happens AFTER
+    aggregation, on ≤ |event_type| rows, as one fixed expression tree —
+    both engines evaluate the identical IEEE operation sequence, so
+    t-stats are bit-equal and hash-checkable. Squares are taken on
+    DOUBLE copies (s*s on int64 would overflow around sf1; the double
+    square is deterministic at any scale). Arms with n < 2 or zero
+    pooled variance yield NULL t and a FALSE flag in both engines.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts"), F.sum("ss").alias("tss")
+    )
+    d = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        (F.col("tn") - F.col("n")).alias("nr"),
+        F.col("s").cast("double").alias("sd"),
+        F.col("ss").cast("double").alias("ssd"),
+        (F.col("ts") - F.col("s")).cast("double").alias("srd"),
+        (F.col("tss") - F.col("ss")).cast("double").alias("ssrd"),
+    )
+    w = d.filter((F.col("n") >= 2) & (F.col("nr") >= 2)).select(
+        "event_type",
+        "n",
+        "nr",
+        (F.col("sd") / F.col("n")).alias("mean_g"),
+        (F.col("srd") / F.col("nr")).alias("mean_rest_i"),
+        (
+            (F.col("ssd") - F.col("sd") * F.col("sd") / F.col("n"))
+            / (F.col("n") - 1)
+            / F.col("n")
+            + (F.col("ssrd") - F.col("srd") * F.col("srd") / F.col("nr"))
+            / (F.col("nr") - 1)
+            / F.col("nr")
+        ).alias("se2"),
+    )
+    t = (F.col("mean_g") - F.col("mean_rest_i")) / F.sqrt(F.col("se2"))
+    return w.select(
+        "event_type",
+        F.col("n").alias("n_group"),
+        F.col("nr").cast("bigint").alias("n_rest"),
+        (F.col("mean_g") / 100).alias("mean_group"),
+        (F.col("mean_rest_i") / 100).alias("mean_rest"),
+        F.when(F.col("se2") > 0, t).alias("t_stat"),
+        F.coalesce((F.col("se2") > 0) & (F.abs(t) > 1.96), F.lit(False)).alias(
+            "significant"
+        ),
+    )

@@ -949,6 +949,101 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCORE_K = 3  # core order: nodes keeping >= 3 neighbors within the core
+_KCORE_ROUNDS = 6  # unrolled peel rounds; fixpoint pinned in tests
+
+
+def _kcore_oracle() -> str:
+    """Unroll the peeling rounds as chained CTEs (the pagerank-oracle
+    pattern: DuckDB has no mutable state, the recursion is finite, so
+    unrolling IS the relational formulation; aggregates inside a
+    RECURSIVE term are not portable SQL)."""
+    cte = [
+        f"""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT CAST(LEAST(src, dst) AS BIGINT) AS a,
+                        CAST(GREATEST(src, dst) AS BIGINT) AS b
+        FROM ({_edges_sql(_TRI_MIN_PRICE)}) WHERE src <> dst),
+    sym AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    n0 AS (SELECT DISTINCT u AS node FROM sym)"""
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        cte.append(
+            f""",
+    n{i} AS (
+        SELECT s.u AS node FROM sym s
+        JOIN n{i - 1} x ON s.u = x.node
+        JOIN n{i - 1} y ON s.v = y.node
+        GROUP BY s.u HAVING COUNT(*) >= {_KCORE_K})"""
+        )
+    r = _KCORE_ROUNDS
+    cte.append(
+        f"""
+    SELECT s.u AS n_nationkey, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM sym s
+    JOIN n{r} x ON s.u = x.node
+    JOIN n{r} y ON s.v = y.node
+    GROUP BY s.u"""
+    )
+    return "".join(cte)
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE DECOMPOSITION (k=3) of the sparsified trade graph: the
+    maximal subgraph in which every nation keeps >= 3 trading partners
+    WITHIN the subgraph, found by iterative peeling — remove all nodes
+    of degree < k, recompute degrees, repeat.  The density-community
+    kernel that completes the graph family (rank / reach / components /
+    triangles / cohesion), and a second instance of the
+    loop-of-DataFrames pattern beside PageRank.
+
+    Semantics are a FIXED {_KCORE_ROUNDS} peel rounds (the declared
+    spec both engines implement identically, like PageRank's 3
+    iterations); tests pin that the fixture graphs reach fixpoint well
+    within that budget, so the output IS the k-core there.  Output is
+    each surviving nation with its within-core degree — exact integers
+    end to end, nothing floating anywhere.
+
+    Scale: the peel loop runs on the nodes^2-bounded DISTINCT edge
+    list (derived once from the key-partitioned fact spine); each round
+    is a semi-join of the edge list against the surviving node set plus
+    one hash aggregate — survivor sets only shrink, and at billion-edge
+    scale the same joins shard on node keys (drop the broadcast hints).
+    Peel-round count for a full decomposition is O(graph degeneracy),
+    not O(nodes)."""
+    sym_can = _tri_und(spark, sf_dir)
+    sym = sym_can.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(sym_can.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    survivors = sym.select(F.col("u").alias("node")).distinct()
+    for _ in range(_KCORE_ROUNDS):
+        survivors = (
+            sym.join(F.broadcast(survivors), sym.u == survivors.node)
+            .drop("node")
+            .join(
+                F.broadcast(survivors.select(F.col("node").alias("vn"))),
+                F.col("v") == F.col("vn"),
+            )
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= _KCORE_K)
+            .select(F.col("u").alias("node"))
+        )
+    return (
+        sym.join(F.broadcast(survivors), sym.u == survivors.node)
+        .drop("node")
+        .join(
+            F.broadcast(survivors.select(F.col("node").alias("vn"))),
+            F.col("v") == F.col("vn"),
+        )
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .select(F.col("u").alias("n_nationkey"), "core_degree")
+    )
+
+
 @query(
     "agg_lead_time_quartiles",
     oracle="""
