@@ -142,3 +142,33 @@ def test_ivf_nassign_env_pair_consistency(spark, sf_dir, oracle):
             )
     finally:
         sim._IVF_NASSIGN = orig
+
+
+def test_pq_shortlist_rerank_recall_floor(spark, sf_dir):
+    """The two-stage PQ contract: the L=50 ADC shortlist + exact re-rank
+    must recover well over half the exact top-5 even on this fixture's
+    near-orthogonal embeddings (the quantization-hostile regime — the
+    neighbor/background cosine gap sits below 32-bit ADC noise).
+    Measured 0.88 at sf0.001 / 0.74 at sf0.01; floor set at 0.6 so a
+    codebook or LUT regression trips it without chasing exact values."""
+    import yc_data_proc_metadata_import_spark as engine
+
+    q = engine.queries()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q["llm_topk_cosine"](spark, sf_dir).collect()
+    }
+    pq_rows = q["llm_ann_pq"](spark, sf_dir).collect()
+    pq = {(r.query_id, r.neighbor_id) for r in pq_rows}
+    assert len(exact & pq) / len(exact) >= 0.6
+    # the re-rank stage orders by exact cosine: within each query the
+    # reported rnk must be monotone in cosine (desc), and every row's
+    # adc must be a finite float (the audit columns are real)
+    by_q: dict = {}
+    for r in pq_rows:
+        by_q.setdefault(r.query_id, []).append((r.rnk, r.cosine, r.adc))
+    for rows in by_q.values():
+        rows.sort()
+        cosines = [c for _, c, _ in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(a == a and abs(a) != float("inf") for _, _, a in rows)
