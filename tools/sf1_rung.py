@@ -291,6 +291,17 @@ KEYS_SF10 = [
     # same as the other graph rows.
     "graph_triangle_count",
     "graph_clustering_coefficient",
+    # round-18: k-core rides the same 60M-row spine (nodes^2-bounded
+    # MATERIALIZED edge CTE + unrolled peel rounds — full compare).
+    "graph_kcore",
+    # round-18: rolling z-score at 10M events (checksum tier: the int
+    # columns cover ids/cents/frame counts; zscore doubles are excluded
+    # by checksum policy and full-value-compared at sf1).
+    "win_anomaly_zscore",
+    # round-18: PQ two-stage ANN at 200k vectors, full oracle replay
+    # (the unrolled training runs on MATERIALIZED CTEs; assignment
+    # cross joins are 200k x 16 per subspace — linear in corpus).
+    "llm_ann_pq",
 ]
 
 CHECKSUM_KEYS_SF10 = {
@@ -304,6 +315,7 @@ CHECKSUM_KEYS_SF10 = {
     "llm_dedup_exact",
     "llm_tokenize",
     "llm_tfidf",
+    "win_anomaly_zscore",
     # (round-13: the exact-quadratic dedup keys left the sf10 preset —
     # see the KEYS_SF10 comment — so no pair-list checksum rows remain;
     # llm_dedup_near would in any case need the recall comparator, since
