@@ -214,3 +214,30 @@ def test_kcore_matches_bruteforce_fixpoint(spark, sf_dir):
     got = {r.n_nationkey: r.core_degree for r in QUERIES["graph_kcore"](spark, sf_dir).collect()}
     assert got == want
     assert want, "fixture graph has an empty 3-core — test is vacuous"
+
+
+def test_stream_zscore_agrees_with_batch_on_short_prefixes(spark, sf_dir):
+    """For each user's first 21 events the trailing-20 frame IS the
+    expanding prefix, so the streaming key's z/flag must be bit-equal
+    to win_anomaly_zscore there — a cross-key pin that the stateful
+    python path and the window-expression path implement one contract."""
+    batch = {
+        r.event_id: r
+        for r in QUERIES["win_anomaly_zscore"](spark, sf_dir).collect()
+    }
+    got = QUERIES["stream_zscore"](spark, sf_dir).collect()
+    assert len(got) == len(batch)
+    n_checked = 0
+    for r in got:
+        b = batch[r.event_id]
+        assert (r.user_id, r.ts_ms, r.value_cents) == (
+            b.user_id,
+            b.ts_ms,
+            b.value_cents,
+        )
+        if r.n_prefix <= 20:
+            assert r.n_prefix == b.n_window
+            assert r.zscore == b.zscore, (r.event_id, r.zscore, b.zscore)
+            assert r.is_anomaly == b.is_anomaly
+            n_checked += 1
+    assert n_checked >= 15 * 21 - 20, n_checked  # every user contributes

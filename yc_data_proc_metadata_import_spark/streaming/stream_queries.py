@@ -1005,3 +1005,152 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         dedup, "mem_stream_dedup_wm", "append", final_no_data_batch=False
     )
     return spark.table("mem_stream_dedup_wm")
+
+
+def _zscore_state_fn(key, pdf_iter, state):
+    """applyInPandasWithState update fn for stream_zscore: per-user
+    EXPANDING exact-integer moments (n, sum, sum-of-squares of cents);
+    each event is scored against the moments of strictly-earlier events
+    (event-time order, event_id tiebreak), then folded in.  All state
+    arithmetic is python int (exact); the z-score is the same
+    numerator/sqrt/divide IEEE sequence the batch twin and the oracle
+    evaluate, so outputs are bit-identical."""
+    import math
+
+    import pandas as pd
+
+    (user_id,) = key
+    n, s, ss = state.get() if state.exists else (0, 0, 0)
+    out_eid, out_ts, out_x, out_n, out_z, out_a = [], [], [], [], [], []
+    for pdf in pdf_iter:
+        ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+        eids = pdf["event_id"].tolist()
+        vals = pdf["value"].tolist()
+        rows = sorted(
+            (t, e, math.floor(v * 100 + 0.5)) for t, e, v in zip(ts_ms, eids, vals)
+        )
+        for t, e, x in rows:
+            var_n2 = n * ss - s * s
+            if n >= 5 and var_n2 > 0:
+                z = (x * n - s) / math.sqrt(float(var_n2))
+                anom = (x * n - s) * (x * n - s) > 9 * var_n2
+            else:
+                z, anom = None, False
+            out_eid.append(e)
+            out_ts.append(t)
+            out_x.append(x)
+            out_n.append(n)
+            out_z.append(z)
+            out_a.append(anom)
+            n += 1
+            s += x
+            ss += x * x
+    state.update((n, s, ss))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(out_eid),
+            "event_id": out_eid,
+            "ts_ms": out_ts,
+            "value_cents": out_x,
+            "n_prefix": out_n,
+            "zscore": out_z,
+            "is_anomaly": out_a,
+        }
+    )
+
+
+@query(
+    "stream_zscore",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id,
+               CAST(epoch_us(ts) // 1000 AS BIGINT) AS ts_ms,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events),
+    w AS (
+        SELECT event_id, user_id, ts_ms, cents,
+               COUNT(*) OVER win AS n_w,
+               SUM(cents) OVER win AS s_w,
+               SUM(cents * cents) OVER win AS ss_w
+        FROM ev
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id, ts_ms, cents AS value_cents,
+           CAST(n_w AS BIGINT) AS n_prefix,
+           CASE WHEN n_w >= 5 AND n_w * ss_w - s_w * s_w > 0
+                THEN (cents * n_w - s_w)
+                     / SQRT(CAST(n_w * ss_w - s_w * s_w AS DOUBLE))
+           END AS zscore,
+           COALESCE(
+               n_w >= 5 AND n_w * ss_w - s_w * s_w > 0
+               AND (cents * n_w - s_w) * (cents * n_w - s_w)
+                   > 9 * (n_w * ss_w - s_w * s_w),
+               FALSE) AS is_anomaly
+    FROM w
+    """,
+)
+def stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING anomaly scoring — the stateful twin of
+    win_anomaly_zscore: each event is z-scored against its own user's
+    EXPANDING event-time prefix (count/sum/sum-of-squares of cents held
+    as exact int64 state per user), so the stream emits a scored row
+    per event as it arrives, with no reprocessing.  This is the custom
+    stateful NUMERIC operator shape (online feature/monitoring
+    pipelines) beside stream_stateful's counter shape.
+
+    Batch-equivalent, hence the full oracle: one availableNow batch in
+    event-time order produces exactly the UNBOUNDED-PRECEDING window
+    twin.  The determinism proof is the batch key's — exact integer
+    moments (python ints in the state fn, int64 window sums in the
+    oracle), z = one IEEE divide of one IEEE sqrt, flag compared in
+    integers.  Oracle int64 bound: n*ss <= (n*max_cents)^2 needs
+    per-user prefix < ~93k events at this fixture's value range —
+    holds through sf1 (66k/user); the streaming state itself is python
+    int (unbounded).
+
+    At scale: state is 3 longs per user (RocksDB-backed on a cluster);
+    per-batch work is one sort of the batch's rows per key — the
+    watermark-less expanding semantic matches monitoring pipelines that
+    never close a user's history."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src = _stream_src(spark, sf_dir)
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts_ms", LongType()),
+            StructField("value_cents", LongType()),
+            StructField("n_prefix", LongType()),
+            StructField("zscore", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", LongType()),
+            StructField("ss", LongType()),
+        ]
+    )
+    scored = (
+        _read_stream(spark, src)
+        .select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _zscore_state_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _run_to_memory(scored, "mem_stream_zscore", "update")
+    return spark.table("mem_stream_zscore")
