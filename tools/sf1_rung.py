@@ -354,6 +354,9 @@ KEYS_SF100 = [
     "graph_pagerank",
     "graph_triangle_count",
     "graph_connected_components",
+    # round-18: k-core peeling on the same 600M-row spine (unrolled
+    # oracle over the MATERIALIZED edge CTE — one fact-join replay).
+    "graph_kcore",
 ]
 
 CHECKSUM_KEYS_SF100 = {"join_inner", "win_sessionize"}
