@@ -131,14 +131,17 @@ _FAMILY_RANK = (
 # triangle-oracle spill fix applied family-wide).  The hint is
 # result-identical, but it IS a change to the shipped oracle text, so
 # the three keys re-adjudicate this round rather than ride a verdict
-# recorded against the old text.  With them fronted, the window is the
-# 41-key r12 cohort (round-17 VERDICT task 1 — catalog wave,
-# real-decoder multimodal keys, win analytics wave, tpch_q6/q7/q14,
+# recorded against the old text.  Final r18 window: the 7 round-18
+# registrations (never adjudicated — win_anomaly_zscore, stream_zscore,
+# llm_token_entropy, llm_dedup_containment, agg_welch_ttest,
+# graph_kcore, llm_ann_pq) + these 4 forced keys + 39 of the 41-key r12
+# cohort (round-17 VERDICT task 1 — catalog wave, real-decoder
+# multimodal keys, win analytics wave, tpch_q6/q7/q14,
 # fn_variant/_sql_udf/_try_arithmetic/_collation_lcase,
 # agg_hll_sketch/_listagg, ts_gap_fill, scan_binary_file,
 # sql_pipe_syntax, udf_map_in_arrow, merge_incremental_aggregate,
-# llm_corpus_shuffle/_dataset_split/_html_strip) + these 3 + the 6
-# oldest r13 greens.
+# llm_corpus_shuffle/_dataset_split/_html_strip); the 2 remaining r12
+# keys lead the r19 rotation.
 # llm_sim_join_lsh's oracle was reshaped candidates-DISTINCT-first
 # (round-17 VERDICT task 4 — 381 s -> 35 s at the sf1 rung); result-
 # identical, but the shipped oracle text changed, so it re-adjudicates.
