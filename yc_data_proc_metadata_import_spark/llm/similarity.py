@@ -1477,21 +1477,13 @@ def _pq_cost_sql(qa: str, c: str) -> str:
     )
 
 
-def _pq_oracle_sql() -> str:
-    """Unroll per-subspace Lloyd training + encoding + ADC ranking —
-    _km_oracle's pattern instantiated once per subspace over
-    list_slice views of the micro-int vectors."""
-    # Every CTE below is MATERIALIZED (the graph-oracle incident,
-    # family-wide policy): DuckDB inlines a default CTE once PER
-    # REFERENCE, and `codes` alone references eight a{m}_2 training
-    # chains — inlined, the replay went super-linear (>550 s at 500
-    # vectors); materialized it is sub-second.
-    ctes = [
-        "q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
-        f"x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_Q} + 0.5) AS BIGINT)) AS qv "
-        "FROM embeddings)",
-        f"v AS MATERIALIZED ({_VECS_SQL})",
-    ]
+def _pq_train_ctes() -> list:
+    """Per-subspace training/encoding CTE strings (s{m}, c{m}_t, a{m}_t,
+    lut{m}, codes) — shared by _pq_oracle_sql and the IVF-PQ composition
+    (_ivfpq_oracle_sql). Callers must define the shared micro-int `q`
+    CTE first. CTE names are subspace-suffixed, so they never collide
+    with _km_oracle's full-space q/c0/a1/u1/n1 chain."""
+    ctes = []
     for m in range(_PQ_M):
         lo, hi = m * _PQ_DSUB + 1, (m + 1) * _PQ_DSUB
         ctes.append(
@@ -1541,6 +1533,13 @@ def _pq_oracle_sql() -> str:
     ctes.append(
         f"codes AS MATERIALIZED (SELECT q.vec_id, {code_cols} FROM q {code_joins})"
     )
+    return ctes
+
+
+def _pq_adc_ctes() -> list:
+    """hits/shortlist/rescored over the full code list (no IVF pruning) —
+    the llm_ann_pq scan stage."""
+    ctes = []
     adc = " + ".join(f"l{m}.cost" for m in range(_PQ_M))
     lut_joins = "JOIN lut0 l0 ON l0.j = cd.code0 " + " ".join(
         f"JOIN lut{m} l{m} ON l{m}.j = cd.code{m} "
@@ -1565,10 +1564,10 @@ def _pq_oracle_sql() -> str:
         "JOIN v vq ON vq.vec_id = s.query_id "
         "JOIN v vn ON vn.vec_id = s.neighbor_id)"
     )
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + f"""
+    return ctes
+
+
+_PQ_FINAL_SELECT = f"""
     SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, cosine, adc
     FROM (
         SELECT query_id, neighbor_id, adc, cosine,
@@ -1577,14 +1576,48 @@ def _pq_oracle_sql() -> str:
         FROM rescored)
     WHERE rnk <= {_TOP_K}
     """
-    )
+
+
+def _pq_oracle_sql() -> str:
+    """Unroll per-subspace Lloyd training + encoding + ADC ranking —
+    _km_oracle's pattern instantiated once per subspace over
+    list_slice views of the micro-int vectors."""
+    # Every CTE below is MATERIALIZED (the graph-oracle incident,
+    # family-wide policy): DuckDB inlines a default CTE once PER
+    # REFERENCE, and `codes` alone references eight a{m}_2 training
+    # chains — inlined, the replay went super-linear (>550 s at 500
+    # vectors); materialized it is sub-second.
+    ctes = [
+        "q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_Q} + 0.5) AS BIGINT)) AS qv "
+        "FROM embeddings)",
+        f"v AS MATERIALIZED ({_VECS_SQL})",
+        *_pq_train_ctes(),
+        *_pq_adc_ctes(),
+    ]
+    return "WITH " + ",\n    ".join(ctes) + _PQ_FINAL_SELECT
 
 
 def _pq_slice(m: int) -> F.Column:
     return F.slice(F.col("qv"), m * _PQ_DSUB + 1, _PQ_DSUB)
 
 
+_PQ_CACHE: dict = {}
+
+
 def _pq_train_encode(spark: SparkSession, sf_dir: str):
+    """Session-cached: llm_ann_pq and llm_ann_ivfpq share one training
+    per (session, scale) — the build-once/consume-many split every
+    derived index here uses (_KM_CACHE, _IVF_CODEBOOK_CACHE, ...)."""
+    from ..sources.io import sf_tag
+    from ..utils import session_cached
+
+    return session_cached(
+        _PQ_CACHE, spark, sf_tag(sf_dir), lambda: _pq_train_encode_uncached(spark, sf_dir)
+    )
+
+
+def _pq_train_encode_uncached(spark: SparkSession, sf_dir: str):
     """LOCKSTEP per-subspace Lloyd over micro-int slices; returns
     (codes DataFrame with vec_id + code0..code{M-1}, per-subspace
     (cents, max_abs_qv) list).
@@ -1692,6 +1725,82 @@ def _pq_train_encode(spark: SparkSession, sf_dir: str):
     return codes.drop("qv"), books
 
 
+def _pq_query_luts(spark: SparkSession, sf_dir: str, books: list) -> DataFrame:
+    """(query_id, lut0..lut{M-1}) — each query's per-subspace cost
+    arrays in codeword-j order (the LUT the ADC stage element_at's)."""
+    qv = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * _KM_Q + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+    qrows = qv.filter(F.col("vec_id") < _N_QUERIES)
+    luts = qrows.select(F.col("vec_id").alias("query_id"))
+    for m in range(_PQ_M):
+        cents, max_abs_qv = books[m]
+        sub = qrows.select(
+            F.col("vec_id").alias("query_id"),
+            F.slice(F.col("qv"), m * _PQ_DSUB + 1, _PQ_DSUB).alias("qv"),
+        )
+        lut_m = sub.select(
+            "query_id",
+            F.transform(
+                _km_cost_array(cents, max_abs_qv), lambda s: s["cost"]
+            ).alias(f"lut{m}"),
+        )
+        luts = luts.join(lut_m, "query_id")
+    return luts
+
+
+def _pq_adc_expr() -> F.Column:
+    adc = F.element_at("lut0", F.col("code0") + 1)
+    for m in range(1, _PQ_M):
+        adc = adc + F.element_at(f"lut{m}", F.col(f"code{m}") + 1)
+    return adc
+
+
+def _pq_shortlist_rerank(
+    spark: SparkSession, sf_dir: str, scored: DataFrame
+) -> DataFrame:
+    """ADC top-_PQ_SHORTLIST per query -> exact-cosine re-rank -> top-k.
+    Shared by llm_ann_pq (full-scan ADC) and llm_ann_ivfpq (IVF-pruned
+    ADC): the scored frame is (query_id, neighbor_id, adc)."""
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("rnk_adc", F.row_number().over(w_adc))
+        .filter(F.col("rnk_adc") <= _PQ_SHORTLIST)
+        .drop("rnk_adc")
+    )
+    v = _vecs(spark, sf_dir)
+    cos = _dot(F.col("qemb"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))
+    rescored = (
+        shortlist.join(
+            v.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("emb").alias("qemb"),
+                F.col("norm").alias("qnorm"),
+            ),
+            "query_id",
+        )
+        .join(
+            v.select(F.col("vec_id").alias("neighbor_id"), "emb", "norm"),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", "adc", cos.alias("cosine"))
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w_cos))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "cosine", "adc")
+    )
+
+
 @query("llm_ann_pq", oracle=_pq_oracle_sql())
 def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT-QUANTIZATION ANN (ADC shortlist + exact re-rank) — the
@@ -1726,67 +1835,116 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     _km_assigned.
     """
     codes, books = _pq_train_encode(spark, sf_dir)
-    qv = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * _KM_Q + F.lit(0.5)).cast("long"),
-        ).alias("qv"),
-    )
-    qrows = qv.filter(F.col("vec_id") < _N_QUERIES)
-    luts = qrows.select(F.col("vec_id").alias("query_id"))
-    for m in range(_PQ_M):
-        cents, max_abs_qv = books[m]
-        sub = qrows.select(
-            F.col("vec_id").alias("query_id"),
-            F.slice(F.col("qv"), m * _PQ_DSUB + 1, _PQ_DSUB).alias("qv"),
-        )
-        lut_m = sub.select(
-            "query_id",
-            F.transform(
-                _km_cost_array(cents, max_abs_qv), lambda s: s["cost"]
-            ).alias(f"lut{m}"),
-        )
-        luts = luts.join(lut_m, "query_id")
+    luts = _pq_query_luts(spark, sf_dir, books)
     hits = codes.join(
         F.broadcast(luts), F.col("vec_id") != F.col("query_id")
     )
-    adc = F.element_at("lut0", F.col("code0") + 1)
-    for m in range(1, _PQ_M):
-        adc = adc + F.element_at(f"lut{m}", F.col(f"code{m}") + 1)
     scored = hits.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), adc.alias("adc")
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _pq_adc_expr().alias("adc"),
     )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.asc("adc"), F.asc("neighbor_id")
+    return _pq_shortlist_rerank(spark, sf_dir, scored)
+
+
+def _ivfpq_oracle_sql() -> str:
+    """IVF-PQ composition oracle: the full-space Lloyd chain + one
+    update step (llm_ann_ivf's training), multi-assignment + probe
+    ranking, the per-subspace PQ training chain (_pq_train_ctes), then
+    ADC over ONLY the probed candidates, shortlist, exact re-rank.
+    Every structural CTE MATERIALIZED (family policy)."""
+    cost = (
+        f"CAST({_km_dot_sql('q.qv', 'q.qv')} AS DOUBLE) "
+        f"- (2 * {_km_dot_sql('q.qv', 'c.s')}) / c.n "
+        f"+ CAST({_km_dot_sql('c.s', 'c.s')} AS DOUBLE) / (c.n * c.n)"
     )
-    shortlist = (
-        scored.withColumn("rnk_adc", F.row_number().over(w_adc))
-        .filter(F.col("rnk_adc") <= _PQ_SHORTLIST)
-        .drop("rnk_adc")
+    n = _KM_ITERS
+    km = _km_oracle()
+    km[0] = km[0].replace("q AS (", "q AS MATERIALIZED (", 1)
+    ctes = km + [
+        f"ufin AS MATERIALIZED (SELECT a.cluster, ii.i, "
+        f"SUM(list_extract(qq.qv, ii.i)) AS s "
+        f"FROM a{n} a JOIN q qq USING (vec_id), "
+        f"LATERAL (SELECT unnest(range(1, len(qq.qv) + 1)) AS i) ii "
+        f"GROUP BY a.cluster, ii.i)",
+        f"nfin AS MATERIALIZED (SELECT cluster, COUNT(*) AS n "
+        f"FROM a{n} GROUP BY cluster)",
+        "cfin AS MATERIALIZED (SELECT u.cluster AS j, "
+        "list(u.s ORDER BY u.i) AS s, "
+        "MIN(n.n) AS n FROM ufin u JOIN nfin n ON n.cluster = u.cluster "
+        "GROUP BY u.cluster)",
+        f"v AS MATERIALIZED ({_VECS_SQL})",
+        "assign AS MATERIALIZED (SELECT vec_id, j AS list_id FROM ("
+        "SELECT q.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY q.vec_id "
+        f"ORDER BY {cost}, c.j) AS rn FROM q CROSS JOIN cfin c) "
+        f"WHERE rn <= {_IVF_NASSIGN})",
+        "probes AS MATERIALIZED (SELECT vec_id AS query_id, j AS list_id FROM ("
+        "SELECT q.vec_id, c.j, ROW_NUMBER() OVER (PARTITION BY q.vec_id "
+        f"ORDER BY {cost}, c.j) AS rn FROM q CROSS JOIN cfin c "
+        f"WHERE q.vec_id < {_N_QUERIES}) WHERE rn <= {_IVF_NPROBE})",
+        *_pq_train_ctes(),
+        "cand AS MATERIALIZED (SELECT DISTINCT p.query_id, "
+        "a.vec_id AS neighbor_id "
+        "FROM probes p JOIN assign a ON p.list_id = a.list_id "
+        "WHERE a.vec_id <> p.query_id)",
+    ]
+    adc = " + ".join(f"l{m}.cost" for m in range(_PQ_M))
+    lut_joins = " ".join(
+        f"JOIN lut{m} l{m} ON l{m}.query_id = c.query_id "
+        f"AND l{m}.j = cd.code{m}"
+        for m in range(_PQ_M)
     )
-    v = _vecs(spark, sf_dir)
-    cos = _dot(F.col("qemb"), F.col("emb")) / (F.col("qnorm") * F.col("norm"))
-    rescored = (
-        shortlist.join(
-            v.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("emb").alias("qemb"),
-                F.col("norm").alias("qnorm"),
-            ),
-            "query_id",
-        )
-        .join(
-            v.select(F.col("vec_id").alias("neighbor_id"), "emb", "norm"),
-            "neighbor_id",
-        )
-        .select("query_id", "neighbor_id", "adc", cos.alias("cosine"))
+    ctes.append(
+        f"hits AS (SELECT c.query_id, c.neighbor_id, {adc} AS adc "
+        f"FROM cand c JOIN codes cd ON cd.vec_id = c.neighbor_id {lut_joins})"
     )
-    w_cos = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
+    ctes.extend(_pq_adc_ctes()[1:])  # shortlist + rescored (reference hits/v)
+    return "WITH " + ",\n    ".join(ctes) + _PQ_FINAL_SELECT
+
+
+@query("llm_ann_ivfpq", oracle=_ivfpq_oracle_sql())
+def llm_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ END TO END — the canonical billion-vector index, composed
+    from the two halves this registry ships separately: IVF probe
+    pruning (llm_ann_ivf's trained codebook, multi-assignment and probe
+    ranking) selects WHICH vectors to score, PQ asymmetric-distance
+    lookups (llm_ann_pq's sub-codebooks and LUTs) score them WITHOUT
+    touching the vectors, and the exact-cosine re-rank orders the final
+    top-k from the L-candidate shortlist.
+
+    At 1B vectors this composition is why the index fits and answers:
+    the probe stage touches nprobe/nlist of the corpus, the scored
+    representation is 32 bits/vector, and exact vectors are read for
+    only L rows per query. Every stage here is the already-adjudicated
+    machinery (_km_fit / _ivf_codebook / _km_multi_assigned /
+    _pq_train_encode / _pq_query_luts / _pq_shortlist_rerank), so the
+    composition's oracle replays the ENTIRE pipeline — both trainings,
+    assignment, probing, candidate pruning, ADC, re-rank — bit-exactly.
+
+    Determinism inherits from the halves (integer-exact trainings and
+    costs, fixed-order ADC sum, id tie-breaks); the candidate set is
+    identical in both engines because assignment/probing are, and
+    duplicate (query, neighbor) pairs from multi-assigned shared lists
+    are collapsed by DISTINCT before scoring (each would carry an
+    identical ADC)."""
+    assigned = _km_fit(spark, sf_dir)
+    cents, max_abs_qv = _ivf_codebook(spark, sf_dir)
+    inv = _km_multi_assigned(
+        assigned.select("vec_id", "qv"), spark, cents, max_abs_qv, _IVF_NASSIGN
     )
-    return (
-        rescored.withColumn("rnk", F.row_number().over(w_cos))
-        .filter(F.col("rnk") <= _TOP_K)
-        .select("query_id", "neighbor_id", "rnk", "cosine", "adc")
+    probes = _km_probe_lists(assigned, spark, cents, max_abs_qv, _IVF_NPROBE)
+    cand = (
+        F.broadcast(probes)
+        .join(inv, "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
     )
+    codes, books = _pq_train_encode(spark, sf_dir)
+    luts = _pq_query_luts(spark, sf_dir, books)
+    scored = (
+        cand.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(luts), "query_id")
+        .select("query_id", "neighbor_id", _pq_adc_expr().alias("adc"))
+    )
+    return _pq_shortlist_rerank(spark, sf_dir, scored)
