@@ -113,6 +113,9 @@ KEYS = [
     # round-18: rolling z-score over the 1M-event stream — the window
     # family's newest key, adjudicated at its first decade up.
     "win_anomaly_zscore",
+    # round-18: group-vs-rest Welch t over 1M events (post-agg double
+    # tree; the int64-square overflow guard is exactly for this tier).
+    "agg_welch_ttest",
     # TPC-H
     "tpch_q6_forecast_revenue",
     "tpch_q18_large_volume",
@@ -131,12 +134,20 @@ KEYS = [
     # doc's (cluster_id, keep)), O(edges * diameter) instead.
     "llm_dedup_simhash_labels_hard",
     "llm_dedup_ngram",
+    # round-18: directed shingle containment at 50k docs — same
+    # inverted-index cost class as llm_dedup_ngram (sum df^2), no size
+    # prune by construction (asymmetric metric).
+    "llm_dedup_containment",
     "llm_dedup_cluster",
     "llm_contamination_check",
     # similarity family
     "llm_topk_cosine",
     "llm_sim_join_lsh",
     "llm_ann_ivf",
+    # round-18: the PQ pair at 50k vectors — full unrolled-training
+    # oracle replays (MATERIALIZED CTEs; linear in corpus).
+    "llm_ann_pq",
+    "llm_ann_ivfpq",
     "llm_semdedup",
     # text family
     "llm_tokenize",
@@ -153,6 +164,10 @@ KEYS = [
     "stream_watermark",
     "stream_dedup",
     "stream_stateful",
+    # round-18: the stateful numeric twin — expanding per-user moments
+    # over the 1M-event drain (oracle int64 bound holds to ~93k
+    # events/user; this tier is 66k).
+    "stream_zscore",
     # metadata / catalog lifecycle
     "meta_roundtrip",
     "meta_profile_table",
@@ -174,6 +189,7 @@ KEYS = [
     # each over the sf1 spine closes the decade below.
     "graph_shortest_path",
     "graph_connected_components",
+    "graph_kcore",
     "reshape_pivot",
 ]
 

@@ -1022,29 +1022,37 @@ def _zscore_state_fn(key, pdf_iter, state):
     (user_id,) = key
     n, s, ss = state.get() if state.exists else (0, 0, 0)
     out_eid, out_ts, out_x, out_n, out_z, out_a = [], [], [], [], [], []
+    # Accumulate the key's WHOLE batch before sorting: pdf_iter chunks
+    # at the Arrow batch size (~10k rows), and a per-chunk sort would
+    # silently break global event-time order once a user exceeds one
+    # chunk — exactly what the first sf1 rung caught (66k events/user:
+    # prefix moments off by the cross-chunk reordering; sf0.01's 667
+    # rows/user fit one chunk and hid it).
+    rows = []
     for pdf in pdf_iter:
         ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
         eids = pdf["event_id"].tolist()
         vals = pdf["value"].tolist()
-        rows = sorted(
+        rows.extend(
             (t, e, math.floor(v * 100 + 0.5)) for t, e, v in zip(ts_ms, eids, vals)
         )
-        for t, e, x in rows:
-            var_n2 = n * ss - s * s
-            if n >= 5 and var_n2 > 0:
-                z = (x * n - s) / math.sqrt(float(var_n2))
-                anom = (x * n - s) * (x * n - s) > 9 * var_n2
-            else:
-                z, anom = None, False
-            out_eid.append(e)
-            out_ts.append(t)
-            out_x.append(x)
-            out_n.append(n)
-            out_z.append(z)
-            out_a.append(anom)
-            n += 1
-            s += x
-            ss += x * x
+    rows.sort()
+    for t, e, x in rows:
+        var_n2 = n * ss - s * s
+        if n >= 5 and var_n2 > 0:
+            z = (x * n - s) / math.sqrt(float(var_n2))
+            anom = (x * n - s) * (x * n - s) > 9 * var_n2
+        else:
+            z, anom = None, False
+        out_eid.append(e)
+        out_ts.append(t)
+        out_x.append(x)
+        out_n.append(n)
+        out_z.append(z)
+        out_a.append(anom)
+        n += 1
+        s += x
+        ss += x * x
     state.update((n, s, ss))
     yield pd.DataFrame(
         {
