@@ -928,7 +928,14 @@ def _km_assign(cents: list, max_abs_qv: int) -> F.Column:
     return F.array_min(_km_cost_array(cents, max_abs_qv))["j"]
 
 
-def _km_cost_array(cents: list, max_abs_qv: int, qv: F.Column | None = None) -> F.Column:
+def _dlit(x: float) -> str:
+    """Exact Spark-SQL DOUBLE literal: repr() is the shortest string
+    that round-trips the IEEE value, and the D suffix lexes as DOUBLE
+    (a bare decimal literal would lex as DECIMAL and re-round)."""
+    return f"{x!r}D"
+
+
+def _km_cost_array(cents: list, max_abs_qv: int, qv: str = "qv") -> F.Column:
     """(cost, j) struct array against a driver-held centroid list: ONE
     higher-order ``transform`` over an array-of-centroid-structs literal
     computes every pair — argmin assignment (``_km_assign``) and
@@ -939,43 +946,46 @@ def _km_cost_array(cents: list, max_abs_qv: int, qv: F.Column | None = None) -> 
     identical to the oracle's: s2/n are embedded as exact literals and
     each division is the same correctly-rounded IEEE op.
 
-    ``qv`` defaults to the column named qv; the PQ lockstep trainer
-    passes per-subspace slice expressions instead."""
-    if qv is None:
-        qv = F.col("qv")
-    zero = F.lit(0).cast("long")
-    x2 = F.aggregate(
-        F.zip_with(qv, qv, lambda a, b: a * b),
-        zero,
-        lambda acc, v: acc + v,
-    )
-    _km_check_contract(cents, max_abs_qv)
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(j).cast("int").alias("j"),
-                F.array(*[F.lit(int(v)).cast("long") for v in s_vec]).alias("s"),
-                F.lit(int(n)).cast("long").alias("n"),
-                # exact: python-int square sum < 2^53 (guarded above)
-                F.lit(float(sum(int(v) * int(v) for v in s_vec))).alias("s2"),
-            )
-            for j, s_vec, n in cents
-        ]
-    )
-    def cost_of(c):
-        xs = F.aggregate(
-            F.zip_with(qv, c["s"], lambda a, b: a * b),
-            zero,
-            lambda acc, v: acc + v,
-        )
-        cost = (
-            x2.cast("double")
-            - (F.lit(2).cast("long") * xs) / c["n"]
-            + c["s2"] / (c["n"] * c["n"]).cast("double")
-        )
-        return F.struct(cost.alias("cost"), c["j"].alias("j"))
+    The expression is BUILT as one SQL string parsed by a single
+    F.expr call: the previous Column-API spelling issued one py4j
+    round-trip per literal/lambda (K*(d+3) lits + 2K lambda
+    conversions), which was pure driver-side construction cost —
+    measured 1.6 s per call at K=8/d=64 and ~10 s for the 8 PQ LUT
+    columns, vs milliseconds for string-build + parse. The parsed tree
+    is node-for-node the same expression (CAST-typed literals, same
+    left-to-right three-term cost), so results are bit-identical —
+    re-proven against the DuckDB oracles after the change.
 
-    return F.transform(cent_lit, cost_of)
+    ``qv`` is the vector expression as SQL text (default the column
+    named qv; the PQ paths pass per-subspace ``slice(qv, ...)``)."""
+    _km_check_contract(cents, max_abs_qv)
+    x2 = (
+        f"CAST(aggregate(zip_with({qv}, {qv}, (za, zb) -> za * zb), "
+        f"CAST(0 AS BIGINT), (zacc, zv) -> zacc + zv) AS DOUBLE)"
+    )
+    cent_structs = ", ".join(
+        "named_struct('j', CAST({j} AS INT), 's', array({s}), "
+        "'n', CAST({n} AS BIGINT), 's2', {s2})".format(
+            j=int(j),
+            s=", ".join(f"CAST({int(v)} AS BIGINT)" for v in s_vec),
+            n=int(n),
+            # exact: python-int square sum < 2^53 (guarded above)
+            s2=_dlit(float(sum(int(v) * int(v) for v in s_vec))),
+        )
+        for j, s_vec, n in cents
+    )
+    xs = (
+        f"aggregate(zip_with({qv}, zc.s, (za, zb) -> za * zb), "
+        "CAST(0 AS BIGINT), (zacc, zv) -> zacc + zv)"
+    )
+    cost = (
+        f"{x2} - (CAST(2 AS BIGINT) * {xs}) / zc.n "
+        "+ zc.s2 / CAST(zc.n * zc.n AS DOUBLE)"
+    )
+    return F.expr(
+        f"transform(array({cent_structs}), "
+        f"zc -> named_struct('cost', {cost}, 'j', zc.j))"
+    )
 
 
 @query("llm_kmeans_cluster", oracle=_km_oracle_sql())
@@ -1055,19 +1065,24 @@ def _km_fit_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = _km_assigned(qv, spark, cents, max_abs_qv)
         if it + 1 == _KM_ITERS:
             break
+        # ONE job per update step: the (cluster, dim) hash agg already
+        # visits every row, so carrying count(1) beside sum(val) yields
+        # the per-cluster row counts for free (cnt at any fixed dim ==
+        # the cluster's row count). The previous separate
+        # groupBy("cluster").count() re-executed the entire assignment
+        # pass — the expensive argmin expression — a second time per
+        # iteration (guide §1.2: don't compute things twice).
         sums = (
             assigned.select("cluster", F.posexplode("qv").alias("dim", "val"))
             .groupBy("cluster", "dim")
-            .agg(F.sum("val").alias("s"))
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("cnt"))
             .collect()
         )
         by_cluster: dict = {}
+        counts: dict = {}
         for r in sums:
             by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim"])] = int(r["s"])
-        counts = {
-            int(r["cluster"]): int(r["count"])
-            for r in assigned.groupBy("cluster").count().collect()
-        }
+            counts[int(r["cluster"])] = int(r["cnt"])
         if len(counts) != _KM_K and _KM_K <= _KM_LITERAL_MAX:
             # at oracle-replayed K an empty cluster silently diverges
             # from the SQL twin; at scaled K (env override, recall-
@@ -1098,33 +1113,33 @@ def _ivf_codebook(spark: SparkSession, sf_dir: str):
 
     def build():
         assigned = _km_fit(spark, sf_dir)
+        # ONE job: the (cluster, dim) hash agg visits every (row, dim)
+        # pair, so count(1) gives the cluster's row count and
+        # max(abs(val)) folded over dims gives the cluster's max|qv| —
+        # the previous separate groupBy("cluster") stats job re-executed
+        # the full final assignment pass (guide §1.2).
         sums = (
             assigned.select("cluster", F.posexplode("qv").alias("dim", "val"))
             .groupBy("cluster", "dim")
-            .agg(F.sum("val").alias("s"))
-            .collect()
-        )
-        stats = (
-            assigned.groupBy("cluster")
             .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.max(
-                    F.array_max(F.transform("qv", lambda v: F.abs(v)))
-                ).alias("m"),
+                F.sum("val").alias("s"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.max(F.abs(F.col("val"))).alias("m"),
             )
             .collect()
         )
         by_cluster: dict = {}
+        counts: dict = {}
         for r in sums:
             by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim"])] = int(r["s"])
-        counts = {int(r["cluster"]): int(r["n"]) for r in stats}
+            counts[int(r["cluster"])] = int(r["cnt"])
         if len(counts) != _KM_K and _KM_K <= _KM_LITERAL_MAX:
             # see _km_fit_uncached: strict at oracle-replayed K, fewer
             # lists are fine at scaled (recall-adjudicated) K.
             raise AssertionError(
                 f"IVF codebook expects {_KM_K} trained lists, got {sorted(counts)}"
             )
-        max_abs_qv = max(int(r["m"]) for r in stats)
+        max_abs_qv = max(int(r["m"]) for r in sums)
         cents = sorted(
             (j, [d[i] for i in range(len(d))], counts[j])
             for j, d in by_cluster.items()
@@ -1602,6 +1617,11 @@ def _pq_slice(m: int) -> F.Column:
     return F.slice(F.col("qv"), m * _PQ_DSUB + 1, _PQ_DSUB)
 
 
+def _pq_slice_sql(m: int) -> str:
+    """SQL-text twin of _pq_slice for the string-built cost array."""
+    return f"slice(qv, {m * _PQ_DSUB + 1}, {_PQ_DSUB})"
+
+
 _PQ_CACHE: dict = {}
 
 
@@ -1673,7 +1693,7 @@ def _pq_train_encode_uncached(spark: SparkSession, sf_dir: str):
             cents, max_abs = books[m]
             df = df.withColumn(
                 f"code{m}",
-                F.array_min(_km_cost_array(cents, max_abs, _pq_slice(m)))["j"],
+                F.array_min(_km_cost_array(cents, max_abs, _pq_slice_sql(m)))["j"],
             )
         return df
 
@@ -1722,7 +1742,15 @@ def _pq_train_encode_uncached(spark: SparkSession, sf_dir: str):
                 if mm == m
             )
             books[m] = (cents, books[m][1])
-    return codes.drop("qv"), books
+    # Materialize the final code table (vec_id + M small ints — the
+    # 32-bit-per-vector index PQ exists to produce) and truncate its
+    # lineage: the encode expression is M argmin HOFs per row, which
+    # Spark evaluates interpreted, and the lazy frame would re-run it
+    # once per consumer execution (llm_ann_pq's ADC scan, its re-rank,
+    # and llm_ann_ivfpq again — measured 1.7 s per execution at sf0.1).
+    # This is the index-build/query split a PQ index has by definition;
+    # the materialized rows are the compressed codes, never the vectors.
+    return codes.drop("qv").localCheckpoint(eager=True), books
 
 
 def _pq_query_luts(spark: SparkSession, sf_dir: str, books: list) -> DataFrame:
@@ -1736,21 +1764,25 @@ def _pq_query_luts(spark: SparkSession, sf_dir: str, books: list) -> DataFrame:
         ).alias("qv"),
     )
     qrows = qv.filter(F.col("vec_id") < _N_QUERIES)
-    luts = qrows.select(F.col("vec_id").alias("query_id"))
-    for m in range(_PQ_M):
-        cents, max_abs_qv = books[m]
-        sub = qrows.select(
-            F.col("vec_id").alias("query_id"),
-            F.slice(F.col("qv"), m * _PQ_DSUB + 1, _PQ_DSUB).alias("qv"),
-        )
-        lut_m = sub.select(
-            "query_id",
+    # ALL M LUT columns in ONE projection over the query rows: each
+    # lut{m} is a per-row expression over that row's own subspace slice,
+    # so there is nothing to join. The previous spelling built the frame
+    # as M chained self-joins on query_id — same values, but measured
+    # 5.5 s of driver-side Catalyst analysis per call (the joins also
+    # re-scanned the embeddings source M+1 times when executed). One
+    # select = one scan, zero joins, and the cost arithmetic is the
+    # identical _km_cost_array form (the qv= parameter routes each
+    # subspace's slice exactly as the lockstep trainer does).
+    return qrows.select(
+        F.col("vec_id").alias("query_id"),
+        *[
             F.transform(
-                _km_cost_array(cents, max_abs_qv), lambda s: s["cost"]
-            ).alias(f"lut{m}"),
-        )
-        luts = luts.join(lut_m, "query_id")
-    return luts
+                _km_cost_array(books[m][0], books[m][1], _pq_slice_sql(m)),
+                lambda s: s["cost"],
+            ).alias(f"lut{m}")
+            for m in range(_PQ_M)
+        ],
+    )
 
 
 def _pq_adc_expr() -> F.Column:

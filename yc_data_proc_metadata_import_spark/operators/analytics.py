@@ -1019,6 +1019,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(sym_can.select(F.col("b").alias("u"), F.col("a").alias("v")))
     survivors = sym.select(F.col("u").alias("node")).distinct()
     for _ in range(_KCORE_ROUNDS):
+        # Lineage truncation per round (the pagerank idiom): survivors is
+        # referenced TWICE per round (u-side and v-side semi-joins), so a
+        # lazy loop doubles the survivor subtree every round — 2^rounds
+        # copies of the peel pipeline in one plan (measured: 8 s of the
+        # sf0.1 suite wall was Catalyst + re-execution of the duplicated
+        # subtrees). Materializing the nodes-bounded survivor set keeps
+        # each round ONE semi-join pass, which is also the only shape
+        # that scales: at billion-edge scale this list is exactly what a
+        # k-core peel materializes between rounds.
         survivors = (
             sym.join(F.broadcast(survivors), sym.u == survivors.node)
             .drop("node")
@@ -1030,6 +1039,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
             .where(F.col("d") >= _KCORE_K)
             .select(F.col("u").alias("node"))
+            .localCheckpoint(eager=True)
         )
     return (
         sym.join(F.broadcast(survivors), sym.u == survivors.node)
