@@ -645,3 +645,51 @@ def _unpartitioned_window_specs(plan: str) -> list:
         # silently skip every later occurrence.  Nested specs get
         # examined independently — extra recall, never lost recall.
         i = j + len(marker)
+
+
+def test_kcore_peel_rounds_truncate_lineage(spark, sf_dir):
+    """graph_kcore (r18 optimization): the peel loop references the
+    survivor set twice per round, so without per-round lineage
+    truncation the plan doubles every round — 2^6 copies of the peel
+    pipeline (measured: 3,565 operators / 255 Exchanges for a 25-node
+    graph). With the per-round localCheckpoint the returned plan is one
+    final aggregation over the checkpointed survivor set."""
+    import re
+
+    plan = _plan(spark, sf_dir, "graph_kcore")
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert len(nodes) <= 60, (
+        f"graph_kcore plan re-grew to {len(nodes)} operators — the "
+        f"per-round survivor localCheckpoint is gone\n{plan[:4000]}"
+    )
+    n_exchanges = sum(1 for n in nodes if n == "Exchange")
+    assert n_exchanges <= 4, f"expected <=4 Exchanges, found {n_exchanges}"
+
+
+def test_pq_luts_single_projection(spark, sf_dir):
+    """_pq_query_luts (r18 optimization): the 8 per-subspace LUT columns
+    are per-row expressions over the same query rows — the frame must be
+    ONE projection with zero joins (the previous 8 chained self-joins
+    cost 8 extra scans + broadcast exchanges and ~5 s of driver-side
+    construction per call)."""
+    import contextlib
+    import io
+    import re
+
+    from yc_data_proc_metadata_import_spark.llm.similarity import (
+        _pq_query_luts,
+        _pq_train_encode,
+    )
+
+    _, books = _pq_train_encode(spark, sf_dir)
+    luts = _pq_query_luts(spark, sf_dir, books)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        luts.explain("formatted")
+    plan = buf.getvalue()
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert not any("Join" in n for n in nodes), (
+        f"LUT build re-grew joins: {nodes}\n{plan[:2000]}"
+    )
+    scans = sum(1 for n in nodes if n.startswith("Scan"))
+    assert scans == 1, f"expected exactly 1 scan, found {scans}: {nodes}"
