@@ -1093,7 +1093,14 @@ def _km_fit_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
             (j, [d[i] for i in range(len(d))], counts[j])
             for j, d in by_cluster.items()
         )
-    return assigned
+    # Materialize the final assignment once (vec_id, qv, cluster — the
+    # fitted model's output) and truncate its lineage: the frame is
+    # session-cached and consumed by llm_kmeans_cluster, llm_semdedup
+    # (twice per run: both self-join sides), llm_ann_ivf and
+    # llm_ann_ivfpq (inverted lists + probe ranking each), and the lazy
+    # plan re-ran the interpreted argmin expression per consumer
+    # execution (~0.35 s each at sf0.1, ~7 executions per suite run).
+    return assigned.localCheckpoint(eager=True)
 
 
 # IVF codebook = ONE more centroid-update step over the final Lloyd
