@@ -517,30 +517,37 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = o.withColumn("rn", F.row_number().over(w)).withColumn(
         "n", F.count(F.lit(1)).over(wn)
     )
-    lo = (
-        ranked.filter(F.col("rn") == F.expr("greatest(1, (45 * n) div 100)"))
-        .groupBy("o_orderpriority")
-        .agg(F.min("o_totalprice").alias("p45"))
-    )
-    hi = (
-        ranked.filter(F.col("rn") == F.expr("(55 * n + 99) div 100"))
-        .groupBy("o_orderpriority")
-        .agg(F.max("o_totalprice").alias("p55"))
+    # BOTH exact bounds fold out of ONE window pass via conditional
+    # aggregation (the agg_lead_time_quartiles discipline): the previous
+    # lo/hi branches each re-executed the ranking window and met again
+    # in a join — 2 window sorts + 2 aggregates + 1 join for values a
+    # single groupBy selects (row_number is unique per group, so the
+    # conditional min/max select exactly the branch rows; k45 == k55 on
+    # a tiny group behaves identically in both spellings).
+    bounds = ranked.groupBy("o_orderpriority").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("greatest(1, (45 * n) div 100)"),
+                F.col("o_totalprice"),
+            )
+        ).alias("p45"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(55 * n + 99) div 100"),
+                F.col("o_totalprice"),
+            )
+        ).alias("p55"),
     )
     ap = o.groupBy("o_orderpriority").agg(
         F.percentile_approx("o_totalprice", 0.5, 1000).alias("ap"),
         F.count(F.lit(1)).alias("n"),
     )
-    return (
-        ap.join(lo, "o_orderpriority")
-        .join(hi, "o_orderpriority")
-        .select(
-            "o_orderpriority",
-            "n",
-            ((F.col("ap") >= F.col("p45")) & (F.col("ap") <= F.col("p55"))).alias(
-                "approx_within_5pct_rank"
-            ),
-        )
+    return ap.join(bounds, "o_orderpriority").select(
+        "o_orderpriority",
+        "n",
+        ((F.col("ap") >= F.col("p45")) & (F.col("ap") <= F.col("p55"))).alias(
+            "approx_within_5pct_rank"
+        ),
     )
 
 
