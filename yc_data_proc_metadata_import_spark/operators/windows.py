@@ -668,16 +668,18 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    agg = streaks.groupBy("user_id").agg(
+    # ONE pass over the ranked streaks: the totals and the longest-streak
+    # row fold out of a single per-user aggregate via conditional
+    # selection (rk is unique per user and rk=1 always exists), where the
+    # previous agg-branch + join spelling re-executed the whole
+    # distinct→window→groupBy streak subtree a second time. The window
+    # and the aggregate share the user_id partitioning, so no extra
+    # exchange is introduced.
+    return ranked.groupBy("user_id").agg(
         F.sum("len").alias("n_active_days"),
         F.count(F.lit(1)).alias("n_streaks"),
-    )
-    return agg.join(ranked.where(F.col("rk") == 1), "user_id").select(
-        "user_id",
-        "n_active_days",
-        "n_streaks",
-        F.col("len").alias("longest_streak"),
-        F.col("start").alias("longest_start"),
+        F.min(F.when(F.col("rk") == 1, F.col("len"))).alias("longest_streak"),
+        F.min(F.when(F.col("rk") == 1, F.col("start"))).alias("longest_start"),
     )
 
 
@@ -913,8 +915,12 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(dec("o_totalprice")).alias("s"))
     )
-    tot = rev.agg(F.sum("s").alias("t"))
     w = Window.orderBy(F.col("s").desc(), F.col("n_name").asc())
+    # The grand total is the same window's unbounded-frame sum — exact
+    # decimal arithmetic, so frame order cannot change the value. The
+    # previous separate rev.agg() + crossJoin re-executed the 2-join
+    # revenue aggregation a second time for one scalar; both sums now
+    # ride the single group-cardinality-bounded ranking window.
     ranked = rev.select(
         F.row_number().over(w).cast("int").alias("rank"),
         "n_name",
@@ -922,8 +928,11 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("cum"),
+        F.sum("s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("t"),
     )
-    return ranked.crossJoin(F.broadcast(tot)).select(
+    return ranked.select(
         "rank",
         "n_name",
         F.col("s").cast("double").alias("revenue"),
