@@ -680,8 +680,16 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg((F.min("dist") + F.lit(1)).alias("nd"))
         )
-        d = d.join(F.broadcast(nbr), d.node == nbr.dst, "left").select(
-            "node", F.least("dist", "nd").cast("int").alias("dist")
+        # Per-round lineage truncation (the graph_kcore fix, same shape):
+        # d feeds both the frontier and the merge, so the lazy loop
+        # doubles the distance-table subtree every round — 2^ITERS copies
+        # (112-operator plan at 3 rounds). The checkpointed table is
+        # nodes-bounded; materializing the per-round frontier state is
+        # what a Pregel BFS does between supersteps anyway.
+        d = (
+            d.join(F.broadcast(nbr), d.node == nbr.dst, "left")
+            .select("node", F.least("dist", "nd").cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
         )
     return d.select(F.col("node").alias("n_nationkey"), "dist")
 

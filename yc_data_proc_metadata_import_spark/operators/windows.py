@@ -853,10 +853,16 @@ def win_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
-    sized = matrix.where(F.col("week_offset") == 0).select(
-        "cohort_week", F.col("n_users").alias("cohort_size")
-    )
-    return matrix.join(sized, "cohort_week").select(
+    # The cohort size is the matrix's own week_offset=0 row, selected by
+    # a window over the cohort partition — the previous filter-branch +
+    # join spelling re-executed the whole events→cohort→matrix subtree a
+    # second time for it (every cohort contains its offset-0 week by
+    # construction: the user's first week). One pass, no join.
+    wc = Window.partitionBy("cohort_week")
+    return matrix.withColumn(
+        "cohort_size",
+        F.max(F.when(F.col("week_offset") == 0, F.col("n_users"))).over(wc),
+    ).select(
         "cohort_week",
         "week_offset",
         "n_users",
