@@ -783,15 +783,28 @@ def win_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = e.select("user_id", F.to_date("ts").alias("day")).distinct()
     contrib = pairs.select(
         "user_id",
+        F.col("day").alias("active_day"),
         F.explode(
             F.expr("sequence(day, date_add(day, 6), interval 1 day)")
         ).alias("obs_day"),
     )
-    wau = contrib.groupBy(F.col("obs_day").alias("day")).agg(
-        F.countDistinct("user_id").alias("wau")
+    # ONE distinct-aggregate pass: the expanded relation's offset-0 rows
+    # ARE the original (user, day) pairs, so DAU is a conditional
+    # distinct count beside WAU — the previous separate dau branch
+    # re-executed the events scan + distinct and met wau in a join.
+    # dau >= 1 keeps exactly the days the inner join kept (wau days
+    # with no same-day activity count zero distinct users and drop).
+    return (
+        contrib.groupBy(F.col("obs_day").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("obs_day") == F.col("active_day"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .where(F.col("dau") >= 1)
+        .select("day", "dau", "wau")
     )
-    dau = pairs.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
-    return dau.join(wau, "day").select("day", "dau", "wau")
 
 
 @query(
