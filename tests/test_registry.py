@@ -158,6 +158,102 @@ def test_bench_solo_demotion_is_self_load_immune():
     )
 
 
+def test_bench_solo_demotion_sees_allcore_throttle():
+    """Round-18 VERDICT task 1a: the r18 main run read single-thread
+    101→108 ms (no single-thread trigger) while its all-core probe read
+    156.8/145.5 ms — ratio 1.55/1.34 against the healthy 1.15-1.3 band —
+    and the 32-thread suite ran 2-3x slow on untouched keys, mislabeled
+    solo. The all-core/single-thread ratio on EITHER end must demote an
+    inferred tag; the probe's failure sentinel must not."""
+    import bench
+
+    # The r18 main run's actual numbers: demoted.
+    assert bench.demote_if_contended(
+        True, "inferred", 101.0, 108.4,
+        allcore_start_med=156.8, allcore_end_med=145.5,
+    ) == (False, "inferred_contended")
+    # Healthy all-core ratios (1.21 / 1.28, inside the 1.15-1.3 band)
+    # with stable single-thread medians: stays solo.
+    assert bench.demote_if_contended(
+        True, "inferred", 95.0, 97.0,
+        allcore_start_med=115.2, allcore_end_med=124.0,
+    ) == (True, "inferred")
+    # Throttle ARRIVES mid-run: end ratio alone demotes.
+    assert bench.demote_if_contended(
+        True, "inferred", 100.0, 105.0,
+        allcore_start_med=120.0, allcore_end_med=160.0,
+    ) == (False, "inferred_contended")
+    # Probe failure sentinel (med -1.0) never demotes by itself.
+    assert bench.demote_if_contended(
+        True, "inferred", 100.0, 105.0,
+        allcore_start_med=-1.0, allcore_end_med=-1.0,
+    ) == (True, "inferred")
+    # Legacy call without all-core medians: unchanged behavior.
+    assert bench.demote_if_contended(True, "inferred", 100.0, 105.0) == (
+        True,
+        "inferred",
+    )
+    # Declared tags stay untouchable regardless of the ratio.
+    assert bench.demote_if_contended(
+        True, "declared", 101.0, 108.4,
+        allcore_start_med=156.8, allcore_end_med=145.5,
+    ) == (True, "declared")
+
+
+def test_bench_allcore_guard_waits_for_ratio_band():
+    """The all-core guard must not wait when the ratio is in band, must
+    poll until it re-enters the band, must exit on the budget, and must
+    exit immediately on the probe's failure sentinel."""
+    import bench
+
+    # In band (120/100 = 1.2 <= 1.3): no sleep.
+    cal_mt, cal, waited = bench.allcore_guard(
+        lambda: {"best": 100.0, "med": 100.0},
+        lambda: {"med": 120.0, "max": 130.0, "n": 2},
+        lambda s: (_ for _ in ()).throw(AssertionError("must not sleep")),
+        ratio_max=1.3,
+        max_wait_s=900.0,
+        poll_s=60.0,
+    )
+    assert (cal_mt["med"], cal["med"], waited) == (120.0, 100.0, 0.0)
+
+    # Throttled then recovering (1.55 -> 1.45 -> 1.2): waits until band.
+    mt_meds = iter([155.0, 145.0, 120.0])
+    slept = []
+    cal_mt, cal, waited = bench.allcore_guard(
+        lambda: {"best": 100.0, "med": 100.0},
+        lambda: {"med": next(mt_meds), "max": 200.0, "n": 2},
+        slept.append,
+        ratio_max=1.3,
+        max_wait_s=900.0,
+        poll_s=60.0,
+    )
+    assert cal_mt["med"] == 120.0 and waited == 120.0 and slept == [60.0, 60.0]
+
+    # Never recovers: bounded by the budget (caller demotes).
+    slept = []
+    cal_mt, cal, waited = bench.allcore_guard(
+        lambda: {"best": 100.0, "med": 100.0},
+        lambda: {"med": 160.0, "max": 200.0, "n": 2},
+        slept.append,
+        ratio_max=1.3,
+        max_wait_s=120.0,
+        poll_s=60.0,
+    )
+    assert waited == 120.0 and len(slept) == 2
+
+    # Probe failure sentinel: exits immediately, never hangs the bench.
+    cal_mt, cal, waited = bench.allcore_guard(
+        lambda: {"best": 100.0, "med": 100.0},
+        lambda: {"med": -1.0, "max": -1.0, "n": 0},
+        lambda s: (_ for _ in ()).throw(AssertionError("must not sleep")),
+        ratio_max=1.3,
+        max_wait_s=900.0,
+        poll_s=60.0,
+    )
+    assert waited == 0.0
+
+
 def test_bench_scratch_state_is_tri_state():
     """Scratch provenance must distinguish a PARTIAL scratch (aborted
     prior run left some fixtures; most of the ~26 s build cost still
