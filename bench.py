@@ -219,8 +219,12 @@ def allcore_guard(
     max_wait_s = IDLE_WAIT_MAX_S if max_wait_s is None else max_wait_s
     poll_s = IDLE_POLL_S if poll_s is None else poll_s
 
-    cal_mt = calibrate_mt()
+    # Single-thread probe FIRST: running it right after the 32-process
+    # spawn pool winds down reads ~50% high (observed 160 ms against a
+    # 106 ms true median — scheduler still reaping/migrating), which
+    # both poisons the recorded start median and biases the ratio low.
     cal = calibrate()
+    cal_mt = calibrate_mt()
     waited = 0.0
     while (
         cal_mt["med"] > 0
@@ -237,8 +241,8 @@ def allcore_guard(
         )
         sleep(poll_s)
         waited += poll_s
-        cal_mt = calibrate_mt()
         cal = calibrate()
+        cal_mt = calibrate_mt()
     return cal_mt, cal, waited
 
 

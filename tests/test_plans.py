@@ -666,6 +666,25 @@ def test_kcore_peel_rounds_truncate_lineage(spark, sf_dir):
     assert n_exchanges <= 4, f"expected <=4 Exchanges, found {n_exchanges}"
 
 
+def test_mad_single_fact_pass(spark, sf_dir):
+    """agg_median_absolute_deviation (r19 optimization): both medians
+    select from ONE materialized value histogram — the deviation
+    histogram is the price histogram re-keyed by |v - median|, never a
+    second lineitem pass. The returned plan must therefore contain NO
+    parquet scan (the single fact scan lives in the histogram
+    localCheckpoint job) and read the materialized histogram twice."""
+    plan = _plan(spark, sf_dir, "agg_median_absolute_deviation")
+    parquet_scans = plan.count("Scan parquet")
+    assert parquet_scans == 0, (
+        f"MAD re-grew {parquet_scans} fact scans — the deviation "
+        f"histogram must derive from the materialized price histogram\n"
+        f"{plan[:3000]}"
+    )
+    assert plan.count("Scan ExistingRDD") >= 2, (
+        f"expected the checkpointed histogram/median scans, got\n{plan[:3000]}"
+    )
+
+
 def test_pq_luts_single_projection(spark, sf_dir):
     """_pq_query_luts (r18 optimization): the 8 per-subspace LUT columns
     are per-row expressions over the same query rows — the frame must be

@@ -823,13 +823,13 @@ def _simhash_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph's: any Hamming<=T pair shares a block (same blocking), both
     endpoints land in that bucket's BFS component, and docs sharing a
     fingerprint meet at their min_doc node."""
-    return _star_edges_from_fps(
-        spark, simhash_fingerprints_cached(spark, sf_dir)
+    fps = simhash_fingerprints_cached(spark, sf_dir)
+    return _star_edges_from_dfp(
+        spark, fps.groupBy("simhash").agg(F.min("doc_id").alias("min_doc"))
     )
 
 
-def _star_edges_from_fps(spark: SparkSession, fps: DataFrame) -> DataFrame:
-    dfp = fps.groupBy("simhash").agg(F.min("doc_id").alias("min_doc"))
+def _star_edges_from_dfp(spark: SparkSession, dfp: DataFrame) -> DataFrame:
     keyed = _keyed_blocks(dfp)
     n_groups = 8 * spark.sparkContext.defaultParallelism
     return (
@@ -935,8 +935,19 @@ def _labels_from_fps(spark: SparkSession, fps: DataFrame) -> DataFrame:
     """(doc_id, cluster_id, keep) from a fingerprint relation: distinct-fp
     collapse -> bucket-CC star edges -> min-label propagation -> map docs
     back through their fingerprint's min_doc."""
-    dfp = fps.groupBy("simhash").agg(F.min("doc_id").alias("min_doc"))
-    labels = _propagate_min_labels(_star_edges_from_fps(spark, fps))
+    # ONE dfp derivation for both consumers (round-18 "Not yet
+    # optimized" item 3): the star-edge pipeline and the final doc->label
+    # mapping join both read the distinct-fp relation, and the two
+    # references meet in a join, so the lazy groupBy executed twice per
+    # labels key. Eager localCheckpoint materializes it once — it is
+    # |distinct fp|-bounded (<= one row per doc; 216 k at sf10), the
+    # same linear artifact the pipeline shuffles anyway.
+    dfp = (
+        fps.groupBy("simhash")
+        .agg(F.min("doc_id").alias("min_doc"))
+        .localCheckpoint(eager=True)
+    )
+    labels = _propagate_min_labels(_star_edges_from_dfp(spark, dfp))
     lab = F.coalesce(F.col("label"), F.col("min_doc"))
     return (
         fps.join(dfp, "simhash")

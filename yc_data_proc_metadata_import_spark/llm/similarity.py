@@ -1695,7 +1695,7 @@ def _pq_train_encode_uncached(spark: SparkSession, sf_dir: str):
         for m in range(_PQ_M)
     ]
 
-    def with_codes(df: DataFrame) -> DataFrame:
+    def with_codes_literal(df: DataFrame) -> DataFrame:
         for m in range(_PQ_M):
             cents, max_abs = books[m]
             df = df.withColumn(
@@ -1703,6 +1703,55 @@ def _pq_train_encode_uncached(spark: SparkSession, sf_dir: str):
                 F.array_min(_km_cost_array(cents, max_abs, _pq_slice_sql(m)))["j"],
             )
         return df
+
+    def with_codes(df: DataFrame) -> DataFrame:
+        # GEMM the 8-subspace encode when every book fits the float64
+        # exactness bounds (round-18 VERDICT task 3: the encode
+        # expression is M interpreted argmin HOFs per row — measured
+        # ~0.9 s per execution at sf0.1, and training evaluates it
+        # _PQ_ITERS times: once inside each update-stats job and once
+        # for the materialized code table). One mapInPandas pass
+        # computes all M argmins vectorized — bit-identical to the
+        # literal path by the same proof _km_assigned's GEMM dispatch
+        # carries: every product/partial sum is an exact integer < 2^53
+        # (guarded in _km_gemm_arrays), the final three-term cost is the
+        # identical left-to-right IEEE sequence, and np.argmin's
+        # first-occurrence rule over j-sorted columns == ORDER BY cost,
+        # j. Books exceeding the bounds fall back to the literal
+        # expression (int64-exact to 2^63).
+        try:
+            arrs = [_km_gemm_arrays(c, mx) for c, mx in books]
+        except AssertionError:
+            return with_codes_literal(df)
+        import numpy as np
+
+        def encode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["qv"]]
+                )
+                out = {"vec_id": pdf["vec_id"].to_numpy(), "qv": pdf["qv"]}
+                for m, (S, N, J, s2_over_n2) in enumerate(arrs):
+                    xm = x[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+                    x2 = (xm * xm).sum(axis=1)
+                    cost = (
+                        x2[:, None]
+                        - (2.0 * (xm @ S.T)) / N[None, :]
+                        + s2_over_n2[None, :]
+                    )
+                    out[f"code{m}"] = J[np.argmin(cost, axis=1)].astype(
+                        "int32"
+                    )
+                yield pd.DataFrame(out)
+
+        schema = "vec_id bigint, qv array<bigint>, " + ", ".join(
+            f"code{m} int" for m in range(_PQ_M)
+        )
+        return df.mapInPandas(encode, schema)
 
     for t in range(_PQ_ITERS):
         codes = with_codes(qv)

@@ -1182,16 +1182,22 @@ def agg_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame
     cum.  The window's per-group sort runs on the domain-bounded
     histogram instead of the full table — the difference between
     sorting 600 k rows and ~100 k distinct prices here, and between a
-    table-sized and a domain-sized sort at 100 TB.  Two histogram
-    passes (values, then deviations), both partitioned on the group
-    key; swap in approx_percentile when even the value domain is too
-    large for a per-group sort."""
+    table-sized and a domain-sized sort at 100 TB.
+
+    ONE fact pass (round-19): the deviation histogram never needs the
+    table — |x - median| is a function of the VALUE, so re-keying the
+    price histogram by |price - median| and summing its counts IS the
+    deviation histogram (identical multiset of (group, d, weight) rows
+    the old second scan produced, therefore identical medians).  The
+    price histogram materializes once (localCheckpoint — it is the
+    domain-bounded artifact both medians select from) and lineitem is
+    scanned exactly once; swap in approx_percentile when even the
+    value domain is too large for a per-group sort."""
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
 
-    def hist_median(rows: DataFrame, val: str, out: str) -> DataFrame:
-        """(group, median value) via cumulative counts over the value
-        histogram — exact lower median, no row-level sort."""
-        hist = rows.groupBy("l_returnflag", val).agg(F.count(F.lit(1)).alias("cnt"))
+    def hist_median(hist: DataFrame, val: str, out: str) -> DataFrame:
+        """(group, median value) from a (group, value, cnt) histogram via
+        cumulative counts — exact lower median, no row-level sort."""
         wcum = Window.partitionBy("l_returnflag").orderBy(val)
         wall = Window.partitionBy("l_returnflag")
         h = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
@@ -1202,16 +1208,31 @@ def agg_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame
             "l_returnflag", F.col(val).alias(out)
         )
 
-    # The 3-row med relation is referenced three times (devs + both
-    # result joins); localCheckpoint materializes it once so the
-    # histogram+window subtree isn't re-executed per reference.
-    med = hist_median(li, "l_extendedprice", "median_price").localCheckpoint()
-    devs = li.join(med, "l_returnflag").select(
-        "l_returnflag",
-        "median_price",
-        F.abs(F.col("l_extendedprice") - F.col("median_price")).alias("d"),
+    # The ONLY fact scan: per-group value histogram, materialized once
+    # (domain-bounded — ~100 k rows at sf0.1, never the table) because
+    # both the median selection and the deviation re-key consume it.
+    hist = (
+        li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
-    return hist_median(devs, "d", "mad").join(med, "l_returnflag").select(
+    # The 3-row med relation is referenced twice (deviation re-key +
+    # result join); localCheckpoint materializes it once so the
+    # histogram+window subtree isn't re-executed per reference.
+    med = hist_median(hist, "l_extendedprice", "median_price").localCheckpoint()
+    # Deviation histogram = the price histogram re-keyed by |v - median|
+    # with counts summed: exactly the (group, d) multiset of the old
+    # per-row pass (same IEEE subtraction, applied once per distinct
+    # value instead of once per row).
+    dev_hist = (
+        hist.join(med, "l_returnflag")
+        .groupBy(
+            "l_returnflag",
+            F.abs(F.col("l_extendedprice") - F.col("median_price")).alias("d"),
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return hist_median(dev_hist, "d", "mad").join(med, "l_returnflag").select(
         "l_returnflag", "median_price", "mad"
     )
 
