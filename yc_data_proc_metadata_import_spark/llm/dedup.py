@@ -850,21 +850,27 @@ def _keyed_blocks(dfp: DataFrame) -> DataFrame:
     """(simhash, min_doc) -> the (block, sub-bucket)-keyed relation the
     CC kernel groups on: one row per (fp, block) for buckets at or under
     _BUCKET_CAP distinct fps (sentinel sub key (-1, 0)), 15 rows per
-    (fp, block) — one per pigeonhole sub-chunk — for oversized ones."""
+    (fp, block) — one per pigeonhole sub-chunk — for oversized ones.
+
+    The constant-size array literals are BUILT as SQL strings parsed by
+    single F.expr calls (round-19; the _km_cost_array precedent): the
+    Column-API spelling issued one py4j round-trip per struct field +
+    lambda conversion — measured ~0.6 s of pure driver-side construction
+    per labels key. The parsed trees compute the identical values
+    (integer literals, same shiftright/& arithmetic, same field types)."""
     blocks = dfp.select(
         "simhash",
         "min_doc",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("block_id"),
-                        F.shiftright("simhash", j * _BLOCK_BITS)
-                        .bitwiseAND(F.lit(2**_BLOCK_BITS - 1))
-                        .alias("block_key"),
-                    )
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"named_struct('block_id', {j}, 'block_key', "
+                    f"shiftright(simhash, {j * _BLOCK_BITS}) & "
+                    f"CAST({2**_BLOCK_BITS - 1} AS BIGINT))"
                     for j in range(4)
-                ]
+                )
+                + ")"
             )
         ).alias("blk"),
     ).select("simhash", "min_doc", "blk.block_id", "blk.block_key")
@@ -877,27 +883,19 @@ def _keyed_blocks(dfp: DataFrame) -> DataFrame:
     # 20-element array filter is an interpreted HOF, but over a
     # constant-size array per row (not per row-pair) it is noise next
     # to the popcount verify it bounds.
-    sub_chunks = F.filter(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("sub_id"),
-                    F.shiftright("simhash", c * 3)
-                    .bitwiseAND(F.lit(7))
-                    .alias("sub_key"),
-                )
-                for c in range(_SUB_CHUNKS)
-            ]
-        ),
-        lambda s: ~(
-            (s["sub_id"] >= F.col("block_id") * _CHUNKS_PER_BLOCK)
-            & (s["sub_id"] < (F.col("block_id") + 1) * _CHUNKS_PER_BLOCK)
-        ),
-    )
-    whole = F.array(
-        F.struct(
-            F.lit(-1).alias("sub_id"), F.lit(0).cast("long").alias("sub_key")
+    sub_chunks = F.expr(
+        "filter(array("
+        + ", ".join(
+            f"named_struct('sub_id', {c}, 'sub_key', "
+            f"shiftright(simhash, {c * 3}) & CAST(7 AS BIGINT))"
+            for c in range(_SUB_CHUNKS)
         )
+        + "), s -> NOT (s.sub_id >= block_id * "
+        + str(_CHUNKS_PER_BLOCK)
+        + f" AND s.sub_id < (block_id + 1) * {_CHUNKS_PER_BLOCK}))"
+    )
+    whole = F.expr(
+        "array(named_struct('sub_id', -1, 'sub_key', CAST(0 AS BIGINT)))"
     )
     from pyspark.sql import Window
 
@@ -1357,8 +1355,16 @@ def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
                     ru, rv = rv, ru
                 parent[rv] = ru  # min-id root => label = component min
         rows = [(int(x), int(find(x))) for x in parent]
-        return pairs.sparkSession.createDataFrame(
-            rows, "node long, label long"
+        # Broadcast hint, UF path ONLY: this label table is driver-held
+        # and <=2x _DRIVER_UF_MAX_EDGES rows by construction (<=8 MB of
+        # int64 pairs — the same bounded-state license as the collect
+        # above), but createDataFrame parallelizes it into an RDD whose
+        # stats Spark doesn't know, so consumers' label joins planned as
+        # SortMergeJoin (2 exchanges + sorts of the big side). The
+        # distributed exit below stays hint-free — at scale the label
+        # table is data-sized and must shuffle.
+        return F.broadcast(
+            pairs.sparkSession.createDataFrame(rows, "node long, label long")
         )
     if n_edges < 1_000_000:
         # Tiny graph (e.g. the star-edge relation — <=4 x distinct
