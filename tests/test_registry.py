@@ -400,3 +400,31 @@ def test_bench_idle_guard_drains_loadavg_residue():
         poll_s=60.0,
     )
     assert waited == 0.0
+
+
+def test_stream_state_partitions_sizing():
+    """_state_partitions (r19): JVM stateful operators take the
+    commit-cost floor max(8, cores/4) plus a source-volume term
+    (bytes / 256 MB target); Python arbitrary-state operators size to
+    full parallelism (compute-bound — SF1_STREAM_STATE_r19.json). The
+    local tiers must keep their measured-best counts so bench rows stay
+    comparable."""
+    from yc_data_proc_metadata_import_spark.streaming.stream_queries import (
+        _STATE_TARGET_BYTES,
+        _state_partitions,
+    )
+
+    class _Spark:
+        class sparkContext:
+            defaultParallelism = 32
+
+    sp = _Spark()
+    # rung-tier volumes (sf0.1 events 2 MB, sf1 20 MB, sf10 200 MB):
+    # below the 256 MB/partition target -> the floor, bench-identical.
+    assert _state_partitions(sp, 2 * 1024**2) == 8
+    assert _state_partitions(sp, 200 * 1024**2) == 8
+    # volume term takes over beyond the rung tiers on any core count.
+    assert _state_partitions(sp, 10 * 1024**3) == 10 * 1024**3 // _STATE_TARGET_BYTES == 40
+    # python-state keys: full parallelism locally, volume at scale.
+    assert _state_partitions(sp, 2 * 1024**2, python_state=True) == 32
+    assert _state_partitions(sp, 100 * 1024**3, python_state=True) == 400

@@ -190,22 +190,73 @@ def _read_stream(spark: SparkSession, path: str, **options) -> DataFrame:
     return df
 
 
-def _state_partitions(spark: SparkSession) -> int:
+# Source bytes one state partition should absorb per full availableNow
+# drain (round-19, VERDICT r18 task 6): the state-partition count now
+# derives from DATA VOLUME, not only from the local core count. Each
+# state-store instance pays a fixed commit + maintenance cost per
+# micro-batch, so partitions should be few when the update volume is
+# small (the measured 2.4x local win of 8 vs 32) and grow with input
+# volume, not with whatever core count the session happens to have —
+# at 256 MB/partition a 1 TB/day key plans ~4k state partitions on any
+# cluster size, while every rung tier (sf0.1 events 2 MB, sf1 20 MB,
+# sf10 200 MB) stays at the floor, keeping the bench comparable by
+# construction. Env-overridable for production tuning.
+_STATE_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_STATE_TARGET_BYTES", str(256 * 1024 * 1024))
+)
+
+
+def _dir_bytes(path: str) -> int:
+    """Total bytes of a staged stream-source dir (flat file listing —
+    the same cheap stat pass the file-stream source's own listing does)."""
+    try:
+        with os.scandir(path) as it:
+            return sum(e.stat().st_size for e in it if e.is_file())
+    except OSError:
+        return 0
+
+
+def _state_partitions(
+    spark: SparkSession, src_bytes: int = 0, python_state: bool = False
+) -> int:
     """State-store partition count for a FRESH streaming checkpoint.
 
-    Stateful operators keep one state-store instance per shuffle
-    partition, each paying a commit + maintenance cost per micro-batch —
-    so state partitioning should track expected UPDATE RATE, not scan
-    width. cores/4 (floor 8) keeps the per-batch fixed cost low while
-    scaling with the cluster (measured 2.4x faster per streaming key at
-    local[32] vs inheriting the batch setting of 32). Only applies at
-    checkpoint creation — restarts keep the checkpoint's own value.
+    JVM stateful operators (windowed aggregation, dedup, stream-stream
+    join) keep one state-store instance per shuffle partition, each
+    paying a commit + maintenance cost per micro-batch — so their
+    partitioning should track expected UPDATE RATE, not scan width. The
+    count is max(cores/4 floor 8, source bytes / _STATE_TARGET_BYTES):
+    the floor keeps the per-batch fixed cost low, and the volume term
+    scales the state layout with the data on any cluster size. Measured
+    at sf0.1 AND the sf1 rung (same-session sweeps over {4,8,16,32},
+    OPTIMIZATION_r19.md): windowed aggs degrade ~2x at 32 partitions at
+    BOTH tiers (stream_tumbling 1.28 vs 2.0 s at sf1, stream_watermark
+    2.1 vs 5.2 s), so the floor is a volume statement about commit
+    cost, not a local[32] constant.
+
+    ``python_state=True`` (applyInPandasWithState and successors) sizes
+    to the session's full parallelism instead: each partition's groups
+    are processed serially by one Python worker, so these keys are
+    COMPUTE-bound, not commit-bound — the same sf1 sweep shows
+    stream_stateful monotone-improving with partitions (9.3 / 5.9 /
+    4.4 / 3.9 s at 4/8/16/32) while at sf0.1 the counts are equal
+    within noise. Only applies at checkpoint creation — restarts keep
+    the checkpoint's own value.
     """
-    return max(8, spark.sparkContext.defaultParallelism // 4)
+    cores = spark.sparkContext.defaultParallelism
+    volume = src_bytes // _STATE_TARGET_BYTES
+    if python_state:
+        return max(cores, volume)
+    return max(8, cores // 4, volume)
 
 
 def _run_to_memory(
-    df: DataFrame, name: str, mode: str, final_no_data_batch: bool = True
+    df: DataFrame,
+    name: str,
+    mode: str,
+    final_no_data_batch: bool = True,
+    src_bytes: int = 0,
+    python_state: bool = False,
 ) -> None:
     """Drive the stream to completion into a memory sink table ``name``.
 
@@ -233,7 +284,10 @@ def _run_to_memory(
     nd_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_nd = spark.conf.get(nd_key)
-    spark.conf.set("spark.sql.shuffle.partitions", str(_state_partitions(spark)))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_state_partitions(spark, src_bytes, python_state)),
+    )
     spark.conf.set(nd_key, str(final_no_data_batch).lower())
     try:
         q = (
@@ -281,7 +335,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
-    _run_to_memory(agg, "mem_stream_tumbling", "complete")
+    _run_to_memory(agg, "mem_stream_tumbling", "complete", src_bytes=_dir_bytes(src))
     return spark.table("mem_stream_tumbling")
 
 
@@ -316,7 +370,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
-    _run_to_memory(agg, "mem_stream_sliding", "complete")
+    _run_to_memory(agg, "mem_stream_sliding", "complete", src_bytes=_dir_bytes(src))
     return spark.table("mem_stream_sliding")
 
 
@@ -367,7 +421,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    _run_to_memory(agg, "mem_stream_session", "append")
+    _run_to_memory(agg, "mem_stream_session", "append", src_bytes=_dir_bytes(src))
     return spark.table("mem_stream_session")
 
 
@@ -418,7 +472,7 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    _run_to_memory(agg, "mem_stream_watermark", "append")
+    _run_to_memory(agg, "mem_stream_watermark", "append", src_bytes=_dir_bytes(src))
     return spark.table("mem_stream_watermark")
 
 
@@ -440,7 +494,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .select("event_id", "event_type", "ts")
     )
-    _run_to_memory(dedup, "mem_stream_dedup", "append", final_no_data_batch=False)
+    _run_to_memory(dedup, "mem_stream_dedup", "append", final_no_data_batch=False,
+                   src_bytes=_dir_bytes(src))
     return spark.table("mem_stream_dedup")
 
 
@@ -518,7 +573,8 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    _run_to_memory(stateful, "mem_stream_stateful", "update")
+    _run_to_memory(stateful, "mem_stream_stateful", "update",
+                   src_bytes=_dir_bytes(src), python_state=True)
     return spark.table("mem_stream_stateful")
 
 
@@ -583,7 +639,8 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("delay_ms"),
         )
     )
-    _run_to_memory(joined, "mem_stream_join", "append", final_no_data_batch=False)
+    _run_to_memory(joined, "mem_stream_join", "append", final_no_data_batch=False,
+                   src_bytes=2 * _dir_bytes(src))
     return spark.table("mem_stream_join")
 
 
@@ -909,7 +966,7 @@ def stream_state_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    _run_to_memory(agg, name, "complete")
+    _run_to_memory(agg, name, "complete", src_bytes=_dir_bytes(src))
     state = spark.read.format("statestore").option("path", chk).load()
     return state.select(
         F.col("key.window.start").alias("window_start"),
@@ -966,7 +1023,7 @@ def stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value_sum",
             )
         )
-        _run_to_memory(agg, "mem_stream_rocksdb", "complete")
+        _run_to_memory(agg, "mem_stream_rocksdb", "complete", src_bytes=_dir_bytes(src))
     finally:
         if prev is None:
             spark.conf.unset(provider_key)
@@ -1002,7 +1059,8 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("event_id", "event_type", "ts")
     )
     _run_to_memory(
-        dedup, "mem_stream_dedup_wm", "append", final_no_data_batch=False
+        dedup, "mem_stream_dedup_wm", "append", final_no_data_batch=False,
+        src_bytes=_dir_bytes(src),
     )
     return spark.table("mem_stream_dedup_wm")
 
@@ -1160,5 +1218,6 @@ def stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    _run_to_memory(scored, "mem_stream_zscore", "update")
+    _run_to_memory(scored, "mem_stream_zscore", "update",
+                   src_bytes=_dir_bytes(src), python_state=True)
     return spark.table("mem_stream_zscore")
