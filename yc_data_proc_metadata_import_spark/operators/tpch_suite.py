@@ -123,6 +123,15 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on partkey, no second scan, then keeps rows at the minimum.
     Dimension chain supplier->nation->region broadcasts before touching
     the supply aggregate; the part band filter prunes the part scan.
+
+    The EUROPE broadcast join runs BEFORE the supply aggregation
+    (round-19, guide §2.3 — shuffle fewer bytes): the old shape
+    aggregated all suppliers' (part, supp) pairs and then dropped ~4/5
+    of them against the region-filtered dimension. min per (part, supp)
+    never mixes suppliers, so pre-filtering by supplier is exact, and
+    both exchanges (groupBy, window) now carry only EUROPE rows. The
+    supplier attributes ride the groupBy keys — constant per suppkey,
+    so the groups are unchanged.
     """
     p = (
         load(spark, sf_dir, "part")
@@ -137,8 +146,23 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    eur_supply = _supply(spark, sf_dir).join(
-        eur_supp, F.col("ps_suppkey") == F.col("s_suppkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    eur_supply = (
+        li.join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            "s_acctbal",
+            "s_name",
+            "n_name",
+        )
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "ps_supplycost"
+            )
+        )
     )
     w = Window.partitionBy("ps_partkey")
     best = eur_supply.withColumn(
