@@ -425,6 +425,9 @@ def test_stream_state_partitions_sizing():
     assert _state_partitions(sp, 200 * 1024**2) == 8
     # volume term takes over beyond the rung tiers on any core count.
     assert _state_partitions(sp, 10 * 1024**3) == 10 * 1024**3 // _STATE_TARGET_BYTES == 40
-    # python-state keys: full parallelism locally, volume at scale.
-    assert _state_partitions(sp, 2 * 1024**2, python_state=True) == 32
-    assert _state_partitions(sp, 100 * 1024**3, python_state=True) == 400
+    # python-state keys (compute-bound): ~1 partition/MB, floor for
+    # tiny inputs (sf0.1 events 2 MB -> 8, no local regression), capped
+    # at 4x parallelism so scale doesn't fragment worker batches.
+    assert _state_partitions(sp, 2 * 1024**2, python_state=True) == 8
+    assert _state_partitions(sp, 20 * 1024**2, python_state=True) == 20
+    assert _state_partitions(sp, 100 * 1024**3, python_state=True) == 128

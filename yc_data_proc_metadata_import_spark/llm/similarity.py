@@ -931,7 +931,13 @@ def _km_assign(cents: list, max_abs_qv: int) -> F.Column:
 def _dlit(x: float) -> str:
     """Exact Spark-SQL DOUBLE literal: repr() is the shortest string
     that round-trips the IEEE value, and the D suffix lexes as DOUBLE
-    (a bare decimal literal would lex as DECIMAL and re-round)."""
+    (a bare decimal literal would lex as DECIMAL and re-round).
+    Non-finite floats would render as invalid SQL ('infD'/'nanD') —
+    currently unreachable (_km_check_contract bounds s2 < 2^53), so a
+    contract change must fail HERE, not as an opaque parse error."""
+    import math
+
+    assert math.isfinite(x), f"_dlit requires a finite double, got {x!r}"
     return f"{x!r}D"
 
 
@@ -957,7 +963,18 @@ def _km_cost_array(cents: list, max_abs_qv: int, qv: str = "qv") -> F.Column:
     re-proven against the DuckDB oracles after the change.
 
     ``qv`` is the vector expression as SQL text (default the column
-    named qv; the PQ paths pass per-subspace ``slice(qv, ...)``)."""
+    named qv; the PQ paths pass per-subspace ``slice(qv, ...)``).
+    RESERVED IDENTIFIERS (r18 ADVICE): the rendered SQL binds lambda
+    variables za/zb/zacc/zv/zc — a qv expression referencing those
+    names would silently capture them; reject early."""
+    import re
+
+    assert isinstance(qv, str), f"qv must be SQL text, got {type(qv).__name__}"
+    assert not ({"za", "zb", "zacc", "zv", "zc"} &
+                set(re.findall(r"[A-Za-z_]\w*", qv))), (
+        f"qv expression {qv!r} uses a reserved lambda identifier "
+        f"(za/zb/zacc/zv/zc)"
+    )
     _km_check_contract(cents, max_abs_qv)
     x2 = (
         f"CAST(aggregate(zip_with({qv}, {qv}, (za, zb) -> za * zb), "
@@ -1082,7 +1099,17 @@ def _km_fit_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts: dict = {}
         for r in sums:
             by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim"])] = int(r["s"])
-            counts[int(r["cluster"])] = int(r["cnt"])
+            # cnt at any fixed dim == the cluster's row count ONLY for
+            # dense equal-length vectors (r18 ADVICE): a ragged/null
+            # embedding would make counts depend on row iteration order
+            # and silently shift centroid means — fail loudly instead.
+            prev = counts.setdefault(int(r["cluster"]), int(r["cnt"]))
+            if prev != int(r["cnt"]):
+                raise AssertionError(
+                    f"cluster {r['cluster']}: per-dim counts differ "
+                    f"({prev} vs {r['cnt']}) — qv vectors are not dense/"
+                    f"equal-length, the folded count is invalid"
+                )
         if len(counts) != _KM_K and _KM_K <= _KM_LITERAL_MAX:
             # at oracle-replayed K an empty cluster silently diverges
             # from the SQL twin; at scaled K (env override, recall-

@@ -1043,7 +1043,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # subtrees). Materializing the nodes-bounded survivor set keeps
         # each round ONE semi-join pass, which is also the only shape
         # that scales: at billion-edge scale this list is exactly what a
-        # k-core peel materializes between rounds.
+        # k-core peel materializes between rounds. (localCheckpoint
+        # stores blocks on executors with NO lineage fallback — r18
+        # ADVICE: acceptable for this harness's single-process sessions;
+        # a long-lived multi-tenant deployment would use reliable
+        # checkpoint/persist for the per-round frontier instead.)
         survivors = (
             sym.join(F.broadcast(survivors), sym.u == survivors.node)
             .drop("node")

@@ -204,6 +204,13 @@ def _read_stream(spark: SparkSession, path: str, **options) -> DataFrame:
 _STATE_TARGET_BYTES = int(
     os.environ.get("SPARK_GRAFT_STATE_TARGET_BYTES", str(256 * 1024 * 1024))
 )
+# Python arbitrary-state operators parallelize per-group PYTHON compute,
+# so their partition count scales much earlier: ~1 partition per MB of
+# source (sf1-swept: 20 MB -> 20 partitions lands in the measured-best
+# 16-32 band), capped at 4x parallelism.
+_PY_STATE_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_PY_STATE_TARGET_BYTES", str(1024 * 1024))
+)
 
 
 def _dir_bytes(path: str) -> int:
@@ -234,20 +241,23 @@ def _state_partitions(
     2.1 vs 5.2 s), so the floor is a volume statement about commit
     cost, not a local[32] constant.
 
-    ``python_state=True`` (applyInPandasWithState and successors) sizes
-    to the session's full parallelism instead: each partition's groups
-    are processed serially by one Python worker, so these keys are
-    COMPUTE-bound, not commit-bound — the same sf1 sweep shows
+    ``python_state=True`` (applyInPandasWithState and successors) is
+    COMPUTE-bound, not commit-bound: each partition's groups are
+    processed serially by one Python worker, and the sf1 sweep shows
     stream_stateful monotone-improving with partitions (9.3 / 5.9 /
-    4.4 / 3.9 s at 4/8/16/32) while at sf0.1 the counts are equal
-    within noise. Only applies at checkpoint creation — restarts keep
-    the checkpoint's own value.
+    4.4 / 3.9 s at 4/8/16/32). Its count therefore grows ~1 partition
+    per MB of source, volume-gated so tiny inputs keep the same floor
+    as the JVM keys (sf0.1 sweep: 32 partitions cost stateful ~0.3 s —
+    per-batch fixed cost with no compute to parallelize) and capped at
+    4x parallelism (beyond a few batches per worker slot there is
+    nothing left to overlap). Only applies at checkpoint creation —
+    restarts keep the checkpoint's own value.
     """
     cores = spark.sparkContext.defaultParallelism
-    volume = src_bytes // _STATE_TARGET_BYTES
+    floor = max(8, cores // 4)
     if python_state:
-        return max(cores, volume)
-    return max(8, cores // 4, volume)
+        return max(floor, min(src_bytes // _PY_STATE_TARGET_BYTES, 4 * cores))
+    return max(floor, src_bytes // _STATE_TARGET_BYTES)
 
 
 def _run_to_memory(
