@@ -858,7 +858,16 @@ def _tri_und(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _tri_triangles(und: DataFrame) -> DataFrame:
     """Degree-oriented triangle enumeration (see graph_triangle_count):
     one (u, v1, v2) row per triangle, wedge endpoints ordered v1 < v2 by
-    id, u the orientation-minimal vertex."""
+    id, u the orientation-minimal vertex.
+
+    Every relation here is nodes- or nodes^2-bounded BY CONSTRUCTION
+    (nation-level graph: deg <= 25 rows, und <= 625) — but und is a
+    checkpointed LogicalRDD whose stats the planner doesn't know, so
+    it planned 6-7 SortMergeJoins (12-14 exchanges) of <=625-row
+    relations (round-19 census). Explicit broadcasts carry the same
+    group-cardinality-bounded license as pagerank's broadcast(ranks);
+    on a billion-node graph the hints come off and the same equi-joins
+    shard (the documented family exemption)."""
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -871,8 +880,8 @@ def _tri_triangles(und: DataFrame) -> DataFrame:
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
     oriented = (
-        und.join(da, "a")
-        .join(db, "b")
+        und.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
         .select(
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
@@ -880,9 +889,10 @@ def _tri_triangles(und: DataFrame) -> DataFrame:
     )
     x = oriented.select("u", F.col("v").alias("v1"))
     y = oriented.select("u", F.col("v").alias("v2"))
-    wedges = x.join(y, "u").where(F.col("v1") < F.col("v2"))
+    wedges = x.join(F.broadcast(y), "u").where(F.col("v1") < F.col("v2"))
     return wedges.join(
-        und, (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b"))
+        F.broadcast(und),
+        (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b")),
     ).select("u", "v1", "v2")
 
 
@@ -949,7 +959,10 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         deg.where(F.col("degree") >= 2)
-        .join(tn, "node", "left")
+        # tn is nodes-bounded (<= 25 triangle-bearing nations); the
+        # checkpointed lineage hides that from the planner (see
+        # _tri_triangles) — broadcast, same bounded license.
+        .join(F.broadcast(tn), "node", "left")
         .select(
             F.col("node").alias("n_nationkey"),
             "degree",
